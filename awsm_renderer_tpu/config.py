@@ -1,0 +1,66 @@
+"""Renderer configuration.
+
+TPU-native analog of the reference's builder options + runtime setters
+(crates/renderer/src/lib.rs:132-260, anti_alias.rs:9-99, post_process.rs:7-64).
+Frozen dataclasses act as static args of jitted pipeline stages, so changing
+one is a recompile trigger — exactly the reference's "rebuild pipelines"
+events (SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+class ToneMapping(enum.Enum):
+    """Reference: post_process.rs ToneMapping { None, KhronosPbrNeutral, Aces }."""
+
+    NONE = "none"
+    KHRONOS_PBR_NEUTRAL = "khronos_pbr_neutral"
+    ACES = "aces"
+
+
+@dataclass(frozen=True)
+class PostProcessing:
+    """Reference: post_process.rs:7-64."""
+
+    tonemapping: ToneMapping = ToneMapping.KHRONOS_PBR_NEUTRAL
+    bloom: bool = False
+    dof: bool = False
+
+
+@dataclass(frozen=True)
+class AntiAliasing:
+    """Reference: anti_alias.rs:9-99 (msaa None|4, smaa, mipmaps).
+
+    On TPU there is no hardware MSAA; `supersample` renders at 2x and
+    box-resolves, matching MSAA 4x sample count.
+    """
+
+    supersample: bool = False
+    smaa: bool = False
+    mipmap: bool = True
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    width: int = 1920
+    height: int = 1080
+    clear_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    anti_aliasing: AntiAliasing = field(default_factory=AntiAliasing)
+    post_processing: PostProcessing = field(default_factory=PostProcessing)
+    # capacity knobs (recompile triggers when stores outgrow them; the
+    # scene rounds these up in powers of two, mirroring buffer doubling)
+    max_transparent_layers: int = 4  # K-buffer depth for the forward pass
+    # internal compute dtype for shading; textures/geometry stay f32
+    dtype: str = "float32"
+
+    @property
+    def render_width(self) -> int:
+        return self.width * 2 if self.anti_aliasing.supersample else self.width
+
+    @property
+    def render_height(self) -> int:
+        return self.height * 2 if self.anti_aliasing.supersample else self.height

@@ -1,0 +1,242 @@
+"""Texture registry: a flat HBM texel buffer + descriptor table.
+
+TPU-native redesign of the reference's TexturePool
+(crates/renderer-core/src/texture/texture_pool.rs:26-188 groups images into
+2D-array textures keyed by (w,h,format)) and the renderer-level registry
+(crates/renderer/src/textures.rs: sampler cache, texture transforms,
+finalize_gpu_textures). A GPU needs same-shape array layers to sample
+uniformly; a TPU gather does not — so instead of N pool arrays whose count
+is baked into shaders (a recompile trigger in the reference,
+textures.rs:43-100), ALL textures live in ONE flat (n_texels, 4) f32 buffer
+with full mip chains, and a small i32 descriptor row per texture carries
+size, sampler state, and per-mip offsets. Shading gathers through the
+descriptor — one code path for every size mix, recompiles only when the
+buffer capacity grows.
+
+Mip generation mirrors the semantic filtering of the reference's compute
+mipmapper (renderer-core/src/texture/mipmap.rs:26-62, MipmapTextureKind):
+normal maps re-normalize after downsampling; metallic-roughness averages
+roughness perceptually (r^2); color is plain box/area filtering in linear
+space. sRGB→linear conversion happens at upload (the reference runs a
+convert_srgb compute pass at pool upload: texture/convert_srgb.rs).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.allocator import BuddyAllocator, SlotAllocator
+
+F = np.float32
+
+# descriptor i32 layout
+TD_WIDTH = 0
+TD_HEIGHT = 1
+TD_N_MIPS = 2
+TD_WRAP_S = 3
+TD_WRAP_T = 4
+TD_FILTER_LINEAR = 5      # mag/min filter
+TD_MIP_FILTER_LINEAR = 6  # trilinear when 1
+TD_MIP_OFFSETS = 8        # 14 entries of absolute texel offsets
+MAX_MIPS = 14
+DESC_I32 = 24
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+
+
+class MipmapKind(enum.Enum):
+    """Condensed from the reference's 9 MipmapTextureKind variants."""
+
+    COLOR = 0
+    NORMAL = 1
+    METALLIC_ROUGHNESS = 2
+    SCALAR = 3
+
+
+@dataclass(frozen=True)
+class Sampler:
+    """Reference: textures.rs SamplerCacheKey (wrap modes, filters)."""
+
+    wrap_s: int = WRAP_REPEAT
+    wrap_t: int = WRAP_REPEAT
+    filter_linear: bool = True
+    mip_filter_linear: bool = True
+
+
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Exact sRGB EOTF (matches WGSL color_space.wgsl math)."""
+    c = np.asarray(c, dtype=F)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(F)
+
+
+def linear_to_srgb(c: np.ndarray) -> np.ndarray:
+    c = np.asarray(c, dtype=np.float64)
+    out = np.where(c <= 0.0031308, c * 12.92, 1.055 * np.maximum(c, 1e-12) ** (1 / 2.4) - 0.055)
+    return out.astype(F)
+
+
+def _downsample_area(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Area downsample to (h, w). Fast path for exact /2; cv2 otherwise."""
+    H, W = img.shape[:2]
+    if W == 2 * w and H == 2 * h:
+        return img.reshape(h, 2, w, 2, img.shape[2]).mean(axis=(1, 3)).astype(F)
+    import cv2
+
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA).reshape(h, w, -1).astype(F)
+
+
+def calculate_mip_levels(width: int, height: int) -> int:
+    """Reference: mipmap.rs calculate_mipmap_levels."""
+    return min(MAX_MIPS, int(np.floor(np.log2(max(width, height)))) + 1)
+
+
+def generate_mip_chain(img: np.ndarray, kind: MipmapKind) -> List[np.ndarray]:
+    """Full chain [level0, level1, ...] with semantic filtering per kind."""
+    img = np.asarray(img, dtype=F)
+    h, w = img.shape[:2]
+    chain = [img]
+    levels = calculate_mip_levels(w, h)
+    cur = img
+    for _ in range(1, levels):
+        nw, nh = max(1, w // 2), max(1, h // 2)
+        if kind == MipmapKind.NORMAL:
+            vec = cur[..., :3] * 2.0 - 1.0
+            down = _downsample_area(np.concatenate([vec, cur[..., 3:4]], axis=-1), nw, nh)
+            n = down[..., :3]
+            norm = np.linalg.norm(n, axis=-1, keepdims=True)
+            n = np.where(norm > 1e-6, n / np.maximum(norm, 1e-6), np.array([0, 0, 1], F))
+            nxt = np.concatenate([(n + 1.0) * 0.5, down[..., 3:4]], axis=-1).astype(F)
+        elif kind == MipmapKind.METALLIC_ROUGHNESS:
+            # roughness lives in G; average r^2 then sqrt (perceptual)
+            tmp = cur.copy()
+            tmp[..., 1] = cur[..., 1] ** 2
+            down = _downsample_area(tmp, nw, nh)
+            down[..., 1] = np.sqrt(np.maximum(down[..., 1], 0.0))
+            nxt = down.astype(F)
+        else:
+            nxt = _downsample_area(cur, nw, nh)
+        chain.append(nxt)
+        cur, w, h = nxt, nw, nh
+    return chain
+
+
+class Textures:
+    """Flat texel buffer + descriptors + KHR_texture_transform table."""
+
+    def __init__(self, initial_texels: int = 1 << 16, initial_descriptors: int = 32):
+        self._texel_alloc = BuddyAllocator(initial_texels, min_block=256)
+        self.texels = np.zeros((self._texel_alloc.capacity, 4), dtype=F)
+        self._desc_alloc = SlotAllocator(initial_descriptors)
+        self.descriptors = np.zeros((self._desc_alloc.capacity, DESC_I32), dtype=np.int32)
+        self._tex_offset: Dict[int, int] = {}  # key -> texel buffer offset
+        # KHR_texture_transform 2x3 matrices (reference: textures.rs texture transforms buffer)
+        self._tt_alloc = SlotAllocator(8)
+        self.tex_transforms = np.tile(
+            np.array([1, 0, 0, 1, 0, 0, 0, 0], dtype=F), (self._tt_alloc.capacity, 1)
+        )
+        self.gpu_dirty = True
+
+    @property
+    def texel_capacity(self) -> int:
+        return self._texel_alloc.capacity
+
+    @property
+    def descriptor_capacity(self) -> int:
+        return self._desc_alloc.capacity
+
+    def add_image(
+        self,
+        image: np.ndarray,
+        srgb: bool = True,
+        sampler: Sampler = Sampler(),
+        kind: MipmapKind = MipmapKind.COLOR,
+        generate_mips: bool = True,
+    ) -> int:
+        """Upload an image (H,W,3|4) uint8 or float; returns a texture key.
+
+        Reference flow: textures.rs:339 add_image → pool upload with
+        srgb-convert + mipmap generation (texture_pool.rs:26-188).
+        """
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(F) / 255.0
+        img = img.astype(F)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        if img.shape[2] == 3:
+            img = np.concatenate([img, np.ones((*img.shape[:2], 1), F)], axis=2)
+        if srgb:
+            img = np.concatenate([srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=2)
+
+        chain = generate_mip_chain(img, kind) if generate_mips else [img]
+        total = sum(m.shape[0] * m.shape[1] for m in chain)
+        offset = self._texel_alloc.alloc(total)
+        if self._texel_alloc.take_needs_resize():
+            old = self.texels
+            self.texels = np.zeros((self._texel_alloc.capacity, 4), dtype=F)
+            self.texels[: old.shape[0]] = old
+
+        key = self._desc_alloc.insert()
+        if self._desc_alloc.take_needs_resize():
+            old_d = self.descriptors
+            self.descriptors = np.zeros((self._desc_alloc.capacity, DESC_I32), dtype=np.int32)
+            self.descriptors[: old_d.shape[0]] = old_d
+        row = self._desc_alloc.row_of(key)
+        self._tex_offset[key] = offset
+
+        d = np.zeros(DESC_I32, dtype=np.int32)
+        d[TD_WIDTH] = img.shape[1]
+        d[TD_HEIGHT] = img.shape[0]
+        d[TD_N_MIPS] = len(chain)
+        d[TD_WRAP_S] = sampler.wrap_s
+        d[TD_WRAP_T] = sampler.wrap_t
+        d[TD_FILTER_LINEAR] = int(sampler.filter_linear)
+        d[TD_MIP_FILTER_LINEAR] = int(sampler.mip_filter_linear)
+        off = offset
+        for i, mip in enumerate(chain):
+            d[TD_MIP_OFFSETS + i] = off
+            self.texels[off : off + mip.shape[0] * mip.shape[1]] = mip.reshape(-1, 4)
+            off += mip.shape[0] * mip.shape[1]
+        # clamp remaining mip offsets to the last mip (simplifies device clamping)
+        for i in range(len(chain), MAX_MIPS):
+            d[TD_MIP_OFFSETS + i] = d[TD_MIP_OFFSETS + len(chain) - 1]
+        self.descriptors[row] = d
+        self.gpu_dirty = True
+        return key
+
+    def remove(self, key: int) -> None:
+        self._texel_alloc.free(self._tex_offset.pop(key))
+        self._desc_alloc.remove(key)
+        self.gpu_dirty = True
+
+    def row_of(self, key: int) -> int:
+        return self._desc_alloc.row_of(key)
+
+    def add_texture_transform(self, offset=(0, 0), rotation: float = 0.0, scale=(1, 1)) -> int:
+        """KHR_texture_transform: uv' = R*S*uv + offset. Returns transform key."""
+        key = self._tt_alloc.insert()
+        if self._tt_alloc.take_needs_resize():
+            old = self.tex_transforms
+            self.tex_transforms = np.tile(
+                np.array([1, 0, 0, 1, 0, 0, 0, 0], dtype=F), (self._tt_alloc.capacity, 1)
+            )
+            self.tex_transforms[: old.shape[0]] = old
+        c, s = np.cos(rotation), np.sin(rotation)
+        sx, sy = scale
+        # glTF spec: uv' = T * R * S * uv
+        m = np.array([[c * sx, -s * sy], [s * sx, c * sy]], dtype=F)
+        row = self._tt_alloc.row_of(key)
+        self.tex_transforms[row] = [m[0, 0], m[0, 1], m[1, 0], m[1, 1], offset[0], offset[1], 0, 0]
+        self.gpu_dirty = True
+        return key
+
+    def transform_row_of(self, key: int) -> int:
+        return self._tt_alloc.row_of(key)

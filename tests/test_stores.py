@@ -1,0 +1,317 @@
+"""Scene store tests: materials, lights, textures, meshes, skins, animation."""
+
+import numpy as np
+import pytest
+
+from awsm_renderer_tpu.core import materials as mat
+from awsm_renderer_tpu.core.animation import (
+    AnimationChannel, AnimationClip, AnimationPlayer, AnimationSampler,
+    Animations, Interpolation, LoopStyle, TargetPath,
+)
+from awsm_renderer_tpu.core.lights import Light, LightKind, Lights, LIGHT_F32
+from awsm_renderer_tpu.core.meshes import (
+    MeshGeometry, Meshes, MESH_FLAG_TRANSPARENT, MI_MATERIAL_ROW, MI_TRANSFORM_ROW,
+)
+from awsm_renderer_tpu.core.skins import Skins
+from awsm_renderer_tpu.core.textures import (
+    MipmapKind, Sampler, Textures, TD_N_MIPS, TD_MIP_OFFSETS, TD_WIDTH,
+    calculate_mip_levels, generate_mip_chain, linear_to_srgb, srgb_to_linear,
+)
+from awsm_renderer_tpu.core.transforms import Transform, Transforms
+
+
+class TestMaterials:
+    def test_pbr_pack_roundtrip(self):
+        m = mat.Materials()
+        p = mat.PbrMaterial(
+            base_color_factor=np.array([1, 0.5, 0.25, 1], np.float32),
+            metallic_factor=0.7, roughness_factor=0.3,
+            alpha_mode=mat.AlphaMode.MASK, alpha_cutoff=0.4,
+        )
+        k = m.insert(p)
+        row = m.row_of(k)
+        np.testing.assert_allclose(m.float_data[row, mat.MF_BASE_COLOR:mat.MF_BASE_COLOR+4],
+                                   [1, 0.5, 0.25, 1])
+        assert m.float_data[row, mat.MF_METALLIC] == np.float32(0.7)
+        assert m.flags[row, mat.MI_ALPHA_MODE] == 1
+        assert m.flags[row, mat.MI_KIND] == mat.KIND_PBR
+
+    def test_unlit(self):
+        m = mat.Materials()
+        k = m.insert(mat.UnlitMaterial())
+        assert m.flags[m.row_of(k), mat.MI_KIND] == mat.KIND_UNLIT
+
+    def test_transparency_routing(self):
+        m = mat.Materials()
+        k1 = m.insert(mat.PbrMaterial(alpha_mode=mat.AlphaMode.BLEND))
+        k2 = m.insert(mat.PbrMaterial(transmission_factor=0.5))
+        k3 = m.insert(mat.PbrMaterial())
+        assert m.is_transparency_pass(k1)
+        assert m.is_transparency_pass(k2)
+        assert not m.is_transparency_pass(k3)
+
+    def test_texture_slots(self):
+        m = mat.Materials()
+        p = mat.PbrMaterial(textures={mat.TS_BASE_COLOR: mat.TextureRef(5, uv_set=1)})
+        k = m.insert(p)
+        row = m.row_of(k)
+        assert tuple(m.tex_slots[row, mat.TS_BASE_COLOR]) == (5, 1, -1)
+        assert tuple(m.tex_slots[row, mat.TS_NORMAL]) == (-1, -1, -1)
+
+    def test_growth(self):
+        m = mat.Materials(initial_capacity=2)
+        keys = [m.insert(mat.PbrMaterial(metallic_factor=i * 0.1)) for i in range(5)]
+        for i, k in enumerate(keys):
+            assert m.float_data[m.row_of(k), mat.MF_METALLIC] == np.float32(i * 0.1)
+
+
+class TestLights:
+    def test_pack(self):
+        ls = Lights()
+        ls.insert(Light.directional([0, -1, 0], color=(1, 0.9, 0.8), intensity=3.0))
+        ls.insert(Light.point([1, 2, 3], intensity=5.0, range=10.0))
+        packed = ls.packed(capacity=4)
+        assert packed.shape == (4, LIGHT_F32)
+        assert packed[0, 0] == LightKind.DIRECTIONAL.value
+        assert packed[1, 0] == LightKind.POINT.value
+        np.testing.assert_allclose(packed[1, 5:8], [1, 2, 3])
+        assert ls.count == 2
+
+    def test_spot_cone(self):
+        ls = Lights()
+        ls.insert(Light.spot([0, 5, 0], [0, -1, 0], outer_cone_angle=np.pi / 3))
+        p = ls.packed(4)
+        np.testing.assert_allclose(p[0, 13], np.cos(np.pi / 3), rtol=1e-6)
+
+
+class TestTextures:
+    def test_srgb_roundtrip(self):
+        x = np.linspace(0, 1, 64).astype(np.float32)
+        np.testing.assert_allclose(linear_to_srgb(srgb_to_linear(x)), x, atol=1e-5)
+
+    def test_mip_levels(self):
+        assert calculate_mip_levels(256, 256) == 9
+        assert calculate_mip_levels(1, 1) == 1
+        assert calculate_mip_levels(512, 128) == 10
+
+    def test_mip_chain_color(self):
+        img = np.ones((8, 8, 4), np.float32) * 0.5
+        chain = generate_mip_chain(img, MipmapKind.COLOR)
+        assert len(chain) == 4
+        assert chain[-1].shape == (1, 1, 4)
+        np.testing.assert_allclose(chain[-1][0, 0], [0.5] * 4)
+
+    def test_mip_chain_normal_renormalized(self):
+        # two opposing tilted normals average to a shorter vector; must renormalize
+        img = np.zeros((2, 2, 4), np.float32)
+        n1 = np.array([0.707, 0, 0.707])
+        n2 = np.array([-0.707, 0, 0.707])
+        img[0, 0, :3] = (n1 + 1) / 2
+        img[0, 1, :3] = (n2 + 1) / 2
+        img[1, 0, :3] = (n1 + 1) / 2
+        img[1, 1, :3] = (n2 + 1) / 2
+        chain = generate_mip_chain(img, MipmapKind.NORMAL)
+        n = chain[1][0, 0, :3] * 2 - 1
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-5)
+
+    def test_add_image_descriptor(self):
+        t = Textures()
+        img = (np.random.default_rng(0).random((16, 32, 4)) * 255).astype(np.uint8)
+        key = t.add_image(img, srgb=False)
+        row = t.row_of(key)
+        d = t.descriptors[row]
+        assert d[TD_WIDTH] == 32
+        assert d[TD_N_MIPS] == 6
+        # level 0 texels match
+        off = d[TD_MIP_OFFSETS]
+        np.testing.assert_allclose(
+            t.texels[off : off + 16 * 32].reshape(16, 32, 4),
+            img.astype(np.float32) / 255.0, atol=1e-6,
+        )
+
+    def test_srgb_applied(self):
+        t = Textures()
+        img = np.full((4, 4, 3), 128, np.uint8)
+        key = t.add_image(img, srgb=True)
+        off = t.descriptors[t.row_of(key), TD_MIP_OFFSETS]
+        expected = srgb_to_linear(np.float32(128 / 255))
+        np.testing.assert_allclose(t.texels[off, 0], expected, atol=1e-6)
+        assert t.texels[off, 3] == 1.0  # alpha untouched
+
+    def test_remove_reuses_space(self):
+        t = Textures()
+        k1 = t.add_image(np.zeros((32, 32, 4), np.uint8), srgb=False)
+        used = t._texel_alloc.used
+        t.remove(k1)
+        assert t._texel_alloc.used == 0
+        k2 = t.add_image(np.zeros((32, 32, 4), np.uint8), srgb=False)
+        assert t._texel_alloc.used == used
+
+    def test_texture_transform(self):
+        t = Textures()
+        key = t.add_texture_transform(offset=(0.5, 0.25), rotation=0.0, scale=(2, 2))
+        row = t.transform_row_of(key)
+        np.testing.assert_allclose(t.tex_transforms[row, :6], [2, 0, 0, 2, 0.5, 0.25])
+
+
+def _tri_geometry():
+    return MeshGeometry(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        indices=np.array([[0, 1, 2]], np.int32),
+        normals=np.array([[0, 0, 1]] * 3, np.float32),
+        uv0=np.array([[0, 0], [1, 0], [0, 1]], np.float32),
+    )
+
+
+class TestMeshes:
+    def test_insert_and_pools(self):
+        m = Meshes()
+        k = m.insert_geometry(_tri_geometry(), transform_row=3, material_row=7,
+                              transform_key=1, material_key=1)
+        row = m.row_of(k)
+        assert m.mesh_info[row, MI_TRANSFORM_ROW] == 3
+        assert m.mesh_info[row, MI_MATERIAL_ROW] == 7
+        mesh = m.get(k)
+        tri = m.tri_v[mesh.t_base]
+        np.testing.assert_allclose(m.v_pos[tri[1]], [1, 0, 0])
+        assert m.tri_mesh[mesh.t_base] == row
+
+    def test_resource_sharing_instances(self):
+        m = Meshes()
+        rk = m.insert_resource(_tri_geometry())
+        k1 = m.insert(rk, 0, 0, 1, 1)
+        k2 = m.insert(rk, 1, 0, 2, 1)
+        m1, m2 = m.get(k1), m.get(k2)
+        # same vertex range, distinct triangle rows stamped with own mesh row
+        assert np.array_equal(m.tri_v[m1.t_base], m.tri_v[m2.t_base])
+        assert m.tri_mesh[m1.t_base] != m.tri_mesh[m2.t_base]
+
+    def test_remove_frees_resource(self):
+        m = Meshes()
+        rk = m.insert_resource(_tri_geometry())
+        k1 = m.insert(rk, 0, 0, 1, 1)
+        k2 = m.insert(rk, 0, 0, 2, 1)
+        used_v = m._v_alloc.used
+        m.remove(k1)
+        assert m._v_alloc.used == used_v  # still referenced
+        m.remove(k2)
+        assert m._v_alloc.used == 0
+
+    def test_morph_pool(self):
+        geo = _tri_geometry()
+        geo.morph_positions = np.array([[[0, 0, 1]] * 3, [[1, 0, 0]] * 3], np.float32)
+        m = Meshes()
+        k = m.insert_geometry(geo, 0, 0, 1, 1, initial_morph_weights=[0.5, 0.25])
+        row = m.row_of(k)
+        np.testing.assert_allclose(m.morph_weights[row, :2], [0.5, 0.25])
+        mesh = m.get(k)
+        v0 = m.tri_v[mesh.t_base][0]
+        base = m.v_morph_base[v0]
+        assert base >= 0
+        np.testing.assert_allclose(m.morph_deltas[base, 0:3], [0, 0, 1])
+        # target 1 at base + stride (V=3)
+        np.testing.assert_allclose(m.morph_deltas[base + 3, 0:3], [1, 0, 0])
+
+    def test_world_aabb_culling_inputs(self):
+        t = Transforms()
+        tk = t.insert(Transform(translation=np.array([5, 0, 0], np.float32)))
+        t.update_world()
+        m = Meshes()
+        k = m.insert_geometry(_tri_geometry(), t.row_of(tk), 0, tk, 1)
+        m.update_world(t)
+        mins, maxs, keys = m.world_bounds()
+        np.testing.assert_allclose(mins[0], [5, 0, 0])
+        np.testing.assert_allclose(maxs[0], [6, 1, 0])
+
+    def test_transparent_flag(self):
+        m = Meshes()
+        k = m.insert_geometry(_tri_geometry(), 0, 0, 1, 1, transparent=True)
+        from awsm_renderer_tpu.core.meshes import MI_FLAGS
+        assert m.mesh_info[m.row_of(k), MI_FLAGS] & MESH_FLAG_TRANSPARENT
+
+
+class TestSkins:
+    def test_joint_matrices(self):
+        t = Transforms()
+        j0 = t.insert(Transform(translation=np.array([0, 1, 0], np.float32)))
+        j1 = t.insert(Transform(translation=np.array([0, 2, 0], np.float32)), parent=j0)
+        t.update_world()
+        s = Skins()
+        ibm = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        ibm[1, 1, 3] = -3.0  # inverse bind: undo the accumulated +3 in y
+        key = s.insert([j0, j1], ibm)
+        s.update_transforms(t)
+        rows = s.joint_rows(key)
+        np.testing.assert_allclose(s.joint_matrices[rows[0]][:3, 3], [0, 1, 0])
+        np.testing.assert_allclose(s.joint_matrices[rows[1]][:3, 3], [0, 0, 0], atol=1e-6)
+
+
+class TestAnimation:
+    def test_linear_vec3(self):
+        s = AnimationSampler(times=[0, 1], values=[[0, 0, 0], [2, 0, 0]])
+        np.testing.assert_allclose(s.sample(0.5), [1, 0, 0])
+
+    def test_step(self):
+        s = AnimationSampler(times=[0, 1], values=[[0.0], [2.0]], interpolation=Interpolation.STEP)
+        np.testing.assert_allclose(s.sample(0.99), [0.0])
+
+    def test_slerp_rotation(self):
+        from awsm_renderer_tpu.utils import math3d as m3
+        q0 = m3.quat_identity()
+        q1 = m3.quat_from_axis_angle([0, 0, 1], np.pi / 2)
+        s = AnimationSampler(times=[0, 1], values=[q0, q1])
+        q = s.sample(0.5, is_rotation=True)
+        expected = m3.quat_from_axis_angle([0, 0, 1], np.pi / 4)
+        np.testing.assert_allclose(np.abs(np.dot(q, expected)), 1.0, atol=1e-5)
+
+    def test_cubic_spline(self):
+        # constant value with zero tangents stays constant
+        vals = np.zeros((2, 3, 1), np.float32)
+        vals[:, 1, 0] = 5.0
+        s = AnimationSampler(times=[0, 1], values=vals, interpolation=Interpolation.CUBIC_SPLINE)
+        np.testing.assert_allclose(s.sample(0.3), [5.0])
+
+    def test_player_loop(self):
+        clip = AnimationClip([AnimationChannel(
+            AnimationSampler(times=[0, 2], values=[[0, 0, 0], [1, 0, 0]]),
+            TargetPath.TRANSLATION, transform_key=1)])
+        p = AnimationPlayer(clip, loop_style=LoopStyle.LOOP)
+        p.advance(1.5)
+        p.advance(1.0)
+        assert abs(p.time - 0.5) < 1e-6
+
+    def test_player_once_stops(self):
+        clip = AnimationClip([AnimationChannel(
+            AnimationSampler(times=[0, 1], values=[[0.0], [1.0]]),
+            TargetPath.TRANSLATION, transform_key=1)])
+        p = AnimationPlayer(clip, loop_style=LoopStyle.ONCE)
+        p.advance(5.0)
+        assert p.time == 1.0 and not p.playing
+
+    def test_ping_pong(self):
+        clip = AnimationClip([AnimationChannel(
+            AnimationSampler(times=[0, 1], values=[[0.0], [1.0]]),
+            TargetPath.TRANSLATION, transform_key=1)])
+        p = AnimationPlayer(clip, loop_style=LoopStyle.PING_PONG)
+        p.advance(1.5)
+        assert abs(p.time - 0.5) < 1e-6 and p.direction == -1
+
+    def test_apply_to_transforms_and_morphs(self):
+        t = Transforms()
+        tk = t.insert()
+        m = Meshes()
+        geo = _tri_geometry()
+        geo.morph_positions = np.array([[[0, 0, 1]] * 3], np.float32)
+        mk = m.insert_geometry(geo, t.row_of(tk), 0, tk, 1)
+        anims = Animations()
+        clip = AnimationClip([
+            AnimationChannel(AnimationSampler(times=[0, 1], values=[[0, 0, 0], [4, 0, 0]]),
+                             TargetPath.TRANSLATION, transform_key=tk),
+            AnimationChannel(AnimationSampler(times=[0, 1], values=[[0.0], [1.0]]),
+                             TargetPath.WEIGHTS, mesh_key=mk),
+        ])
+        anims.insert(AnimationPlayer(clip))
+        anims.update(0.5, t, m)
+        t.update_world()
+        np.testing.assert_allclose(t.world_of(tk)[:3, 3], [2, 0, 0])
+        np.testing.assert_allclose(m.morph_weights[m.row_of(mk), 0], 0.5)
