@@ -1,0 +1,268 @@
+"""Pallas tile-based triangle rasterizer → visibility buffer.
+
+TPU-native replacement for the reference's hardware-raster geometry pass
+(crates/renderer/src/render_passes/geometry/: one draw per mesh writing a
+4-target visibility G-buffer). Here ONE kernel rasterizes the whole packed
+triangle pool into per-pixel planes:
+
+    tri_id (H,W) i32   — global triangle index, -1 = miss (the reference
+                          packs split16 triangle_index + meta offset into
+                          Rgba16uint; an i32 plane is the TPU-shaped
+                          equivalent; mesh/material lookup goes through
+                          tri_mesh[tri_id] at shading time)
+    bary_u/bary_v (H,W) f32 — perspective-correct barycentrics of corners
+                          1 and 2 (raster corner order; geometry_wgsl/
+                          fragment.wgsl stores barycentric.xy the same way)
+    depth (H,W) f32    — NDC z in [0,1], cleared to 1.0, LESS compare
+
+Kernel shape: grid = (tiles_y, tiles_x, triangle_chunks); each (8,128)
+pixel tile revisits its VMEM accumulators across the chunk axis (matmul
+accumulator pattern), merging CHUNK triangles per step in sub-groups of 8
+fully vectorized (8 triangles × 1024 pixels on the VPU — no per-triangle
+scalar loop, no dynamic indexing). A per-chunk conservative screen bbox
+lets a tile skip entire chunks with 4 scalar compares.
+
+Fill convention: top-left (WebGPU/D3D/Vulkan raster rule) with pixel
+centers at +0.5, so shared edges shade exactly once — required for
+pixel-exact parity with the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .vertex import (
+    NSETUP,
+    S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
+    S_IW0, S_IW1, S_IW2,
+    S_VALID,
+    S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
+    S_Z0, S_Z1, S_Z2,
+)
+
+TILE_H = 8
+TILE_W = 128
+CHUNK = 128          # triangles DMA'd per grid step
+SUB = 8              # triangles merged per vector op
+_BIG = 3.0e38
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _merge_subgroup(P, px, py, tri_base, state):
+    """Merge SUB triangles into the tile's best-fragment state.
+
+    P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
+    tri_base: scalar i32 global id of P's first triangle;
+    state: (z_best, t_best, bu_best, bv_best) each (1, npx).
+    Pure jnp — shared between the unrolled TPU kernel and the fori_loop
+    interpret path, and unit-testable directly.
+    """
+    z_best, t_best, bu_best, bv_best = state
+    npx = px.shape[1]
+
+    def col(r):
+        return P[:, r : r + 1]  # (SUB, 1) — r is a Python int, static slice
+
+    x0, y0 = col(S_X0), col(S_Y0)
+    x1, y1 = col(S_X1), col(S_Y1)
+    x2, y2 = col(S_X2), col(S_Y2)
+    valid = col(S_VALID) > 0.5
+
+    # edge functions (interior positive; vertex stage guarantees positive
+    # orientation)
+    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)   # edge v1->v2
+    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)   # edge v2->v0
+    e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)   # edge v0->v1
+
+    # top-left fill rule (pure boolean algebra — Mosaic rejects where()
+    # on i1 vectors)
+    def tl(ax, ay, bx, by):
+        top = (ay == by) & (bx > ax)
+        left = by < ay
+        return top | left
+
+    in0 = (e0 > 0) | ((e0 == 0) & tl(x1, y1, x2, y2))
+    in1 = (e1 > 0) | ((e1 == 0) & tl(x2, y2, x0, y0))
+    in2 = (e2 > 0) | ((e2 == 0) & tl(x0, y0, x1, y1))
+
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # (SUB,1) > 0
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
+    b0 = e0 * inv_area
+    b1 = e1 * inv_area
+    b2 = 1.0 - b0 - b1
+    z = b0 * col(S_Z0) + b1 * col(S_Z1) + b2 * col(S_Z2)
+
+    cover = in0 & in1 & in2 & valid & (z >= 0.0) & (z <= 1.0)
+    zc = jnp.where(cover, z, _BIG)           # (SUB, npx)
+
+    # perspective-correct barycentrics for corners 1, 2
+    pb0 = b0 * col(S_IW0)
+    pb1 = b1 * col(S_IW1)
+    pb2 = b2 * col(S_IW2)
+    denom = pb0 + pb1 + pb2
+    inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    pu = pb1 * inv_denom
+    pv = pb2 * inv_denom
+
+    # resolve sub-group: nearest z, lowest index on ties (matches LESS +
+    # draw order)
+    zmin = jnp.min(zc, axis=0, keepdims=True)            # (1, npx)
+    local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
+    idx_m = jnp.where(zc == zmin, local, SUB)
+    win = jnp.min(idx_m, axis=0, keepdims=True)          # (1, npx)
+    one_hot = (local == win) & (zc < _BIG)
+    oh = one_hot.astype(jnp.float32)
+    bu_sel = jnp.sum(pu * oh, axis=0, keepdims=True)
+    bv_sel = jnp.sum(pv * oh, axis=0, keepdims=True)
+    tri_gid = tri_base + win
+
+    take = zmin < z_best
+    z_best = jnp.where(take, zmin, z_best)
+    t_best = jnp.where(take, tri_gid, t_best)
+    bu_best = jnp.where(take, bu_sel, bu_best)
+    bv_best = jnp.where(take, bv_sel, bv_best)
+    return z_best, t_best, bu_best, bv_best
+
+
+def _make_kernel(unroll: bool):
+    def _raster_kernel(
+        chunk_bbox_ref,   # SMEM (4, n_chunks) f32
+        setup_ref,        # VMEM (NSETUP, CHUNK) f32
+        tid_ref, depth_ref, bu_ref, bv_ref,          # out (TILE_H, TILE_W)
+        zacc, tacc, buacc, bvacc,                    # scratch (1, npx)
+    ):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        n_chunks = pl.num_programs(2)
+
+        @pl.when(k == 0)
+        def _init():
+            zacc[:] = jnp.full_like(zacc, 1.0)       # depth clear = 1.0, LESS
+            tacc[:] = jnp.full_like(tacc, -1)
+            buacc[:] = jnp.zeros_like(buacc)
+            bvacc[:] = jnp.zeros_like(bvacc)
+
+        ty0 = (i * TILE_H).astype(jnp.float32)
+        tx0 = (j * TILE_W).astype(jnp.float32)
+
+        overlaps = (
+            (chunk_bbox_ref[0, k] < tx0 + TILE_W)
+            & (chunk_bbox_ref[2, k] > tx0)
+            & (chunk_bbox_ref[1, k] < ty0 + TILE_H)
+            & (chunk_bbox_ref[3, k] > ty0)
+        )
+
+        @pl.when(overlaps)
+        def _process():
+            npx = TILE_H * TILE_W
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+            px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
+            py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
+
+            setup_t = setup_ref[:].T                 # (CHUNK, NSETUP)
+            state = (zacc[:], tacc[:], buacc[:], bvacc[:])
+            base = k * CHUNK
+
+            if unroll:
+                for g in range(CHUNK // SUB):
+                    P = setup_t[g * SUB : (g + 1) * SUB]
+                    state = _merge_subgroup(P, px, py, base + g * SUB, state)
+            else:
+                def body(g, st):
+                    P = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
+                    return _merge_subgroup(P, px, py, base + g * SUB, st)
+
+                state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
+
+            zacc[:], tacc[:], buacc[:], bvacc[:] = state
+
+        @pl.when(k == n_chunks - 1)
+        def _flush():
+            tid_ref[:] = tacc[:].reshape(TILE_H, TILE_W)
+            depth_ref[:] = zacc[:].reshape(TILE_H, TILE_W)
+            bu_ref[:] = buacc[:].reshape(TILE_H, TILE_W)
+            bv_ref[:] = bvacc[:].reshape(TILE_H, TILE_W)
+
+    return _raster_kernel
+
+
+def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    """Conservative per-chunk screen bboxes (4, n_chunks); invalid
+    triangles contribute empty boxes."""
+    valid = setup[S_VALID].reshape(n_chunks, CHUNK) > 0.5
+    minx = jnp.where(valid, setup[S_BB_MINX].reshape(n_chunks, CHUNK), _BIG).min(axis=1)
+    miny = jnp.where(valid, setup[S_BB_MINY].reshape(n_chunks, CHUNK), _BIG).min(axis=1)
+    maxx = jnp.where(valid, setup[S_BB_MAXX].reshape(n_chunks, CHUNK), -_BIG).max(axis=1)
+    maxy = jnp.where(valid, setup[S_BB_MAXY].reshape(n_chunks, CHUNK), -_BIG).max(axis=1)
+    return jnp.stack([minx, miny, maxx, maxy], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
+    """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
+
+    T must be a multiple of CHUNK; width/height multiples of (TILE_W,
+    TILE_H) (the frame pipeline pads and crops). Returns
+    dict(tri_id, depth, bary_u, bary_v), each (height, width).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    T = setup.shape[1]
+    assert T % CHUNK == 0, f"triangle count {T} not a multiple of {CHUNK}"
+    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
+    n_chunks = T // CHUNK
+    chunk_bbox = _chunk_bboxes(setup, n_chunks)
+
+    grid = (height // TILE_H, width // TILE_W, n_chunks)
+    npx = TILE_H * TILE_W
+
+    out_spec = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+    )
+    tid, depth, bu, bv = pl.pallas_call(
+        # fori_loop body in interpret mode: grid programs are traced
+        # individually there, so trace cost must stay small
+        _make_kernel(unroll=not interpret),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (4, n_chunks), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (NSETUP, CHUNK), lambda i, j, k: (0, k), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, npx), jnp.float32),
+            pltpu.VMEM((1, npx), jnp.int32),
+            pltpu.VMEM((1, npx), jnp.float32),
+            pltpu.VMEM((1, npx), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_bbox, setup)
+    return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+
+
+def pad_setup(setup: jnp.ndarray) -> jnp.ndarray:
+    """Pad triangle axis to a CHUNK multiple with invalid triangles."""
+    T = setup.shape[1]
+    pad = (-T) % CHUNK
+    if pad == 0:
+        return setup
+    return jnp.pad(setup, ((0, 0), (0, pad)))

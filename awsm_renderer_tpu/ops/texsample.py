@@ -1,0 +1,141 @@
+"""Texture sampling from the flat texel buffer.
+
+TPU-native port of the reference's texture-pool array sampling with
+gradient-based mip selection (render_passes/shared/shared_wgsl/textures.wgsl
++ material_opaque_wgsl helpers/mipmap math). All sampling is explicit
+gathers: descriptor row → mip offsets → wrapped bilinear taps → trilinear
+blend. One code path for every texture regardless of size (see
+core/textures.py for the layout rationale).
+
+Shapes: pixel-batched — `tex_id (P,) i32`, `uv (P,2) f32` → `(P,4) f32`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.textures import (
+    MAX_MIPS,
+    TD_FILTER_LINEAR,
+    TD_HEIGHT,
+    TD_MIP_FILTER_LINEAR,
+    TD_MIP_OFFSETS,
+    TD_N_MIPS,
+    TD_WIDTH,
+    TD_WRAP_S,
+    TD_WRAP_T,
+    WRAP_CLAMP,
+    WRAP_MIRROR,
+    WRAP_REPEAT,
+)
+
+
+def _wrap_coord(i: jnp.ndarray, n: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+    """Wrap integer texel coord i into [0, n) per-pixel by sampler mode."""
+    rep = jnp.remainder(i, n)
+    clm = jnp.clip(i, 0, n - 1)
+    # mirror: period 2n, reflect the second half
+    m = jnp.remainder(i, 2 * n)
+    mir = jnp.where(m >= n, 2 * n - 1 - m, m)
+    out = jnp.where(mode == WRAP_REPEAT, rep, jnp.where(mode == WRAP_CLAMP, clm, mir))
+    return out
+
+
+def _sample_level(texels, desc, uv, level):
+    """Bilinear sample at integer mip `level` (P,). desc: (P, DESC_I32)."""
+    w0 = desc[:, TD_WIDTH]
+    h0 = desc[:, TD_HEIGHT]
+    wm = jnp.maximum(w0 >> level, 1)
+    hm = jnp.maximum(h0 >> level, 1)
+    offset = jnp.take_along_axis(
+        desc, (TD_MIP_OFFSETS + jnp.clip(level, 0, MAX_MIPS - 1))[:, None], axis=1
+    )[:, 0]
+    wrap_s = desc[:, TD_WRAP_S]
+    wrap_t = desc[:, TD_WRAP_T]
+    linear = desc[:, TD_FILTER_LINEAR] > 0
+
+    wf = wm.astype(jnp.float32)
+    hf = hm.astype(jnp.float32)
+    x = uv[:, 0] * wf - 0.5
+    y = uv[:, 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        xi = _wrap_coord(xi, wm, wrap_s)
+        yi = _wrap_coord(yi, hm, wrap_t)
+        idx = offset + yi * wm + xi
+        return texels[jnp.clip(idx, 0, texels.shape[0] - 1)]
+
+    t00 = tap(x0i, y0i)
+    t10 = tap(x0i + 1, y0i)
+    t01 = tap(x0i, y0i + 1)
+    t11 = tap(x0i + 1, y0i + 1)
+    bil = (
+        t00 * (1 - fx) * (1 - fy)
+        + t10 * fx * (1 - fy)
+        + t01 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+    # nearest taps reuse the wrap path with rounded coords
+    xn = jnp.floor(uv[:, 0] * wf).astype(jnp.int32)
+    yn = jnp.floor(uv[:, 1] * hf).astype(jnp.int32)
+    nearest = tap(xn, yn)
+    return jnp.where(linear[:, None], bil, nearest)
+
+
+def sample_texture(texels, descriptors, tex_id, uv, mip_level=None):
+    """Sample textures per pixel. tex_id < 0 → white (1,1,1,1).
+
+    mip_level: (P,) f32 or None (base level). Trilinear when the sampler's
+    mip filter is linear, else nearest-mip.
+    """
+    P = tex_id.shape[0]
+    safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
+    desc = descriptors[safe_id]                        # (P, DESC_I32)
+    n_mips = desc[:, TD_N_MIPS]
+
+    if mip_level is None:
+        out = _sample_level(texels, desc, uv, jnp.zeros(P, jnp.int32))
+    else:
+        level = jnp.clip(mip_level, 0.0, (n_mips - 1).astype(jnp.float32))
+        l0 = jnp.floor(level).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_mips - 1)
+        frac = (level - l0.astype(jnp.float32))[:, None]
+        s0 = _sample_level(texels, desc, uv, l0)
+        tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
+        s1 = _sample_level(texels, desc, uv, l1)
+        out = jnp.where(tri[:, None], s0 * (1 - frac) + s1 * frac, s0)
+
+    return jnp.where((tex_id >= 0)[:, None], out, jnp.ones_like(out))
+
+
+def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
+    """Standard isotropic LOD: log2(max gradient length in texel space).
+
+    Ports the reference's gradient-based mip selection in the opaque
+    shading kernel (material_opaque_wgsl/compute.wgsl texture sampling).
+    """
+    safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
+    desc = descriptors[safe_id]
+    w = desc[:, TD_WIDTH].astype(jnp.float32)
+    h = desc[:, TD_HEIGHT].astype(jnp.float32)
+    gx = jnp.stack([duv_dx[:, 0] * w, duv_dx[:, 1] * h], axis=-1)
+    gy = jnp.stack([duv_dy[:, 0] * w, duv_dy[:, 1] * h], axis=-1)
+    rho2 = jnp.maximum(jnp.sum(gx * gx, axis=-1), jnp.sum(gy * gy, axis=-1))
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+
+
+def apply_texture_transform(tex_transforms, transform_id, uv):
+    """KHR_texture_transform: uv' = M @ uv + offset; id < 0 → identity."""
+    safe = jnp.clip(transform_id, 0, tex_transforms.shape[0] - 1)
+    t = tex_transforms[safe]                            # (P, 8)
+    u = t[:, 0] * uv[:, 0] + t[:, 1] * uv[:, 1] + t[:, 4]
+    v = t[:, 2] * uv[:, 0] + t[:, 3] * uv[:, 1] + t[:, 5]
+    out = jnp.stack([u, v], axis=-1)
+    return jnp.where((transform_id >= 0)[:, None], out, uv)

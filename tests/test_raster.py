@@ -1,0 +1,192 @@
+"""Pallas rasterizer tests vs an independent numpy reference rasterizer.
+
+Runs in interpret mode on CPU (conftest forces JAX_PLATFORMS=cpu).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from awsm_renderer_tpu.ops.raster import CHUNK, pad_setup, rasterize
+from awsm_renderer_tpu.ops.vertex import (
+    NSETUP, S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
+    S_IW0, S_IW1, S_IW2, S_VALID,
+    S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2, S_Z0, S_Z1, S_Z2,
+)
+
+W, H = 128, 32
+
+
+def make_setup(tris):
+    """tris: list of dicts with xy (3,2), z (3,), iw (3,)."""
+    T = len(tris)
+    s = np.zeros((NSETUP, T), np.float32)
+    for t, tri in enumerate(tris):
+        xy = np.asarray(tri["xy"], np.float32)
+        z = np.asarray(tri.get("z", [0.5, 0.5, 0.5]), np.float32)
+        iw = np.asarray(tri.get("iw", [1, 1, 1]), np.float32)
+        # enforce positive orientation (vertex stage guarantees this)
+        area2 = (xy[1, 0] - xy[0, 0]) * (xy[2, 1] - xy[0, 1]) - (
+            xy[2, 0] - xy[0, 0]
+        ) * (xy[1, 1] - xy[0, 1])
+        assert area2 > 0, "test triangles must be positively oriented"
+        s[S_X0, t], s[S_Y0, t] = xy[0]
+        s[S_X1, t], s[S_Y1, t] = xy[1]
+        s[S_X2, t], s[S_Y2, t] = xy[2]
+        s[S_Z0, t], s[S_Z1, t], s[S_Z2, t] = z
+        s[S_IW0, t], s[S_IW1, t], s[S_IW2, t] = iw
+        s[S_BB_MINX, t], s[S_BB_MINY, t] = xy[:, 0].min(), xy[:, 1].min()
+        s[S_BB_MAXX, t], s[S_BB_MAXY, t] = xy[:, 0].max(), xy[:, 1].max()
+        s[S_VALID, t] = 1.0
+    return pad_setup(jnp.asarray(s))
+
+
+def numpy_raster(tris, w=W, h=H):
+    """Independent reference: same top-left rule, LESS depth, clear=1.0."""
+    depth = np.full((h, w), 1.0, np.float32)
+    tid = np.full((h, w), -1, np.int32)
+    bu = np.zeros((h, w), np.float32)
+    bv = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    px, py = xs + 0.5, ys + 0.5
+    for t, tri in enumerate(tris):
+        xy = np.asarray(tri["xy"], np.float64)
+        z = np.asarray(tri.get("z", [0.5, 0.5, 0.5]), np.float64)
+        iw = np.asarray(tri.get("iw", [1, 1, 1]), np.float64)
+
+        def edge(a, b):
+            return (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+
+        def topleft(a, b):
+            return (a[1] == b[1] and b[0] > a[0]) or (b[1] < a[1])
+
+        e0, e1, e2 = edge(xy[1], xy[2]), edge(xy[2], xy[0]), edge(xy[0], xy[1])
+        in0 = (e0 >= 0) if topleft(xy[1], xy[2]) else (e0 > 0)
+        in1 = (e1 >= 0) if topleft(xy[2], xy[0]) else (e1 > 0)
+        in2 = (e2 >= 0) if topleft(xy[0], xy[1]) else (e2 > 0)
+        area2 = e0 + e1 + e2
+        b0, b1 = e0 / area2, e1 / area2
+        b2 = 1 - b0 - b1
+        zpix = b0 * z[0] + b1 * z[1] + b2 * z[2]
+        cover = in0 & in1 & in2 & (zpix >= 0) & (zpix <= 1)
+        win = cover & (zpix < depth)
+        denom = b0 * iw[0] + b1 * iw[1] + b2 * iw[2]
+        pu = b1 * iw[1] / denom
+        pv = b2 * iw[2] / denom
+        depth = np.where(win, zpix, depth).astype(np.float32)
+        tid = np.where(win, t, tid)
+        bu = np.where(win, pu, bu).astype(np.float32)
+        bv = np.where(win, pv, bv).astype(np.float32)
+    return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+
+
+def run(tris, w=W, h=H):
+    out = rasterize(make_setup(tris), width=w, height=h)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_single_triangle_matches_reference():
+    tris = [{"xy": [[10.0, 3.0], [90.0, 28.0], [20.0, 25.0]], "z": [0.2, 0.4, 0.6]}]
+    got = run(tris)
+    ref = numpy_raster(tris)
+    np.testing.assert_array_equal(got["tri_id"], ref["tri_id"])
+    np.testing.assert_allclose(got["depth"], ref["depth"], atol=1e-5)
+    np.testing.assert_allclose(got["bary_u"], ref["bary_u"], atol=1e-5)
+    np.testing.assert_allclose(got["bary_v"], ref["bary_v"], atol=1e-5)
+    assert (got["tri_id"] == 0).sum() > 100  # sanity: actually covered pixels
+
+
+def test_abutting_triangles_no_gaps_no_overlap():
+    # quad split along a diagonal: every interior pixel covered exactly once
+    a, b, c, d = [8.0, 4.0], [120.0, 4.0], [120.0, 28.0], [8.0, 28.0]
+    tris = [{"xy": [a, b, c]}, {"xy": [a, c, d]}]
+    got = run(tris)
+    ref = numpy_raster(tris)
+    np.testing.assert_array_equal(got["tri_id"], ref["tri_id"])
+    # interior of the quad: all pixels covered by exactly one triangle
+    inside = (
+        (np.arange(W)[None, :] + 0.5 > a[0]) & (np.arange(W)[None, :] + 0.5 < b[0])
+        & (np.arange(H)[:, None] + 0.5 > a[1]) & (np.arange(H)[:, None] + 0.5 < c[1])
+    )
+    assert np.all(got["tri_id"][inside] >= 0)
+
+
+def test_depth_less_closer_wins():
+    tris = [
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.8, 0.8, 0.8]},
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.3, 0.3, 0.3]},
+    ]
+    got = run(tris)
+    covered = got["tri_id"] >= 0
+    assert np.all(got["tri_id"][covered] == 1)
+    np.testing.assert_allclose(got["depth"][covered], 0.3, atol=1e-6)
+
+
+def test_depth_equal_first_wins():
+    tris = [
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.5, 0.5, 0.5]},
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.5, 0.5, 0.5]},
+    ]
+    got = run(tris)
+    covered = got["tri_id"] >= 0
+    assert np.all(got["tri_id"][covered] == 0)
+
+
+def test_perspective_correct_barycentrics():
+    # unequal 1/w: perspective correction shifts barycentrics
+    tris = [{
+        "xy": [[0.0, 0.0], [128.0, 0.0], [0.0, 32.0]],
+        "z": [0.1, 0.1, 0.1],
+        "iw": [1.0, 0.25, 1.0],
+    }]
+    got = run(tris)
+    ref = numpy_raster(tris)
+    np.testing.assert_allclose(got["bary_u"], ref["bary_u"], atol=1e-5)
+    np.testing.assert_allclose(got["bary_v"], ref["bary_v"], atol=1e-5)
+    # at a pixel midway along the top edge, screen bary ~0.5 but persp bary
+    # = 0.5*0.25 / (0.5*1 + 0.5*0.25) = 0.2
+    y, x = 0, 64
+    assert got["tri_id"][y, x] == 0
+    np.testing.assert_allclose(got["bary_u"][y, x], (0.50390625 * 0.25) /
+                               (0.49609375 + 0.50390625 * 0.25), atol=1e-3)
+
+
+def test_invalid_triangles_skipped():
+    tris = [{"xy": [[10, 2], [110, 2], [60, 30]]}]
+    s = np.array(make_setup(tris))  # writable copy
+    s[S_VALID, 0] = 0.0
+    out = rasterize(jnp.asarray(s), width=W, height=H)
+    assert np.all(np.asarray(out["tri_id"]) == -1)
+    np.testing.assert_allclose(np.asarray(out["depth"]), 1.0)
+
+
+def test_many_random_triangles_match_reference():
+    rng = np.random.default_rng(7)
+    tris = []
+    for _ in range(200):  # > 1 chunk after padding
+        xy = rng.uniform([0, 0], [W, H], size=(3, 2)).astype(np.float32)
+        area2 = (xy[1, 0] - xy[0, 0]) * (xy[2, 1] - xy[0, 1]) - (
+            xy[2, 0] - xy[0, 0]
+        ) * (xy[1, 1] - xy[0, 1])
+        if abs(area2) < 1.0:
+            continue
+        if area2 < 0:
+            xy = xy[[0, 2, 1]]
+        z = rng.uniform(0.05, 0.95, size=3).astype(np.float32)
+        tris.append({"xy": xy, "z": z})
+    got = run(tris)
+    ref = numpy_raster(tris)
+    same = got["tri_id"] == ref["tri_id"]
+    # tolerate rare f32-vs-f64 depth-tie disagreements on edge pixels
+    assert same.mean() > 0.999
+    np.testing.assert_allclose(
+        got["depth"][same], ref["depth"][same], atol=1e-4
+    )
+
+
+def test_multi_chunk_global_ids():
+    # triangle index beyond the first chunk must come back correctly
+    tris = [{"xy": [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]} for _ in range(CHUNK)]
+    tris.append({"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.3, 0.3, 0.3]})
+    got = run(tris)
+    covered = got["tri_id"] > 0
+    assert np.all(got["tri_id"][covered] == CHUNK)
