@@ -1,0 +1,109 @@
+"""Procedural test geometry (box, plane, uv-sphere, triangle).
+
+Stand-ins for the Khronos glTF sample "Basics" probes (Triangle, Box,
+BoxTextured, MetalRoughSpheres — frontend/src/models/collections.rs) since
+this environment has no network access to the sample assets. Shapes follow
+glTF conventions: CCW front faces, right-handed Y-up, +Z toward viewer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core.meshes import MeshGeometry
+
+F = np.float32
+
+
+def triangle() -> MeshGeometry:
+    return MeshGeometry(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], F),
+        indices=np.array([[0, 1, 2]], np.int32),
+        normals=np.array([[0, 0, 1]] * 3, F),
+        uv0=np.array([[0, 1], [1, 1], [0, 0]], F),
+    )
+
+
+def plane(size: float = 1.0) -> MeshGeometry:
+    s = size / 2
+    return MeshGeometry(
+        positions=np.array([[-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]], F),
+        indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+        normals=np.array([[0, 1, 0]] * 4, F),
+        uv0=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], F),
+    )
+
+
+def box(size: float = 1.0) -> MeshGeometry:
+    """Unit box with per-face normals/uvs (24 verts, 12 tris), glTF-style."""
+    s = size / 2
+    faces = [
+        # (normal, up, right) per face
+        ([0, 0, 1], [0, 1, 0], [1, 0, 0]),    # +z
+        ([0, 0, -1], [0, 1, 0], [-1, 0, 0]),  # -z
+        ([1, 0, 0], [0, 1, 0], [0, 0, -1]),   # +x
+        ([-1, 0, 0], [0, 1, 0], [0, 0, 1]),   # -x
+        ([0, 1, 0], [0, 0, -1], [1, 0, 0]),   # +y
+        ([0, -1, 0], [0, 0, 1], [1, 0, 0]),   # -y
+    ]
+    pos, nrm, uv, tan, idx = [], [], [], [], []
+    for fi, (n, up, right) in enumerate(faces):
+        n, up, right = np.array(n, F), np.array(up, F), np.array(right, F)
+        base = fi * 4
+        for cy, cx, (u, v) in [(-1, -1, (0, 1)), (-1, 1, (1, 1)), (1, 1, (1, 0)), (1, -1, (0, 0))]:
+            pos.append(n * s + right * (cx * s) + up * (cy * s))
+            nrm.append(n)
+            uv.append([u, v])
+            tan.append([*right, 1.0])
+        idx += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+    return MeshGeometry(
+        positions=np.array(pos, F),
+        indices=np.array(idx, np.int32),
+        normals=np.array(nrm, F),
+        tangents=np.array(tan, F),
+        uv0=np.array(uv, F),
+    )
+
+
+def uv_sphere(radius: float = 0.5, rings: int = 16, sectors: int = 32) -> MeshGeometry:
+    phi = np.linspace(0, np.pi, rings + 1)
+    theta = np.linspace(0, 2 * np.pi, sectors + 1)
+    pp, tt = np.meshgrid(phi, theta, indexing="ij")
+    x = np.sin(pp) * np.cos(tt)
+    y = np.cos(pp)
+    z = np.sin(pp) * np.sin(tt)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3) * radius
+    nrm = pos / radius
+    u = (tt / (2 * np.pi)).reshape(-1)
+    v = (pp / np.pi).reshape(-1)
+    uv = np.stack([u, v], axis=-1)
+    # tangent along +theta
+    tx = -np.sin(tt)
+    tz = np.cos(tt)
+    tan = np.stack([tx, np.zeros_like(tx), tz, np.ones_like(tx)], axis=-1).reshape(-1, 4)
+
+    idx = []
+    cols = sectors + 1
+    for r in range(rings):
+        for c in range(sectors):
+            a = r * cols + c
+            b = a + cols
+            idx += [[a, b, a + 1], [a + 1, b, b + 1]]
+    return MeshGeometry(
+        positions=pos.astype(F),
+        indices=np.array(idx, np.int32),
+        normals=nrm.astype(F),
+        tangents=tan.astype(F),
+        uv0=uv.astype(F),
+    )
+
+
+def checker_texture(size: int = 64, cells: int = 8, c0=(255, 255, 255), c1=(30, 30, 30)) -> np.ndarray:
+    """RGBA uint8 checkerboard for BoxTextured-style probes."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    mask = ((xx * cells // size) + (yy * cells // size)) % 2 == 0
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    img[mask, :3] = c0
+    img[~mask, :3] = c1
+    return img

@@ -1,0 +1,230 @@
+"""AwsmRendererTpu — the renderer facade.
+
+Mirrors the reference facade (crates/renderer/src/lib.rs:77-381 AwsmRenderer
++ update.rs update_all + render.rs render + picker.rs pick): key-based
+stores, per-frame dirty flush to device arrays (the write_gpu x10 block of
+render.rs:73-97 becomes per-store device_put of changed mirrors), frustum
+cull + pass bucketing host-side, then ONE jitted frame function.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RendererConfig
+from .core.animation import Animations
+from .core.camera import CameraState
+from .core.environment import Environment
+from .core.frustum import Frustum
+from .core.lights import LIGHT_F32, Lights
+from .core.materials import Materials
+from .core.meshes import (
+    MESH_FLAG_HIDDEN, MESH_FLAG_HUD, MESH_FLAG_TRANSPARENT, Meshes, MeshGeometry,
+)
+from .core.skins import Skins
+from .core.textures import Textures
+from .core.transforms import Transform, Transforms
+from .ops.brdf_lut import generate_brdf_lut
+from .passes.frame import render_frame
+
+
+class AwsmRendererTpu:
+    def __init__(self, config: Optional[RendererConfig] = None):
+        self.config = config or RendererConfig()
+        self.transforms = Transforms()
+        self.meshes = Meshes()
+        self.materials = Materials()
+        self.lights = Lights()
+        self.textures = Textures()
+        self.skins = Skins()
+        self.animations = Animations()
+        self.camera = CameraState()
+        self.environment = Environment()
+        self._device: Dict[str, object] = {}
+        self._brdf_lut = None
+        self._last_tri_id = None   # device plane kept for picking
+        self._mesh_row_to_key: Dict[int, int] = {}
+        self.logging_timings = False
+
+    # ---- content helpers ----------------------------------------------------
+
+    def add_mesh(
+        self,
+        geometry: MeshGeometry,
+        material_key: int,
+        transform: Optional[Transform] = None,
+        parent: Optional[int] = None,
+        transform_key: Optional[int] = None,
+        *,
+        hud: bool = False,
+        hidden: bool = False,
+        skin_key: Optional[int] = None,
+        initial_morph_weights=None,
+    ) -> int:
+        """Insert geometry + mesh record; routes transparency from the
+        material (reference: materials.rs is_transparency_pass)."""
+        if transform_key is None:
+            transform_key = self.transforms.insert(transform, parent)
+            self.transforms.update_world()
+        mat = self.materials.get(material_key)
+        skin_rows = self.skins.joint_rows(skin_key) if skin_key is not None else None
+        key = self.meshes.insert_geometry(
+            geometry,
+            self.transforms.row_of(transform_key),
+            self.materials.row_of(material_key),
+            transform_key,
+            material_key,
+            double_sided=getattr(mat, "double_sided", False),
+            transparent=self.materials.is_transparency_pass(material_key),
+            hud=hud,
+            hidden=hidden,
+            skin_key=skin_key,
+            skin_joint_rows=skin_rows,
+            initial_morph_weights=initial_morph_weights,
+        )
+        self.meshes.update_world(self.transforms, {transform_key})
+        return key
+
+    # ---- per-frame update (reference: update.rs:8-19) ------------------------
+
+    def update_all(self, dt: float, view=None, projection=None) -> None:
+        self.animations.update(dt, self.transforms, self.meshes)
+        changed = self.transforms.update_world()
+        if changed:
+            self.meshes.update_world(self.transforms, changed)
+            self.skins.update_transforms(self.transforms, changed)
+        if view is not None and projection is not None:
+            self.camera.update(view, projection)
+
+    # ---- device flush (reference: render.rs:73-97 write_gpu block) ----------
+
+    def _flush(self) -> Dict[str, object]:
+        d = self._device
+        if self._brdf_lut is None:
+            self._brdf_lut = generate_brdf_lut(
+                size=64 if jax.default_backend() == "cpu" else 256,
+                samples=64 if jax.default_backend() == "cpu" else 512,
+            )
+            d["brdf_lut"] = self._brdf_lut
+
+        t = self.transforms
+        if t.gpu_dirty:
+            d["world"] = jnp.asarray(t.world)
+            d["normal_mat"] = jnp.asarray(t.normal)
+            t.gpu_dirty = False
+
+        m = self.meshes
+        if m.gpu_dirty:
+            for name in (
+                "v_pos", "v_norm", "v_tang", "v_uv0", "v_uv1", "v_color0",
+                "v_joints", "v_weights", "v_morph_base", "morph_deltas",
+                "tri_v", "tri_mesh", "mesh_info", "morph_weights",
+            ):
+                d[name] = jnp.asarray(getattr(m, name))
+            m.gpu_dirty = False
+            self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
+
+        mats = self.materials
+        if mats.gpu_dirty:
+            d["mat_float"] = jnp.asarray(mats.float_data)
+            d["mat_tex"] = jnp.asarray(mats.tex_slots)
+            d["mat_flags"] = jnp.asarray(mats.flags)
+            mats.gpu_dirty = False
+
+        if self.lights.gpu_dirty or "lights" not in d:
+            cap = max(8, 1 << (max(self.lights.count, 1) - 1).bit_length())
+            d["lights"] = jnp.asarray(self.lights.packed(cap))
+            d["n_lights"] = jnp.int32(self.lights.count)
+            self.lights.gpu_dirty = False
+
+        tx = self.textures
+        if tx.gpu_dirty:
+            d["texels"] = jnp.asarray(tx.texels)
+            d["tex_desc"] = jnp.asarray(tx.descriptors)
+            d["tex_transforms"] = jnp.asarray(tx.tex_transforms)
+            tx.gpu_dirty = False
+
+        e = self.environment
+        if e.gpu_dirty:
+            d["skybox"] = jnp.asarray(e.skybox)
+            d["prefiltered"] = jnp.asarray(e.prefiltered)
+            d["irradiance"] = jnp.asarray(e.irradiance)
+            e.gpu_dirty = False
+
+        if self.skins.gpu_dirty or "joint_matrices" not in d:
+            d["joint_matrices"] = jnp.asarray(self.skins.joint_matrices)
+            self.skins.gpu_dirty = False
+
+        if self.camera.gpu_dirty or "camera" not in d:
+            d["camera"] = {k: jnp.asarray(v) for k, v in self.camera.packed().items()}
+            self.camera.gpu_dirty = False
+        return d
+
+    # ---- pass bucketing (reference: renderable.rs collect_renderables) ------
+
+    def _mesh_masks(self) -> Dict[str, np.ndarray]:
+        cap = self.meshes.mesh_capacity
+        opaque = np.zeros(cap, dtype=bool)
+        transparent = np.zeros(cap, dtype=bool)
+        hud = np.zeros(cap, dtype=bool)
+        mins, maxs, keys = self.meshes.world_bounds()
+        if keys:
+            frustum = Frustum(self.camera.view_projection)
+            visible = frustum.intersects_aabbs(mins, maxs)
+            for i, key in enumerate(keys):
+                mesh = self.meshes.get(key)
+                row = self.meshes.row_of(key)
+                if mesh.hidden:
+                    continue
+                if mesh.hud:
+                    hud[row] = True
+                    continue
+                if not visible[i]:
+                    continue
+                if mesh.transparent:
+                    transparent[row] = True
+                else:
+                    opaque[row] = True
+        return {"opaque": opaque, "transparent": transparent, "hud": hud}
+
+    # ---- render (reference: render.rs:53-383) --------------------------------
+
+    def render(self) -> np.ndarray:
+        """Render one frame; returns (H, W, 4) f32 sRGB in [0,1]."""
+        cfg = self.config
+        self.camera.next_frame()
+        ds = self._flush()
+        masks = self._mesh_masks()
+        ldr, tri_id, depth = render_frame(
+            ds,
+            jnp.asarray(masks["opaque"]),
+            width=cfg.width,
+            height=cfg.height,
+            supersample=cfg.anti_aliasing.supersample,
+            tonemap=cfg.post_processing.tonemapping,
+            use_mips=cfg.anti_aliasing.mipmap,
+            has_morphs=bool(np.any(self.meshes.mesh_info[:, 3] > 0)),
+            skin_sets=int(self.meshes.mesh_info[:, 5].max()) if self.meshes.count else 0,
+            debug_normals=False,
+        )
+        self._last_tri_id = tri_id
+        return np.asarray(ldr)
+
+    def render_u8(self) -> np.ndarray:
+        return (np.clip(self.render(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    # ---- picking (reference: picker.rs:56-115) -------------------------------
+
+    def pick(self, x: int, y: int) -> Optional[int]:
+        """Returns the mesh key under pixel (x, y), or None."""
+        if self._last_tri_id is None:
+            return None
+        tid = int(np.asarray(self._last_tri_id[y, x]))
+        if tid < 0:
+            return None
+        mesh_row = int(self.meshes.tri_mesh[tid])
+        return self._mesh_row_to_key.get(mesh_row)

@@ -1,0 +1,148 @@
+"""End-to-end pipeline tests: scene → vertex → raster → shade → display.
+
+The analog of the reference's golden-model probes (SURVEY §4: glTF sample
+catalog as progressive feature tests) on procedural stand-in assets.
+Small resolutions keep interpret-mode Pallas tractable on CPU.
+"""
+
+import numpy as np
+
+from awsm_renderer_tpu import (
+    AntiAliasing, AwsmRendererTpu, Light, PbrMaterial, PostProcessing,
+    RendererConfig, ToneMapping, Transform, UnlitMaterial,
+)
+from awsm_renderer_tpu.geometry import box, checker_texture, triangle
+from awsm_renderer_tpu.utils import math3d as m3
+
+W, H = 128, 32
+
+
+def make_renderer(**cfg_kw):
+    cfg_kw.setdefault("width", W)
+    cfg_kw.setdefault("height", H)
+    cfg_kw.setdefault("post_processing", PostProcessing(tonemapping=ToneMapping.NONE))
+    r = AwsmRendererTpu(RendererConfig(**cfg_kw))
+    view = m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0])
+    proj = m3.perspective(np.pi / 3, W / H, 0.1, 100.0)
+    r.camera.update(view, proj)
+    return r
+
+
+def test_empty_scene_is_skybox():
+    r = make_renderer()
+    img = r.render()
+    assert img.shape == (H, W, 4)
+    # skybox default color everywhere (sRGB-encoded 0.1..0.12 linear)
+    assert np.all(img[..., :3] > 0.05) and np.all(img[..., :3] < 0.5)
+    assert np.std(img[..., 0]) < 1e-5
+
+
+def test_unlit_box_center_colored():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    r.add_mesh(box(), mat)
+    img = r.render()
+    c = img[H // 2, W // 2]
+    np.testing.assert_allclose(c[:3], [1, 0, 0], atol=1e-5)  # unlit red, no tonemap
+    # corners show skybox
+    assert abs(img[0, 0, 0] - img[0, 0, 2]) < 0.05
+
+
+def test_pick_center_returns_mesh():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial())
+    key = r.add_mesh(box(), mat)
+    r.render()
+    assert r.pick(W // 2, H // 2) == key
+    assert r.pick(2, 2) is None
+
+
+def test_pbr_box_lit_vs_unlit_side():
+    r = make_renderer()
+    r.environment.prefiltered *= 0.0
+    r.environment.irradiance *= 0.0
+    r.environment.gpu_dirty = True
+    mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], np.float32),
+        metallic_factor=0.0, roughness_factor=1.0,
+    ))
+    r.add_mesh(box(), mat)
+    r.lights.insert(Light.directional([0, 0, -1], intensity=3.0))
+    img = r.render()
+    center = img[H // 2, W // 2, :3]
+    assert np.all(center > 0.15), f"lit face too dark: {center}"
+
+
+def test_depth_occlusion_between_meshes():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    blue = r.materials.insert(UnlitMaterial(base_color_factor=np.array([0, 0, 1, 1], np.float32)))
+    r.add_mesh(box(), red)  # at origin
+    r.add_mesh(box(0.5), blue, transform=Transform(translation=np.array([0, 0, 1.2], np.float32)))
+    img = r.render()
+    c = img[H // 2, W // 2]
+    np.testing.assert_allclose(c[:3], [0, 0, 1], atol=1e-5)  # closer blue wins
+
+
+def test_frustum_cull_hides_offscreen():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    r.add_mesh(box(), mat, transform=Transform(translation=np.array([100, 0, 0], np.float32)))
+    masks = r._mesh_masks()
+    assert not masks["opaque"].any()
+
+
+def test_hidden_mesh_not_rendered():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    key = r.add_mesh(box(), mat)
+    r.meshes.set_hidden(key, True)
+    img = r.render()
+    assert img[H // 2, W // 2, 0] < 0.5  # skybox, not red
+
+
+def test_textured_box():
+    r = make_renderer()
+    tex = r.textures.add_image(checker_texture(32, 4), srgb=True)
+    from awsm_renderer_tpu.core.materials import TS_BASE_COLOR, TextureRef
+    mat = r.materials.insert(UnlitMaterial(textures={TS_BASE_COLOR: TextureRef(r.textures.row_of(tex))}))
+    r.add_mesh(box(1.5), mat)
+    img = r.render()
+    # checkerboard: center row should contain both light and dark texels
+    row = img[H // 2, W // 4 : 3 * W // 4, 0]
+    assert row.max() > 0.8 and row.min() < 0.3
+
+
+def test_transform_moves_mesh():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    tk = r.transforms.insert()
+    r.transforms.update_world()
+    r.add_mesh(box(0.8), mat, transform_key=tk)
+    img1 = r.render()
+    assert img1[H // 2, W // 2, 0] > 0.9
+    r.transforms.set_translation(tk, [0, 10, 0])
+    r.update_all(0.0)
+    img2 = r.render()
+    assert img2[H // 2, W // 2, 0] < 0.5  # moved away
+
+
+def test_tonemap_modes_run():
+    for tm in (ToneMapping.ACES, ToneMapping.KHRONOS_PBR_NEUTRAL):
+        r = make_renderer(post_processing=PostProcessing(tonemapping=tm))
+        mat = r.materials.insert(UnlitMaterial())
+        r.add_mesh(box(), mat)
+        img = r.render()
+        assert np.isfinite(img).all() and img.max() <= 1.0
+
+
+def test_supersample_resolve():
+    r = make_renderer(anti_aliasing=AntiAliasing(supersample=True))
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    r.add_mesh(triangle(), mat, transform=Transform(translation=np.array([-0.5, -0.5, 0], np.float32)))
+    img = r.render()
+    assert img.shape == (H, W, 4)
+    # supersampling produces edge pixels with partial coverage
+    reds = img[..., 0]
+    partial = (reds > 0.2) & (reds < 0.9)
+    assert partial.sum() > 0
