@@ -6,6 +6,22 @@ deferred PBR shading, jitted effects/display chain, key-based scene API,
 first-class glTF. See SURVEY.md at the repo root.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: pipeline-variant compiles are the expensive
+# "shader compile" events (SURVEY §3.5); cache them across processes like
+# the reference caches compiled shader modules.
+try:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("AWSM_JAX_CACHE", _os.path.expanduser("~/.cache/awsm_jax")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without these options
+    pass
+
 from .config import AntiAliasing, PostProcessing, RendererConfig, ToneMapping
 from .core.animation import (
     AnimationChannel, AnimationClip, AnimationPlayer, AnimationSampler,

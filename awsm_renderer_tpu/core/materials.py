@@ -192,9 +192,11 @@ class PbrMaterial:
         return f, slots, flags
 
     def is_transparency_pass(self) -> bool:
-        """Reference: materials.rs routing — blend mode or transmission goes
-        through the forward transparent pass."""
-        return self.alpha_mode == AlphaMode.BLEND or self.transmission_factor > 0.0
+        """Reference routing: Blend AND Mask go through the forward
+        transparent pass (gltf/buffers/mesh.rs:43 maps AlphaMode::Mask to
+        the Transparency geometry kind — discard needs a fragment stage),
+        as does transmission."""
+        return self.alpha_mode != AlphaMode.OPAQUE or self.transmission_factor > 0.0
 
 
 @dataclass
@@ -223,7 +225,7 @@ class UnlitMaterial:
         return f, slots, flags
 
     def is_transparency_pass(self) -> bool:
-        return self.alpha_mode == AlphaMode.BLEND
+        return self.alpha_mode != AlphaMode.OPAQUE
 
 
 class Materials:

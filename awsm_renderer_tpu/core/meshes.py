@@ -366,12 +366,24 @@ class Meshes:
     # ---- per-frame world AABB update (reference: meshes.rs:872) ------------
 
     def update_world(self, transforms, changed_keys=None) -> None:
-        for key, mesh in self._meshes.items():
-            if changed_keys is not None and mesh.transform_key not in changed_keys:
-                continue
-            res = self._resources[mesh.resource_key]
-            world = transforms.world_of(mesh.transform_key)
-            mesh.world_aabb = res.aabb.transform(world)
+        """Batch-recompute world AABBs for meshes whose transform changed
+        (native transform_aabbs; reference recomputes per mesh in Rust)."""
+        from ..utils import native
+
+        affected = [
+            (key, mesh) for key, mesh in self._meshes.items()
+            if changed_keys is None or mesh.transform_key in changed_keys
+        ]
+        if not affected:
+            return
+        rows = np.array(
+            [transforms.row_of(m.transform_key) for _, m in affected], dtype=I)
+        mins = np.stack([self._resources[m.resource_key].aabb.min for _, m in affected])
+        maxs = np.stack([self._resources[m.resource_key].aabb.max for _, m in affected])
+        omin, omax = native.transform_aabbs(
+            rows, transforms.world.reshape(-1, 16), mins, maxs)
+        for i, (_, mesh) in enumerate(affected):
+            mesh.world_aabb = Aabb(omin[i], omax[i])
 
     def world_bounds(self) -> Tuple[np.ndarray, np.ndarray, List[int]]:
         """(mins, maxs, keys) for vectorized frustum culling."""

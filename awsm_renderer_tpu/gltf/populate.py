@@ -50,6 +50,8 @@ class GltfKeyLookups:
     mesh_primitives: Dict[Tuple[int, int], List[int]] = field(default_factory=dict)
     animation_players: List[int] = field(default_factory=list)
     material_keys: Dict[int, int] = field(default_factory=dict)
+    light_keys: Dict[int, int] = field(default_factory=dict)      # node -> LightKey
+    cameras: Dict[int, dict] = field(default_factory=dict)        # node -> camera params
 
 
 class _TextureCache:
@@ -406,6 +408,49 @@ def populate_gltf(renderer, data: GltfData, scene_index: Optional[int] = None,
             lookups.mesh_primitives[(node["mesh"], pi)] = prim_keys
         lookups.node_meshes[node_index] = mesh_keys
     renderer.meshes.update_world(renderer.transforms)
+
+    # KHR_lights_punctual: node-attached lights, world placement from the
+    # node transform (same parity scope as the reference's lights store)
+    doc_lights = g.get("extensions", {}).get("KHR_lights_punctual", {}).get("lights", [])
+    for node_index, tk in lookups.node_transforms.items():
+        node = nodes[node_index]
+        li = node.get("extensions", {}).get("KHR_lights_punctual", {}).get("light")
+        if li is None or li >= len(doc_lights):
+            continue
+        from ..core.lights import Light
+
+        spec = doc_lights[li]
+        world = renderer.transforms.world_of(tk)
+        pos = world[:3, 3]
+        direction = -world[:3, 2]  # lights point down -Z in glTF
+        color = np.array(spec.get("color", [1, 1, 1]), F)
+        intensity = spec.get("intensity", 1.0)
+        rng = spec.get("range", 0.0)
+        kind = spec.get("type", "directional")
+        if kind == "directional":
+            light = Light.directional(direction, color, intensity)
+        elif kind == "point":
+            light = Light.point(pos, color, intensity, range=rng)
+        else:
+            s = spec.get("spot", {})
+            light = Light.spot(
+                pos, direction, color, intensity, range=rng,
+                inner_cone_angle=s.get("innerConeAngle", 0.0),
+                outer_cone_angle=s.get("outerConeAngle", np.pi / 4))
+        lookups.light_keys[node_index] = renderer.lights.insert(light)
+
+    # cameras: expose params for the app layer (frontend chooses/uses them)
+    for node_index, tk in lookups.node_transforms.items():
+        node = nodes[node_index]
+        if "camera" not in node:
+            continue
+        cam = g["cameras"][node["camera"]]
+        world = renderer.transforms.world_of(tk)
+        lookups.cameras[node_index] = {
+            "type": cam.get("type"),
+            "params": cam.get(cam.get("type"), {}),
+            "world": np.array(world),
+        }
 
     # pass 4: animations
     for anim in g.get("animations", []):

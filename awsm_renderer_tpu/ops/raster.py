@@ -56,12 +56,15 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _merge_subgroup(P, px, py, tri_base, state):
+def _merge_subgroup(P, px, py, tri_base, state, zbounds=None):
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
     tri_base: scalar i32 global id of P's first triangle;
-    state: (z_best, t_best, bu_best, bv_best) each (1, npx).
+    state: (z_best, t_best, bu_best, bv_best) each (1, npx);
+    zbounds: optional (zlo, zhi) per-pixel (1, npx) planes — fragments must
+    satisfy zlo < z < zhi (depth peeling against the previous layer and the
+    opaque depth buffer).
     Pure jnp — shared between the unrolled TPU kernel and the fori_loop
     interpret path, and unit-testable directly.
     """
@@ -101,6 +104,9 @@ def _merge_subgroup(P, px, py, tri_base, state):
     z = b0 * col(S_Z0) + b1 * col(S_Z1) + b2 * col(S_Z2)
 
     cover = in0 & in1 & in2 & valid & (z >= 0.0) & (z <= 1.0)
+    if zbounds is not None:
+        zlo, zhi = zbounds
+        cover = cover & (z > zlo) & (z < zhi)
     zc = jnp.where(cover, z, _BIG)           # (SUB, npx)
 
     # perspective-correct barycentrics for corners 1, 2
@@ -132,13 +138,16 @@ def _merge_subgroup(P, px, py, tri_base, state):
     return z_best, t_best, bu_best, bv_best
 
 
-def _make_kernel(unroll: bool):
+def _make_kernel(unroll: bool, peel: bool):
     def _raster_kernel(
         chunk_bbox_ref,   # SMEM (4, n_chunks) f32
         setup_ref,        # VMEM (NSETUP, CHUNK) f32
-        tid_ref, depth_ref, bu_ref, bv_ref,          # out (TILE_H, TILE_W)
-        zacc, tacc, buacc, bvacc,                    # scratch (1, npx)
+        *refs,            # [zlo_ref, zhi_ref when peel] + outs + scratch
     ):
+        if peel:
+            zlo_ref, zhi_ref = refs[0], refs[1]
+            refs = refs[2:]
+        tid_ref, depth_ref, bu_ref, bv_ref, zacc, tacc, buacc, bvacc = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         k = pl.program_id(2)
@@ -171,15 +180,18 @@ def _make_kernel(unroll: bool):
             setup_t = setup_ref[:].T                 # (CHUNK, NSETUP)
             state = (zacc[:], tacc[:], buacc[:], bvacc[:])
             base = k * CHUNK
+            zbounds = None
+            if peel:
+                zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
 
             if unroll:
                 for g in range(CHUNK // SUB):
                     P = setup_t[g * SUB : (g + 1) * SUB]
-                    state = _merge_subgroup(P, px, py, base + g * SUB, state)
+                    state = _merge_subgroup(P, px, py, base + g * SUB, state, zbounds)
             else:
                 def body(g, st):
                     P = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                    return _merge_subgroup(P, px, py, base + g * SUB, st)
+                    return _merge_subgroup(P, px, py, base + g * SUB, st, zbounds)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
@@ -231,7 +243,7 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
     tid, depth, bu, bv = pl.pallas_call(
         # fori_loop body in interpret mode: grid programs are traced
         # individually there, so trace cost must stay small
-        _make_kernel(unroll=not interpret),
+        _make_kernel(unroll=not interpret, peel=False),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -257,6 +269,77 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
         interpret=interpret,
     )(chunk_bbox, setup)
     return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
+                   interpret: bool | None = None):
+    """One depth-peel pass: nearest fragment with zlo < z < zhi per pixel.
+
+    zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
+    buffer (shared world depth, read-only — the reference's transparent
+    pass binds the opaque depth with Load/read-only the same way)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    T = setup.shape[1]
+    assert T % CHUNK == 0
+    n_chunks = T // CHUNK
+    chunk_bbox = _chunk_bboxes(setup, n_chunks)
+    grid = (height // TILE_H, width // TILE_W, n_chunks)
+    npx = TILE_H * TILE_W
+
+    tile_spec = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+    )
+    tid, depth, bu, bv = pl.pallas_call(
+        _make_kernel(unroll=not interpret, peel=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (4, n_chunks), lambda i, j, k: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (NSETUP, CHUNK), lambda i, j, k: (0, k), memory_space=pltpu.VMEM
+            ),
+            tile_spec,
+            tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((height, width), jnp.int32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, npx), jnp.float32),
+            pltpu.VMEM((1, npx), jnp.int32),
+            pltpu.VMEM((1, npx), jnp.float32),
+            pltpu.VMEM((1, npx), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_bbox, setup, zlo, zhi)
+    return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+
+
+def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
+                     n_layers: int, interpret: bool | None = None):
+    """Depth-peel K transparent layers front-to-back.
+
+    Returns dict of (K, H*W) flat arrays. Exact order-independent
+    transparency for up to K overlapping fragments per pixel. The peel
+    loop is a lax.scan so the Pallas kernel compiles once, not K times."""
+
+    def peel(zlo, _):
+        layer = rasterize_peel(setup, zlo, opaque_depth,
+                               width=width, height=height, interpret=interpret)
+        zlo_next = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
+        flat = {k: v.reshape(-1) for k, v in layer.items()}
+        return zlo_next, flat
+
+    zlo0 = jnp.full((height, width), -1.0, jnp.float32)
+    _, layers = jax.lax.scan(peel, zlo0, None, length=n_layers)
+    return layers
 
 
 def pad_setup(setup: jnp.ndarray) -> jnp.ndarray:

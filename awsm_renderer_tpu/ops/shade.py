@@ -1,21 +1,28 @@
-"""Deferred opaque shading: one pass shades every visible pixel.
+"""Surface shading: deferred opaque pass + forward transparent layers.
 
-TPU-native port of the reference's material_opaque compute pass
-(render_passes/material_opaque/material_opaque_wgsl/compute.wgsl:100-322 +
-shared pbr/pbr_material.wgsl + lighting/{brdf,lights}.wgsl): load the
-visibility buffer, reconstruct triangle data, interpolate attributes
-manually with perspective-correct barycentrics, gradient-based mip texture
-sampling, branch unlit vs PBR by the material kind discriminant, punctual
-lights + IBL, skybox on miss.
+TPU-native port of the reference's material passes:
+- material_opaque compute pass (render_passes/material_opaque/
+  material_opaque_wgsl/compute.wgsl:100-322): load visibility buffer,
+  reconstruct triangle data, manual perspective-correct attribute
+  interpolation, gradient-mip texture sampling, unlit-vs-PBR branch by
+  material kind, punctual + IBL lighting, skybox on miss.
+- material_transparent forward pass (material_transparent_wgsl/
+  fragment.wgsl): full PBR per transparent fragment incl. transmission of
+  the opaque color buffer (KHR_materials_transmission/volume).
 
-Everything is flat pixel-batched jnp (P = H*W): gathers + VPU math that
-XLA fuses into a handful of kernels. Static args mirror the reference's
-shader-template variables.
+`shade_surface` is the shared fragment-shading core; `shade_deferred`
+wraps it for the opaque pass. Everything is flat pixel-batched jnp.
+
+Static args mirror the reference's shader-template variables
+(material_opaque/shader/template.rs): `slot_mask` (which texture slots any
+scene material binds — unbound slots compile to constants, exactly like
+template-gated WGSL), `use_mips`, `debug_normals`.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,43 +46,27 @@ from .vertex import (
 )
 
 _EPS = 1e-6
+ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
 
 
 def _normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), _EPS)
 
 
-def _sample_slot(ds, slots, slot_idx, uv0, uv1, duv_dx, duv_dy, use_mips: bool):
-    """Sample one material texture slot: (P,4); white when unbound."""
-    tex_id = slots[:, slot_idx, 0]
-    uv_set = slots[:, slot_idx, 1]
-    tform = slots[:, slot_idx, 2]
-    uv = jnp.where((uv_set == 1)[:, None], uv1, uv0)
-    uv = apply_texture_transform(ds["tex_transforms"], tform, uv)
-    if use_mips:
-        level = mip_level_from_grads(ds["tex_desc"], tex_id, duv_dx, duv_dy)
-    else:
-        level = None
-    return sample_texture(ds["texels"], ds["tex_desc"], tex_id, uv, level)
-
-
 def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
     """Accumulate punctual lighting (reference: lighting/lights.wgsl loop).
 
-    Loops the static light capacity; rows >= n_lights are masked.
-    Returns (P,3).
-    """
-    lights = ds["lights"]                       # (Lcap, 16)
-    n_lights = ds["n_lights"]                   # scalar i32
-    Lcap = lights.shape[0]
+    Loops the static light capacity; rows >= n_lights are masked."""
+    lights = ds["lights"]
+    n_lights = ds["n_lights"]
     n_dot_v = jnp.maximum(jnp.sum(n * v, axis=-1), _EPS)
 
     total = jnp.zeros_like(base_diffuse)
-    for li in range(Lcap):
+    for li in range(lights.shape[0]):
         row = lights[li]
         active = (li < n_lights)
         kind = row[L_KIND]
-        color = row[L_COLOR : L_COLOR + 3]      # already intensity-scaled? packed raw
+        color = row[L_COLOR : L_COLOR + 3]
         intensity = row[4]
         pos = row[L_POSITION : L_POSITION + 3]
         ldir = row[L_DIRECTION : L_DIRECTION + 3]
@@ -86,18 +77,12 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
         dist = jnp.linalg.norm(to_light_vec, axis=-1)
         l = to_light_vec / jnp.maximum(dist, _EPS)[:, None]
 
-        # KHR_lights_punctual range attenuation + inverse square
-        atten = jnp.where(
-            is_dir,
-            1.0,
-            1.0 / jnp.maximum(dist * dist, _EPS),
-        )
+        atten = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, _EPS))
         window = jnp.where(
             (lrange > 0.0) & ~is_dir,
             jnp.clip(1.0 - (dist / jnp.maximum(lrange, _EPS)) ** 4, 0.0, 1.0) ** 2,
             1.0,
         )
-        # spot cone falloff
         cd = jnp.sum(-l * ldir[None, :], axis=-1)
         spot = jnp.where(
             kind == 2.0,
@@ -113,7 +98,7 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
         n_dot_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
         v_dot_h = jnp.maximum(jnp.sum(v * h, axis=-1), 0.0)
 
-        f = brdf.f_schlick(v_dot_h, f0)                              # (P,3)
+        f = brdf.f_schlick(v_dot_h, f0)
         spec = brdf.specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough)[:, None] * f
         diff = brdf.diffuse_lambert(base_diffuse) * (1.0 - f)
         radiance = (color * intensity)[None, :] * (atten * window * spot * n_dot_l)[:, None]
@@ -121,55 +106,44 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
     return total
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "height_full", "use_mips", "debug_normals"),
-)
-def shade_deferred(
-    vis,               # dict from rasterize
-    setup,             # (NSETUP, T) f32
-    corner_normal,     # (T, 3, 3)
-    corner_tangent,    # (T, 3, 4)
-    ds,                # DeviceScene dict
+def shade_surface(
+    tid, depth, bu, bv,      # (P,) flat visibility data
+    setup, corner_normal, corner_tangent, ds,
     *,
-    width: int,
-    height: int,
-    height_full: int | None = None,   # full framebuffer height when this
-    row_offset=0,                      # shard shades rows [row_offset, +height)
-    use_mips: bool = True,
-    debug_normals: bool = False,
+    width: int, height: int, height_full: int, row_offset,
+    use_mips: bool, slot_mask: Tuple[bool, ...],
+    transparent_pass: bool = False,
+    background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
 ):
-    """Returns HDR linear (height, width, 4) f32."""
-    H, W = height, width
-    H_full = height_full if height_full is not None else height
-    P = H * W
-    tid = vis["tri_id"].reshape(P)
-    depth = vis["depth"].reshape(P)
+    """Shared fragment shading → (rgb (P,3), alpha (P,), normal (P,3)).
+
+    alpha: coverage for the opaque pass; blend alpha for the transparent
+    pass (base alpha with KHR transmission mixing against `background`)."""
+    P = width * height
+    W, H, H_full = width, height, height_full
     miss = tid < 0
     stid = jnp.clip(tid, 0, setup.shape[1] - 1)
 
-    # ---- un-swap barycentrics back to original corner order ---------------
-    bu = vis["bary_u"].reshape(P)
-    bv = vis["bary_v"].reshape(P)
+    # ---- un-swap barycentrics back to original corner order ----------------
     swapped = setup[S_SWAPPED, stid] > 0.5
     b1 = jnp.where(swapped, bv, bu)
     b2 = jnp.where(swapped, bu, bv)
     b0 = 1.0 - b1 - b2
-    bary = jnp.stack([b0, b1, b2], axis=-1)          # (P,3) original order
+    bary = jnp.stack([b0, b1, b2], axis=-1)
 
-    # ---- gather + interpolate attributes -----------------------------------
+    # ---- gather + interpolate attributes ------------------------------------
     mesh = ds["tri_mesh"][stid]
     minfo = ds["mesh_info"][jnp.clip(mesh, 0, ds["mesh_info"].shape[0] - 1)]
     mat_row = jnp.clip(minfo[:, MI_MATERIAL_ROW], 0, ds["mat_float"].shape[0] - 1)
 
-    vid = ds["tri_v"][stid]                           # (P,3)
+    vid = ds["tri_v"][stid]
     n = _normalize(jnp.einsum("pc,pcj->pj", bary, corner_normal[stid]))
     tang4 = jnp.einsum("pc,pcj->pj", bary, corner_tangent[stid])
     uv0 = jnp.einsum("pc,pcj->pj", bary, ds["v_uv0"][vid])
     uv1 = jnp.einsum("pc,pcj->pj", bary, ds["v_uv1"][vid])
     vcolor = jnp.einsum("pc,pcj->pj", bary, ds["v_color0"][vid])
 
-    # ---- world position + view ray -----------------------------------------
+    # ---- world position + view ray ------------------------------------------
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
     rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
     ys = 1.0 - (rows + 0.5) / H_full * 2.0
@@ -179,47 +153,58 @@ def shade_deferred(
     cam_pos = ds["camera"]["position"]
     v = _normalize(cam_pos[None, :] - world_pos)
 
-    # ---- analytic barycentric screen derivatives (for mip selection) -------
-    # Raster-order screen bary gradients are per-triangle constants; the
-    # reference stores d(bary)/dxy planes from fragment dpdx/dpdy
-    # (geometry_wgsl/fragment.wgsl barycentric_derivatives) — here they are
-    # recomputed exactly.
-    x0, y0 = setup[S_X0, stid], setup[S_Y0, stid]
-    x1, y1 = setup[S_X1, stid], setup[S_Y1, stid]
-    x2, y2 = setup[S_X2, stid], setup[S_Y2, stid]
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
-    db_dx = jnp.stack([-(y2 - y1), -(y0 - y2), -(y1 - y0)], axis=-1) * inv_area[:, None]
-    db_dy = jnp.stack([x2 - x1, x0 - x2, x1 - x0], axis=-1) * inv_area[:, None]
-    iw = jnp.stack([setup[S_IW0, stid], setup[S_IW1, stid], setup[S_IW2, stid]], axis=-1)
-    # screen bary (raster order) recovered from perspective bary
-    bary_r = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)  # raster order persp
-    sb = bary_r / jnp.maximum(iw, _EPS)
-    sb = sb / jnp.maximum(jnp.sum(sb, axis=-1, keepdims=True), _EPS)
-    d_big = jnp.sum(sb * iw, axis=-1, keepdims=True)      # D per pixel
-    dd_dx = jnp.sum(db_dx * iw, axis=-1, keepdims=True)
-    dd_dy = jnp.sum(db_dy * iw, axis=-1, keepdims=True)
-    # dB_i/dx = (db_i iw_i - B_i dD/dx) / D  (quotient rule, B = b iw / D)
-    dpb_dx = (db_dx * iw - bary_r * dd_dx) / jnp.maximum(d_big, _EPS)
-    dpb_dy = (db_dy * iw - bary_r * dd_dy) / jnp.maximum(d_big, _EPS)
-    # un-swap derivative vectors to original corner order
-    sw = swapped[:, None]
-    unswap = lambda a: jnp.where(
-        sw, jnp.stack([a[:, 0], a[:, 2], a[:, 1]], axis=-1), a
-    )
-    dpb_dx, dpb_dy = unswap(dpb_dx), unswap(dpb_dy)
-    uv0c = ds["v_uv0"][vid]                                # (P,3,2)
-    duv_dx = jnp.einsum("pc,pcj->pj", dpb_dx, uv0c)
-    duv_dy = jnp.einsum("pc,pcj->pj", dpb_dy, uv0c)
+    # ---- analytic barycentric screen derivatives (mip selection) ------------
+    # The reference stores d(bary)/dxy planes (geometry_wgsl/fragment.wgsl
+    # barycentric_derivatives); here they are exact per-triangle constants.
+    if use_mips:
+        x0, y0 = setup[S_X0, stid], setup[S_Y0, stid]
+        x1, y1 = setup[S_X1, stid], setup[S_Y1, stid]
+        x2, y2 = setup[S_X2, stid], setup[S_Y2, stid]
+        area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
+        db_dx = jnp.stack([-(y2 - y1), -(y0 - y2), -(y1 - y0)], axis=-1) * inv_area[:, None]
+        db_dy = jnp.stack([x2 - x1, x0 - x2, x1 - x0], axis=-1) * inv_area[:, None]
+        iw = jnp.stack(
+            [setup[S_IW0, stid], setup[S_IW1, stid], setup[S_IW2, stid]], axis=-1)
+        bary_r = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)
+        sb = bary_r / jnp.maximum(iw, _EPS)
+        sb = sb / jnp.maximum(jnp.sum(sb, axis=-1, keepdims=True), _EPS)
+        d_big = jnp.sum(sb * iw, axis=-1, keepdims=True)
+        dd_dx = jnp.sum(db_dx * iw, axis=-1, keepdims=True)
+        dd_dy = jnp.sum(db_dy * iw, axis=-1, keepdims=True)
+        dpb_dx = (db_dx * iw - bary_r * dd_dx) / jnp.maximum(d_big, _EPS)
+        dpb_dy = (db_dy * iw - bary_r * dd_dy) / jnp.maximum(d_big, _EPS)
+        sw = swapped[:, None]
+        unswap = lambda a: jnp.where(
+            sw, jnp.stack([a[:, 0], a[:, 2], a[:, 1]], axis=-1), a)
+        dpb_dx, dpb_dy = unswap(dpb_dx), unswap(dpb_dy)
+        uv0c = ds["v_uv0"][vid]
+        duv_dx = jnp.einsum("pc,pcj->pj", dpb_dx, uv0c)
+        duv_dy = jnp.einsum("pc,pcj->pj", dpb_dy, uv0c)
+    else:
+        duv_dx = duv_dy = None
 
-    # ---- material fetch -----------------------------------------------------
-    mf = ds["mat_float"][mat_row]                          # (P, NUM_F32)
-    slots = ds["mat_tex"][mat_row]                         # (P, NSLOTS, 3)
-    mflags = ds["mat_flags"][mat_row]                      # (P, NUM_I32)
+    # ---- material fetch ------------------------------------------------------
+    mf = ds["mat_float"][mat_row]
+    slots = ds["mat_tex"][mat_row]
+    mflags = ds["mat_flags"][mat_row]
     is_unlit = mflags[:, M.MI_KIND] == M.KIND_UNLIT
 
+    white = jnp.ones((P, 4), jnp.float32)
+
     def tex(slot):
-        return _sample_slot(ds, slots, slot, uv0, uv1, duv_dx, duv_dy, use_mips)
+        """Sample a material texture slot; compiles to a constant when no
+        scene material binds it (the template-variable specialization)."""
+        if not slot_mask[slot]:
+            return white
+        tex_id = slots[:, slot, 0]
+        uv_set = slots[:, slot, 1]
+        tform = slots[:, slot, 2]
+        uv = jnp.where((uv_set == 1)[:, None], uv1, uv0)
+        uv = apply_texture_transform(ds["tex_transforms"], tform, uv)
+        level = (mip_level_from_grads(ds["tex_desc"], tex_id, duv_dx, duv_dy)
+                 if use_mips else None)
+        return sample_texture(ds["texels"], ds["tex_desc"], tex_id, uv, level)
 
     base_tex = tex(M.TS_BASE_COLOR)
     base = mf[:, M.MF_BASE_COLOR : M.MF_BASE_COLOR + 4] * base_tex * vcolor
@@ -239,26 +224,24 @@ def shade_deferred(
         * mf[:, M.MF_EMISSIVE_STRENGTH : M.MF_EMISSIVE_STRENGTH + 1]
     )
 
-    # normal mapping (TBN from interpolated normal/tangent)
-    nrm_tex = tex(M.TS_NORMAL)
+    # ---- normal mapping ------------------------------------------------------
     t_w = _normalize(tang4[:, :3] - n * jnp.sum(n * tang4[:, :3], axis=-1, keepdims=True))
     b_w = jnp.cross(n, t_w) * tang4[:, 3:4]
-    has_nrm_tex = slots[:, M.TS_NORMAL, 0] >= 0
-    n_ts = nrm_tex[:, :3] * 2.0 - 1.0
-    n_ts = n_ts * jnp.stack(
-        [mf[:, M.MF_NORMAL_SCALE], mf[:, M.MF_NORMAL_SCALE], jnp.ones_like(metallic)],
-        axis=-1,
-    )
-    n_mapped = _normalize(
-        n_ts[:, 0:1] * t_w + n_ts[:, 1:2] * b_w + n_ts[:, 2:3] * n
-    )
-    n_final = jnp.where(has_nrm_tex[:, None], n_mapped, n)
-    # face the viewer for double-sided backfaces
+    if slot_mask[M.TS_NORMAL]:
+        nrm_tex = tex(M.TS_NORMAL)
+        has_nrm_tex = slots[:, M.TS_NORMAL, 0] >= 0
+        n_ts = nrm_tex[:, :3] * 2.0 - 1.0
+        n_ts = n_ts * jnp.stack(
+            [mf[:, M.MF_NORMAL_SCALE], mf[:, M.MF_NORMAL_SCALE], jnp.ones_like(metallic)],
+            axis=-1)
+        n_mapped = _normalize(n_ts[:, 0:1] * t_w + n_ts[:, 1:2] * b_w + n_ts[:, 2:3] * n)
+        n_final = jnp.where(has_nrm_tex[:, None], n_mapped, n)
+    else:
+        n_final = n
     n_final = jnp.where(
-        jnp.sum(n_final * v, axis=-1, keepdims=True) < 0.0, -n_final, n_final
-    )
+        jnp.sum(n_final * v, axis=-1, keepdims=True) < 0.0, -n_final, n_final)
 
-    # ---- BRDF inputs (glTF spec) -------------------------------------------
+    # ---- BRDF inputs (glTF spec) ---------------------------------------------
     ior = mf[:, M.MF_IOR]
     f0_scalar = ((ior - 1.0) / jnp.maximum(ior + 1.0, _EPS)) ** 2
     spec_color = mf[:, M.MF_SPECULAR_COLOR : M.MF_SPECULAR_COLOR + 3]
@@ -271,7 +254,12 @@ def shade_deferred(
     f0 = f0_diel * (1.0 - metallic[:, None]) + base[:, :3] * metallic[:, None]
     c_diff = base[:, :3] * (1.0 - metallic[:, None])
 
-    # ---- punctual + IBL -----------------------------------------------------
+    # transmission removes diffuse (transmitted instead) — glTF spec
+    transmission = mf[:, M.MF_TRANSMISSION] * tex(M.TS_TRANSMISSION)[:, 0]
+    if transparent_pass:
+        c_diff = c_diff * (1.0 - transmission[:, None])
+
+    # ---- punctual + IBL -------------------------------------------------------
     direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0, alpha_rough)
 
     n_dot_v = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
@@ -279,31 +267,152 @@ def shade_deferred(
     irr = sample_cubemap(ds["irradiance"], n_final)[:, :3]
     pref = sample_prefiltered(ds["prefiltered"], r, roughness)[:, :3]
     lut_a, lut_b = sample_brdf_lut(ds["brdf_lut"], n_dot_v, roughness)
-    ibl_spec = pref * (f0 * lut_a[:, None] + lut_b[:, None])
+    fresnel_scale = f0 * lut_a[:, None] + lut_b[:, None]
+    ibl_spec = pref * fresnel_scale
     ibl_diff = irr * c_diff
     ambient = (ibl_diff + ibl_spec) * occlusion[:, None]
 
-    # ---- clearcoat (KHR_materials_clearcoat) -------------------------------
+    # ---- sheen (KHR_materials_sheen) ------------------------------------------
+    sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
+    sheen_rough = jnp.clip(
+        mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
+    sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)
+    sheen_ibl = sample_prefiltered(ds["prefiltered"], r, sheen_rough)[:, :3] * sheen_color
+
+    # ---- clearcoat (KHR_materials_clearcoat) -----------------------------------
     cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
     cc_rough = jnp.clip(
-        mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0
-    )
+        mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
     cc_pref = sample_prefiltered(ds["prefiltered"], r, cc_rough)[:, :3]
     cc_a, cc_b = sample_brdf_lut(ds["brdf_lut"], n_dot_v, cc_rough)
     cc_spec = cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
     cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
     cc_scale = 1.0 - cc * cc_fresnel
 
-    pbr_color = (direct + ambient) * cc_scale[:, None] + cc[:, None] * cc_spec + emissive
+    pbr_color = (
+        ((direct + ambient) * sheen_scale[:, None] + sheen_ibl)
+        * cc_scale[:, None]
+        + cc[:, None] * cc_spec
+        + emissive
+    )
 
-    # ---- unlit / miss / debug ----------------------------------------------
+    # ---- alpha per mode (OPAQUE=1, MASK=cutoff test, BLEND=base.a) ------------
+    alpha_mode = mflags[:, M.MI_ALPHA_MODE]
+    cutoff = mf[:, M.MF_ALPHA_CUTOFF]
+    alpha = jnp.where(
+        alpha_mode == 0, 1.0,
+        jnp.where(alpha_mode == 1,
+                  (base[:, 3] >= cutoff).astype(jnp.float32), base[:, 3]))
+    if transparent_pass and background is not None:
+        # KHR_materials_transmission: background transmitted through the
+        # surface, tinted by base color (reference: material_transparent_
+        # wgsl/fragment.wgsl screen-space refraction — thin approximation,
+        # zero refraction offset; attenuation per KHR_materials_volume)
+        att_dist = mf[:, M.MF_ATTENUATION_DISTANCE : M.MF_ATTENUATION_DISTANCE + 1]
+        att_color = mf[:, M.MF_ATTENUATION_COLOR : M.MF_ATTENUATION_COLOR + 3]
+        thickness = mf[:, M.MF_THICKNESS : M.MF_THICKNESS + 1]
+        att = jnp.where(
+            att_dist > 0.0,
+            jnp.exp(jnp.log(jnp.maximum(att_color, 1e-4)) * thickness
+                    / jnp.maximum(att_dist, 1e-4)),
+            1.0,
+        )
+        transmitted = background * base[:, :3] * att * (1.0 - fresnel_scale)
+        pbr_color = pbr_color + transmitted * transmission[:, None]
+
     color = jnp.where(is_unlit[:, None], base[:, :3], pbr_color)
+    valid = ~miss
+    return color, alpha, valid, n_final
 
-    view_dir = _normalize(world_pos - cam_pos[None, :])
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "height_full", "use_mips",
+                     "slot_mask", "debug_normals"),
+)
+def shade_deferred(
+    vis, setup, corner_normal, corner_tangent, ds,
+    *,
+    width: int,
+    height: int,
+    height_full: int | None = None,
+    row_offset=0,
+    use_mips: bool = True,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    debug_normals: bool = False,
+):
+    """Deferred opaque shading → HDR linear (height, width, 4) f32."""
+    H, W = height, width
+    H_full = height_full if height_full is not None else height
+    P = H * W
+    tid = vis["tri_id"].reshape(P)
+    depth = vis["depth"].reshape(P)
+    bu = vis["bary_u"].reshape(P)
+    bv = vis["bary_v"].reshape(P)
+
+    color, _alpha, valid, n_final = shade_surface(
+        tid, depth, bu, bv, setup, corner_normal, corner_tangent, ds,
+        width=W, height=H, height_full=H_full, row_offset=row_offset,
+        use_mips=use_mips, slot_mask=slot_mask,
+    )
+
+    # skybox on miss (compute.wgsl miss path)
+    xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
+    rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
+    ys = 1.0 - (rows + 0.5) / H_full * 2.0
+    ndc = jnp.stack([xs, ys, jnp.ones_like(xs), jnp.ones_like(xs)], axis=-1)
+    wp = ndc @ ds["camera"]["inv_view_proj"].T
+    far_pos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > _EPS, wp[:, 3:4], _EPS)
+    view_dir = _normalize(far_pos - ds["camera"]["position"][None, :])
     sky = sample_cubemap(ds["skybox"], view_dir)[:, :3]
-    color = jnp.where(miss[:, None], sky, color)
-    if debug_normals:
-        color = jnp.where(miss[:, None], sky, n_final * 0.5 + 0.5)
 
-    alpha = jnp.where(miss, 0.0, 1.0)
-    return jnp.concatenate([color, alpha[:, None]], axis=-1).reshape(H, W, 4)
+    out = jnp.where(valid[:, None], color, sky)
+    if debug_normals:
+        out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
+    alpha = valid.astype(jnp.float32)
+    return jnp.concatenate([out, alpha[:, None]], axis=-1).reshape(H, W, 4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "height_full", "use_mips",
+                     "slot_mask", "n_layers"),
+)
+def shade_transparent_layers(
+    layers,            # dict of (K, P) arrays: tri_id, depth, bary_u, bary_v
+    opaque_hdr,        # (H, W, 4) shaded opaque result
+    setup, corner_normal, corner_tangent, ds,
+    *,
+    width: int, height: int,
+    height_full: int | None = None,
+    row_offset=0,
+    use_mips: bool = True,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    n_layers: int = 4,
+):
+    """Forward-shade K depth-peeled transparent layers and composite
+    back-to-front over the opaque result (reference: render.rs transparent
+    pass + blend state). lax.scan over layers compiles the fragment-shading
+    graph once, not K times."""
+    H, W = height, width
+    H_full = height_full if height_full is not None else height
+    P = H * W
+
+    def blend(out, layer):
+        color, alpha, valid, _ = shade_surface(
+            layer["tri_id"], layer["depth"], layer["bary_u"], layer["bary_v"],
+            setup, corner_normal, corner_tangent, ds,
+            width=W, height=H, height_full=H_full, row_offset=row_offset,
+            use_mips=use_mips, slot_mask=slot_mask,
+            transparent_pass=True, background=out,
+        )
+        a = jnp.where(valid, alpha, 0.0)[:, None]
+        return color * a + out * (1.0 - a), None
+
+    # back-to-front: layer n_layers-1 is the farthest peel
+    reversed_layers = {k: v[::-1] for k, v in layers.items()}
+    out0 = opaque_hdr.reshape(P, 4)[:, :3]
+    out, _ = jax.lax.scan(blend, out0, reversed_layers)
+
+    alpha_plane = opaque_hdr.reshape(P, 4)[:, 3:4]
+    return jnp.concatenate([out, alpha_plane], axis=-1).reshape(H, W, 4)

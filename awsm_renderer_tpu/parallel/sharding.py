@@ -93,7 +93,11 @@ def render_frame_sharded(
             skin_sets=skin_sets,
         )
         setup = pad_setup(_shift_setup_rows(setup, y0))
-        vis = rasterize(setup, width=width, height=band_h, interpret=interpret)
+        from ..passes.frame import _remap_tri_ids, _sort_triangles
+
+        sorted_setup, perm = _sort_triangles(setup)
+        vis = rasterize(sorted_setup, width=width, height=band_h, interpret=interpret)
+        vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
         hdr = shade_deferred(
             vis, setup, corner_n, corner_t, ds_rep,
             width=width, height=band_h, height_full=height,

@@ -1,10 +1,13 @@
-"""Frame pipeline: vertex → raster → deferred shade → (effects) → display.
+"""Frame pipeline: vertex → raster → deferred shade → transparent → HUD →
+(effects) → display.
 
 TPU-native analog of the reference's render loop (crates/renderer/src/
 render.rs:53-383): the whole frame is ONE jitted function over the device
 scene; XLA plays the role of the command encoder (pass scheduling, fusion,
 buffer reuse). Pass toggles and capacities are static args = the
-reference's pipeline-variant cache keys.
+reference's pipeline-variant cache keys. Pass order mirrors render.rs:
+geometry (world, HUD) → opaque shade → transparent forward → effects →
+display.
 """
 
 from __future__ import annotations
@@ -16,8 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RendererConfig, ToneMapping
-from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize
-from ..ops.shade import shade_deferred
+from ..ops.effects import bloom as bloom_pass
+from ..ops.effects import depth_of_field, smaa as smaa_pass
+from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize, rasterize_layers
+from ..ops.shade import ALL_SLOTS, shade_deferred, shade_surface, shade_transparent_layers
 from ..ops.tonemap import display_pass
 from ..ops.vertex import vertex_stage
 
@@ -26,16 +31,62 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _morton(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Interleave 16-bit x/y into a Z-order key (i32)."""
+
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def _sort_triangles(setup: jnp.ndarray):
+    """Sort triangle columns by Z-order of their screen bbox center.
+
+    The raster kernel culls whole 128-triangle chunks by a conservative
+    bbox (ops/raster.py); spatial sorting makes those bboxes tight, which
+    is the difference between O(covered tiles) and O(all tiles) work —
+    the TPU analog of the reference's draw sorting (renderable.rs:101
+    geometry_sort_renderable minimizes pipeline switches; here we minimize
+    chunk-tile overlap instead). Returns (sorted_setup, perm) where
+    perm[i] = original id of sorted triangle i.
+    """
+    from ..ops.vertex import S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY, S_VALID
+
+    cx = ((setup[S_BB_MINX] + setup[S_BB_MAXX]) * 0.5 / 8.0).astype(jnp.int32)
+    cy = ((setup[S_BB_MINY] + setup[S_BB_MAXY]) * 0.5 / 8.0).astype(jnp.int32)
+    key = _morton(jnp.clip(cx, 0, 0xFFFF), jnp.clip(cy, 0, 0xFFFF))
+    # invalid triangles sort to the end (their chunks cull to empty boxes)
+    key = jnp.where(setup[S_VALID] > 0.5, key, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key)
+    return setup[:, perm], perm
+
+
+def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Map sorted raster ids back to original triangle-pool ids."""
+    safe = jnp.clip(tri_id, 0, perm.shape[0] - 1)
+    return jnp.where(tri_id >= 0, perm[safe].astype(jnp.int32), tri_id)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "supersample", "tonemap", "use_mips",
-        "has_morphs", "skin_sets", "debug_normals", "interpret",
+        "has_morphs", "skin_sets", "has_transparent", "has_hud",
+        "n_transparent_layers", "slot_mask", "debug_normals", "interpret",
+        "bloom", "dof", "smaa",
     ),
 )
 def render_frame(
     ds,                 # DeviceScene dict (all jnp arrays)
     opaque_mask,        # (Mcap,) bool — visible opaque meshes this frame
+    transparent_mask=None,
+    hud_mask=None,
     *,
     width: int,         # output width (pre-supersample)
     height: int,
@@ -44,38 +95,103 @@ def render_frame(
     use_mips: bool,
     has_morphs: bool,
     skin_sets: int,
+    has_transparent: bool = False,
+    has_hud: bool = False,
+    n_transparent_layers: int = 4,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     debug_normals: bool = False,
     interpret: bool | None = None,
+    bloom: bool = False,
+    dof: bool = False,
+    smaa: bool = False,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth)."""
     scale = 2 if supersample else 1
     rw = _pad_to(width * scale, TILE_W)
     rh = _pad_to(height * scale, TILE_H)
 
-    setup, corner_n, corner_t, _corner_w = vertex_stage(
-        ds["v_pos"], ds["v_norm"], ds["v_tang"], ds["v_morph_base"],
-        ds["v_joints"], ds["v_weights"], ds["morph_deltas"],
-        ds["tri_v"], ds["tri_mesh"], ds["mesh_info"], ds["morph_weights"],
-        ds["world"], ds["normal_mat"], ds["joint_matrices"],
-        ds["camera"]["view_proj"], opaque_mask,
-        width=rw, height=rh, has_morphs=has_morphs, skin_sets=skin_sets,
-    )
+    def run_vertex(mask):
+        return vertex_stage(
+            ds["v_pos"], ds["v_norm"], ds["v_tang"], ds["v_morph_base"],
+            ds["v_joints"], ds["v_weights"], ds["morph_deltas"],
+            ds["tri_v"], ds["tri_mesh"], ds["mesh_info"], ds["morph_weights"],
+            ds["world"], ds["normal_mat"], ds["joint_matrices"],
+            ds["camera"]["view_proj"], mask,
+            width=rw, height=rh, has_morphs=has_morphs, skin_sets=skin_sets,
+        )
+
+    # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
+    setup, corner_n, corner_t, _ = run_vertex(opaque_mask)
     setup = pad_setup(setup)
-    vis = rasterize(setup, width=rw, height=rh, interpret=interpret)
+    sorted_setup, perm = _sort_triangles(setup)
+    vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret)
+    vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
     hdr = shade_deferred(
         vis, setup, corner_n, corner_t, ds,
-        width=rw, height=rh, use_mips=use_mips, debug_normals=debug_normals,
+        width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
+        debug_normals=debug_normals,
     )
+    tri_id = vis["tri_id"]
+    depth = vis["depth"]
+
+    # ---- transparent forward pass (render.rs step 9: back-to-front over
+    # opaque with shared read-only depth) -------------------------------------
+    if has_transparent and transparent_mask is not None:
+        t_setup, t_cn, t_ct, _ = run_vertex(transparent_mask)
+        t_setup = pad_setup(t_setup)
+        t_sorted, t_perm = _sort_triangles(t_setup)
+        layers = rasterize_layers(
+            t_sorted, depth, width=rw, height=rh,
+            n_layers=n_transparent_layers, interpret=interpret,
+        )
+        layers["tri_id"] = _remap_tri_ids(layers["tri_id"], t_perm)
+        hdr = shade_transparent_layers(
+            layers, hdr, t_setup, t_cn, t_ct, ds,
+            width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
+            n_layers=n_transparent_layers,
+        )
+
+    # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
+    if has_hud and hud_mask is not None:
+        h_setup, h_cn, h_ct, _ = run_vertex(hud_mask)
+        h_setup = pad_setup(h_setup)
+        h_sorted, h_perm = _sort_triangles(h_setup)
+        h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret)
+        h_vis["tri_id"] = _remap_tri_ids(h_vis["tri_id"], h_perm)
+        P = rw * rh
+        h_color, h_alpha, h_valid, _ = shade_surface(
+            h_vis["tri_id"].reshape(P), h_vis["depth"].reshape(P),
+            h_vis["bary_u"].reshape(P), h_vis["bary_v"].reshape(P),
+            h_setup, h_cn, h_ct, ds,
+            width=rw, height=rh, height_full=rh, row_offset=0,
+            use_mips=use_mips, slot_mask=slot_mask,
+        )
+        hit = h_valid[:, None]
+        a = jnp.where(h_valid, h_alpha, 0.0)[:, None]
+        flat = hdr.reshape(P, 4)
+        blended = jnp.concatenate(
+            [h_color * a + flat[:, :3] * (1 - a), jnp.maximum(flat[:, 3:4], a)], axis=-1)
+        hdr = jnp.where(hit, blended, flat).reshape(rh, rw, 4)
+        tri_id = jnp.where(h_vis["tri_id"] >= 0, h_vis["tri_id"], tri_id)
 
     # crop padding, then supersample-resolve in linear HDR (the reference's
     # MSAA resolve happens on Rgba16float targets pre-display)
     hdr = hdr[: height * scale, : width * scale]
-    tri_id = vis["tri_id"][: height * scale, : width * scale]
-    depth = vis["depth"][: height * scale, : width * scale]
+    tri_id = tri_id[: height * scale, : width * scale]
+    depth = depth[: height * scale, : width * scale]
     if supersample:
         hdr = hdr.reshape(height, 2, width, 2, 4).mean(axis=(1, 3))
         tri_id = tri_id[::2, ::2]
         depth = depth.reshape(height, 2, width, 2).min(axis=(1, 3))
 
+    # ---- effects chain (render.rs step 12: bloom ping-pong, DoF) -------------
+    if bloom:
+        hdr = bloom_pass(hdr)
+    if dof:
+        hdr = depth_of_field(hdr, depth, ds["camera"])
+
     ldr = display_pass(hdr, tonemap)
+    # ---- SMAA runs on the display image (effects_wgsl/helpers/smaa.wgsl) -----
+    if smaa:
+        ldr = smaa_pass(ldr)
     return ldr, tri_id, depth

