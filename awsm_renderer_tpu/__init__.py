@@ -12,15 +12,17 @@ import jax as _jax
 
 # Persistent compilation cache: pipeline-variant compiles are the expensive
 # "shader compile" events (SURVEY §3.5); cache them across processes like
-# the reference caches compiled shader modules.
-try:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("AWSM_JAX_CACHE", _os.path.expanduser("~/.cache/awsm_jax")),
-    )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # older jax without these options
-    pass
+# the reference caches compiled shader modules. CPU is excluded: its AOT
+# artifacts embed machine-feature flags that don't reload reliably.
+if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("AWSM_JAX_CACHE", _os.path.expanduser("~/.cache/awsm_jax")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these options
+        pass
 
 from .config import AntiAliasing, PostProcessing, RendererConfig, ToneMapping
 from .core.animation import (

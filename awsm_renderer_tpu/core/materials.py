@@ -52,6 +52,10 @@ MF_ANISOTROPY_ROTATION = 36
 MF_DISPERSION = 37
 MF_DIFFUSE_TRANSMISSION = 38
 MF_DIFFUSE_TRANSMISSION_COLOR = 39  # 3
+# editor grid material params (KIND_GRID; editor/src/grid parity)
+MF_GRID_SPACING = 44
+MF_GRID_MAJOR_EVERY = 45
+MF_GRID_FADE_DISTANCE = 46
 NUM_F32 = 48
 
 # ---- texture slots ---------------------------------------------------------
@@ -85,6 +89,7 @@ NUM_I32 = 8
 
 KIND_PBR = 0
 KIND_UNLIT = 1
+KIND_GRID = 2  # editor grid (crates/editor/src/grid/shaders/grid.wgsl parity)
 
 
 class AlphaMode(enum.Enum):
@@ -226,6 +231,36 @@ class UnlitMaterial:
 
     def is_transparency_pass(self) -> bool:
         return self.alpha_mode != AlphaMode.OPAQUE
+
+
+@dataclass
+class GridMaterial:
+    """Infinite editor grid (reference: crates/editor/src/grid/ — own WGSL
+    pipeline drawn via a render hook; here a procedural material kind on a
+    large ground plane, routed through the transparent pass so gaps show
+    the scene)."""
+
+    color: np.ndarray = field(default_factory=lambda: np.array([0.55, 0.55, 0.6, 1.0], dtype=F))
+    spacing: float = 1.0
+    major_every: float = 10.0
+    fade_distance: float = 60.0
+    double_sided: bool = True
+
+    def pack(self):
+        f = np.zeros(NUM_F32, dtype=F)
+        f[MF_BASE_COLOR : MF_BASE_COLOR + 4] = self.color
+        f[MF_GRID_SPACING] = self.spacing
+        f[MF_GRID_MAJOR_EVERY] = self.major_every
+        f[MF_GRID_FADE_DISTANCE] = self.fade_distance
+        slots = np.full((NUM_TEX_SLOTS, 3), -1, dtype=np.int32)
+        flags = np.zeros(NUM_I32, dtype=np.int32)
+        flags[MI_KIND] = KIND_GRID
+        flags[MI_ALPHA_MODE] = AlphaMode.BLEND.value
+        flags[MI_DOUBLE_SIDED] = 1
+        return f, slots, flags
+
+    def is_transparency_pass(self) -> bool:
+        return True
 
 
 class Materials:

@@ -98,6 +98,103 @@ def uv_sphere(radius: float = 0.5, rings: int = 16, sectors: int = 32) -> MeshGe
     )
 
 
+def cylinder(radius: float = 0.05, height: float = 1.0, sectors: int = 12,
+             axis: int = 1) -> MeshGeometry:
+    """Capped cylinder along `axis`, base at origin extending +axis."""
+    theta = np.linspace(0, 2 * np.pi, sectors + 1)
+    ring = np.stack([np.cos(theta), np.sin(theta)], axis=-1) * radius  # (S+1,2)
+    n = sectors + 1
+    bottom = np.zeros((n, 3), F)
+    top = np.zeros((n, 3), F)
+    bottom[:, 0], bottom[:, 2] = ring[:, 0], ring[:, 1]
+    top[:, 0], top[:, 2] = ring[:, 0], ring[:, 1]
+    top[:, 1] = height
+    pos = np.concatenate([bottom, top, [[0, 0, 0]], [[0, height, 0]]])
+    nrm = np.concatenate([
+        np.stack([ring[:, 0], np.zeros(n), ring[:, 1]], -1) / radius,
+        np.stack([ring[:, 0], np.zeros(n), ring[:, 1]], -1) / radius,
+        [[0, -1, 0]], [[0, 1, 0]],
+    ])
+    idx = []
+    for i in range(sectors):
+        a, b = i, i + 1
+        idx += [[a, n + a, b], [b, n + a, n + b]]
+        idx += [[2 * n, b, a], [2 * n + 1, n + a, n + b]]
+    geo = MeshGeometry(
+        positions=pos.astype(F), indices=np.array(idx, np.int32),
+        normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))
+    if axis != 1:
+        _swap_axis(geo, axis)
+    return geo
+
+
+def cone(radius: float = 0.1, height: float = 0.3, sectors: int = 12,
+         base_y: float = 0.0, axis: int = 1) -> MeshGeometry:
+    theta = np.linspace(0, 2 * np.pi, sectors + 1)
+    n = sectors + 1
+    base = np.zeros((n, 3), F)
+    base[:, 0] = np.cos(theta) * radius
+    base[:, 2] = np.sin(theta) * radius
+    base[:, 1] = base_y
+    pos = np.concatenate([base, [[0, base_y + height, 0]], [[0, base_y, 0]]])
+    slant = np.sqrt(radius * radius + height * height)
+    nrm = np.concatenate([
+        np.stack([np.cos(theta) * height / slant,
+                  np.full(n, radius / slant),
+                  np.sin(theta) * height / slant], -1),
+        [[0, 1, 0]], [[0, -1, 0]],
+    ])
+    idx = []
+    for i in range(sectors):
+        idx += [[i, n, i + 1], [n + 1, i + 1, i]]
+    geo = MeshGeometry(
+        positions=pos.astype(F), indices=np.array(idx, np.int32),
+        normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))
+    if axis != 1:
+        _swap_axis(geo, axis)
+    return geo
+
+
+def torus(radius: float = 0.7, tube: float = 0.03, sectors: int = 32,
+          sides: int = 8, axis: int = 1) -> MeshGeometry:
+    """Torus in the plane perpendicular to `axis` (rotation-gizmo ring)."""
+    u = np.linspace(0, 2 * np.pi, sectors + 1)
+    v = np.linspace(0, 2 * np.pi, sides + 1)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    cx = np.cos(uu) * (radius + tube * np.cos(vv))
+    cz = np.sin(uu) * (radius + tube * np.cos(vv))
+    cy = tube * np.sin(vv)
+    pos = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+    nx = np.cos(uu) * np.cos(vv)
+    nz = np.sin(uu) * np.cos(vv)
+    ny = np.sin(vv)
+    nrm = np.stack([nx, ny, nz], -1).reshape(-1, 3)
+    idx = []
+    cols = sides + 1
+    for i in range(sectors):
+        for j in range(sides):
+            a = i * cols + j
+            b = a + cols
+            idx += [[a, b, a + 1], [a + 1, b, b + 1]]
+    geo = MeshGeometry(
+        positions=pos.astype(F), indices=np.array(idx, np.int32),
+        normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))
+    if axis != 1:
+        _swap_axis(geo, axis)
+    return geo
+
+
+def _swap_axis(geo: MeshGeometry, axis: int) -> None:
+    """Remap +Y-aligned geometry onto +X (axis=0) or +Z (axis=2) in place."""
+    order = {0: [1, 0, 2], 2: [0, 2, 1]}[axis]
+    geo.positions = geo.positions[:, order]
+    geo.normals = geo.normals[:, order]
+    # axis swap mirrors; flip winding to keep faces outward
+    geo.indices = geo.indices[:, [0, 2, 1]]
+    geo.aabb = None
+    geo.__post_init__()
+
+
 def checker_texture(size: int = 64, cells: int = 8, c0=(255, 255, 255), c1=(30, 30, 30)) -> np.ndarray:
     """RGBA uint8 checkerboard for BoxTextured-style probes."""
     yy, xx = np.mgrid[0:size, 0:size]

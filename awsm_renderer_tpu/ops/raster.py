@@ -5,22 +5,24 @@ TPU-native replacement for the reference's hardware-raster geometry pass
 4-target visibility G-buffer). Here ONE kernel rasterizes the whole packed
 triangle pool into per-pixel planes:
 
-    tri_id (H,W) i32   — global triangle index, -1 = miss (the reference
-                          packs split16 triangle_index + meta offset into
-                          Rgba16uint; an i32 plane is the TPU-shaped
-                          equivalent; mesh/material lookup goes through
-                          tri_mesh[tri_id] at shading time)
-    bary_u/bary_v (H,W) f32 — perspective-correct barycentrics of corners
-                          1 and 2 (raster corner order; geometry_wgsl/
-                          fragment.wgsl stores barycentric.xy the same way)
+    tri_id (H,W) i32   — setup-column index, -1 = miss (original triangle
+                          = tri_id % T_pool; the reference packs split16
+                          triangle_index + meta offset into Rgba16uint)
+    bary_u/bary_v      — perspective-correct barycentrics of ORIGINAL
+                          corners 1/2 (geometry_wgsl/fragment.wgsl stores
+                          barycentric.xy); near-plane-clipped sub-triangles
+                          map through their per-corner S_BU*/S_BV* rows
+    dbu_dx/dbu_dy/dbv_dx/dbv_dy — analytic barycentric screen derivatives
+                          (the reference's barycentric_derivatives target)
     depth (H,W) f32    — NDC z in [0,1], cleared to 1.0, LESS compare
 
 Kernel shape: grid = (tiles_y, tiles_x, triangle_chunks); each (8,128)
 pixel tile revisits its VMEM accumulators across the chunk axis (matmul
 accumulator pattern), merging CHUNK triangles per step in sub-groups of 8
 fully vectorized (8 triangles × 1024 pixels on the VPU — no per-triangle
-scalar loop, no dynamic indexing). A per-chunk conservative screen bbox
-lets a tile skip entire chunks with 4 scalar compares.
+scalar loop, no dynamic indexing). A per-chunk conservative screen bbox in
+SMEM lets a tile skip entire chunks with 4 scalar compares; Morton-sorted
+input (passes/frame.py) keeps those bboxes tight.
 
 Fill convention: top-left (WebGPU/D3D/Vulkan raster rule) with pixel
 centers at +0.5, so shared edges shade exactly once — required for
@@ -39,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .vertex import (
     NSETUP,
     S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
+    S_BU0, S_BU1, S_BU2, S_BV0, S_BV1, S_BV2,
     S_IW0, S_IW1, S_IW2,
     S_VALID,
     S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
@@ -51,6 +54,8 @@ CHUNK = 128          # triangles DMA'd per grid step
 SUB = 8              # triangles merged per vector op
 _BIG = 3.0e38
 
+N_PLANES = 8  # tid, depth, bu, bv, dbudx, dbudy, dbvdx, dbvdy
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -61,14 +66,14 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None):
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
     tri_base: scalar i32 global id of P's first triangle;
-    state: (z_best, t_best, bu_best, bv_best) each (1, npx);
-    zbounds: optional (zlo, zhi) per-pixel (1, npx) planes — fragments must
-    satisfy zlo < z < zhi (depth peeling against the previous layer and the
-    opaque depth buffer).
+    state: tuple of 8 (1, npx) accumulators
+           (z, tid, bu, bv, dbudx, dbudy, dbvdx, dbvdy);
+    zbounds: optional (zlo, zhi) per-pixel planes — fragments must satisfy
+    zlo < z < zhi (depth peeling against the previous layer + opaque depth).
     Pure jnp — shared between the unrolled TPU kernel and the fori_loop
     interpret path, and unit-testable directly.
     """
-    z_best, t_best, bu_best, bv_best = state
+    z_best, t_best, bu_best, bv_best, dux_b, duy_b, dvx_b, dvy_b = state
     npx = px.shape[1]
 
     def col(r):
@@ -109,45 +114,82 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None):
         cover = cover & (z > zlo) & (z < zhi)
     zc = jnp.where(cover, z, _BIG)           # (SUB, npx)
 
-    # perspective-correct barycentrics for corners 1, 2
-    pb0 = b0 * col(S_IW0)
-    pb1 = b1 * col(S_IW1)
-    pb2 = b2 * col(S_IW2)
+    # perspective-correct barycentrics of the SUB-triangle corners
+    iw0, iw1, iw2 = col(S_IW0), col(S_IW1), col(S_IW2)
+    pb0 = b0 * iw0
+    pb1 = b1 * iw1
+    pb2 = b2 * iw2
     denom = pb0 + pb1 + pb2
     inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
-    pu = pb1 * inv_denom
-    pv = pb2 * inv_denom
+    pn0 = pb0 * inv_denom
+    pn1 = pb1 * inv_denom
+    pn2 = pb2 * inv_denom
 
-    # resolve sub-group: nearest z, lowest index on ties (matches LESS +
-    # draw order)
+    # map to ORIGINAL-triangle barycentrics via per-corner mapping rows
+    bu0, bu1, bu2 = col(S_BU0), col(S_BU1), col(S_BU2)
+    bv0, bv1, bv2 = col(S_BV0), col(S_BV1), col(S_BV2)
+    bu = pn0 * bu0 + pn1 * bu1 + pn2 * bu2
+    bv = pn0 * bv0 + pn1 * bv1 + pn2 * bv2
+
+    # analytic screen derivatives of the mapped barycentrics (the
+    # reference's barycentric_derivatives G-buffer target):
+    # d(pn_i)/dx = invD * (db_i/dx * iw_i - pn_i * dD/dx)
+    db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
+    db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
+    db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
+    dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
+    dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
+
+    def dmap(du0, du1, du2, dD):
+        dp0 = inv_denom * (du0 * iw0 - pn0 * dD)
+        dp1 = inv_denom * (du1 * iw1 - pn1 * dD)
+        dp2 = inv_denom * (du2 * iw2 - pn2 * dD)
+        return (dp0 * bu0 + dp1 * bu1 + dp2 * bu2,
+                dp0 * bv0 + dp1 * bv1 + dp2 * bv2)
+
+    dbu_dx, dbv_dx = dmap(db0_dx, db1_dx, db2_dx, dD_dx)
+    dbu_dy, dbv_dy = dmap(db0_dy, db1_dy, db2_dy, dD_dy)
+
+    # resolve sub-group: nearest z, lowest index on ties (LESS + draw order)
     zmin = jnp.min(zc, axis=0, keepdims=True)            # (1, npx)
     local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
     idx_m = jnp.where(zc == zmin, local, SUB)
     win = jnp.min(idx_m, axis=0, keepdims=True)          # (1, npx)
     one_hot = (local == win) & (zc < _BIG)
     oh = one_hot.astype(jnp.float32)
-    bu_sel = jnp.sum(pu * oh, axis=0, keepdims=True)
-    bv_sel = jnp.sum(pv * oh, axis=0, keepdims=True)
-    tri_gid = tri_base + win
 
+    def pick(vals):
+        return jnp.sum(vals * oh, axis=0, keepdims=True)
+
+    tri_gid = tri_base + win
     take = zmin < z_best
     z_best = jnp.where(take, zmin, z_best)
     t_best = jnp.where(take, tri_gid, t_best)
-    bu_best = jnp.where(take, bu_sel, bu_best)
-    bv_best = jnp.where(take, bv_sel, bv_best)
-    return z_best, t_best, bu_best, bv_best
+    bu_best = jnp.where(take, pick(bu), bu_best)
+    bv_best = jnp.where(take, pick(bv), bv_best)
+    dux_b = jnp.where(take, pick(dbu_dx), dux_b)
+    duy_b = jnp.where(take, pick(dbu_dy), duy_b)
+    dvx_b = jnp.where(take, pick(dbv_dx), dvx_b)
+    dvy_b = jnp.where(take, pick(dbv_dy), dvy_b)
+    return z_best, t_best, bu_best, bv_best, dux_b, duy_b, dvx_b, dvy_b
+
+
+_PLANE_NAMES = ("tri_id", "depth", "bary_u", "bary_v",
+                "dbu_dx", "dbu_dy", "dbv_dx", "dbv_dy")
 
 
 def _make_kernel(unroll: bool, peel: bool):
     def _raster_kernel(
         chunk_bbox_ref,   # SMEM (4, n_chunks) f32
         setup_ref,        # VMEM (NSETUP, CHUNK) f32
-        *refs,            # [zlo_ref, zhi_ref when peel] + outs + scratch
+        *refs,            # [zlo, zhi when peel] + 8 outs + 8 scratch
     ):
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
-        tid_ref, depth_ref, bu_ref, bv_ref, zacc, tacc, buacc, bvacc = refs
+        outs = refs[:N_PLANES]
+        accs = refs[N_PLANES:]
+
         i = pl.program_id(0)
         j = pl.program_id(1)
         k = pl.program_id(2)
@@ -155,10 +197,10 @@ def _make_kernel(unroll: bool, peel: bool):
 
         @pl.when(k == 0)
         def _init():
-            zacc[:] = jnp.full_like(zacc, 1.0)       # depth clear = 1.0, LESS
-            tacc[:] = jnp.full_like(tacc, -1)
-            buacc[:] = jnp.zeros_like(buacc)
-            bvacc[:] = jnp.zeros_like(bvacc)
+            accs[0][:] = jnp.full_like(accs[0], 1.0)   # depth clear, LESS
+            accs[1][:] = jnp.full_like(accs[1], -1)
+            for a in accs[2:]:
+                a[:] = jnp.zeros_like(a)
 
         ty0 = (i * TILE_H).astype(jnp.float32)
         tx0 = (j * TILE_W).astype(jnp.float32)
@@ -178,7 +220,7 @@ def _make_kernel(unroll: bool, peel: bool):
             py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
 
             setup_t = setup_ref[:].T                 # (CHUNK, NSETUP)
-            state = (zacc[:], tacc[:], buacc[:], bvacc[:])
+            state = tuple(a[:] for a in accs)
             base = k * CHUNK
             zbounds = None
             if peel:
@@ -186,23 +228,26 @@ def _make_kernel(unroll: bool, peel: bool):
 
             if unroll:
                 for g in range(CHUNK // SUB):
-                    P = setup_t[g * SUB : (g + 1) * SUB]
-                    state = _merge_subgroup(P, px, py, base + g * SUB, state, zbounds)
+                    Pg = setup_t[g * SUB : (g + 1) * SUB]
+                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state, zbounds)
             else:
                 def body(g, st):
-                    P = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                    return _merge_subgroup(P, px, py, base + g * SUB, st, zbounds)
+                    Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
+                    return _merge_subgroup(Pg, px, py, base + g * SUB, st, zbounds)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
-            zacc[:], tacc[:], buacc[:], bvacc[:] = state
+            for a, s in zip(accs, state):
+                a[:] = s
 
         @pl.when(k == n_chunks - 1)
         def _flush():
-            tid_ref[:] = tacc[:].reshape(TILE_H, TILE_W)
-            depth_ref[:] = zacc[:].reshape(TILE_H, TILE_W)
-            bu_ref[:] = buacc[:].reshape(TILE_H, TILE_W)
-            bv_ref[:] = bvacc[:].reshape(TILE_H, TILE_W)
+            # acc order: z, tid, bu, bv, dux, duy, dvx, dvy
+            # out order: tid, depth, bu, bv, dux, duy, dvx, dvy
+            outs[0][:] = accs[1][:].reshape(TILE_H, TILE_W)
+            outs[1][:] = accs[0][:].reshape(TILE_H, TILE_W)
+            for o, a in zip(outs[2:], accs[2:]):
+                o[:] = a[:].reshape(TILE_H, TILE_W)
 
     return _raster_kernel
 
@@ -218,13 +263,26 @@ def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
     return jnp.stack([minx, miny, maxx, maxy], axis=0)
 
 
+def _out_shapes(width: int, height: int):
+    shapes = [jax.ShapeDtypeStruct((height, width), jnp.int32)]
+    shapes += [jax.ShapeDtypeStruct((height, width), jnp.float32)] * (N_PLANES - 1)
+    return tuple(shapes)
+
+
+def _scratch(npx: int):
+    return [
+        pltpu.VMEM((1, npx), jnp.float32),   # z
+        pltpu.VMEM((1, npx), jnp.int32),     # tid
+    ] + [pltpu.VMEM((1, npx), jnp.float32)] * (N_PLANES - 2)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
-    TILE_H) (the frame pipeline pads and crops). Returns
-    dict(tri_id, depth, bary_u, bary_v), each (height, width).
+    TILE_H) (the frame pipeline pads and crops). Returns a dict of
+    (height, width) planes (see module docstring).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -240,7 +298,7 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
     out_spec = pl.BlockSpec(
         (TILE_H, TILE_W), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
     )
-    tid, depth, bu, bv = pl.pallas_call(
+    outs = pl.pallas_call(
         # fori_loop body in interpret mode: grid programs are traced
         # individually there, so trace cost must stay small
         _make_kernel(unroll=not interpret, peel=False),
@@ -253,22 +311,12 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
                 (NSETUP, CHUNK), lambda i, j, k: (0, k), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, npx), jnp.float32),
-            pltpu.VMEM((1, npx), jnp.int32),
-            pltpu.VMEM((1, npx), jnp.float32),
-            pltpu.VMEM((1, npx), jnp.float32),
-        ],
+        out_specs=(out_spec,) * N_PLANES,
+        out_shape=_out_shapes(width, height),
+        scratch_shapes=_scratch(npx),
         interpret=interpret,
     )(chunk_bbox, setup)
-    return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+    return dict(zip(_PLANE_NAMES, outs))
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -278,7 +326,7 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
 
     zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
     buffer (shared world depth, read-only — the reference's transparent
-    pass binds the opaque depth with Load/read-only the same way)."""
+    pass binds the opaque depth the same way)."""
     if interpret is None:
         interpret = _interpret_default()
     T = setup.shape[1]
@@ -291,7 +339,7 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
     tile_spec = pl.BlockSpec(
         (TILE_H, TILE_W), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
     )
-    tid, depth, bu, bv = pl.pallas_call(
+    outs = pl.pallas_call(
         _make_kernel(unroll=not interpret, peel=True),
         grid=grid,
         in_specs=[
@@ -304,22 +352,12 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
             tile_spec,
             tile_spec,
         ],
-        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, npx), jnp.float32),
-            pltpu.VMEM((1, npx), jnp.int32),
-            pltpu.VMEM((1, npx), jnp.float32),
-            pltpu.VMEM((1, npx), jnp.float32),
-        ],
+        out_specs=(tile_spec,) * N_PLANES,
+        out_shape=_out_shapes(width, height),
+        scratch_shapes=_scratch(npx),
         interpret=interpret,
     )(chunk_bbox, setup, zlo, zhi)
-    return {"tri_id": tid, "depth": depth, "bary_u": bu, "bary_v": bv}
+    return dict(zip(_PLANE_NAMES, outs))
 
 
 def rasterize_layers(setup, opaque_depth, *, width: int, height: int,

@@ -40,11 +40,6 @@ from .texsample import (
     mip_level_from_grads,
     sample_texture,
 )
-from .vertex import (
-    S_IW0, S_IW1, S_IW2, S_SWAPPED,
-    S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
-)
-
 _EPS = 1e-6
 ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
 
@@ -108,7 +103,8 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
 
 def shade_surface(
     tid, depth, bu, bv,      # (P,) flat visibility data
-    setup, corner_normal, corner_tangent, ds,
+    dbu_dx, dbu_dy, dbv_dx, dbv_dy,   # (P,) raster derivative planes
+    corner_normal, corner_tangent, ds,
     *,
     width: int, height: int, height_full: int, row_offset,
     use_mips: bool, slot_mask: Tuple[bool, ...],
@@ -117,19 +113,18 @@ def shade_surface(
 ):
     """Shared fragment shading → (rgb (P,3), alpha (P,), normal (P,3)).
 
+    tid is in setup-column space (near-plane clipping doubles the columns);
+    the original triangle id is tid % T_pool. Barycentrics arrive already
+    in ORIGINAL corner space (ops/vertex.py mapping rows).
     alpha: coverage for the opaque pass; blend alpha for the transparent
     pass (base alpha with KHR transmission mixing against `background`)."""
     P = width * height
     W, H, H_full = width, height, height_full
     miss = tid < 0
-    stid = jnp.clip(tid, 0, setup.shape[1] - 1)
+    T_pool = ds["tri_v"].shape[0]
+    stid = jnp.clip(tid, 0, 2 * T_pool - 1) % T_pool
 
-    # ---- un-swap barycentrics back to original corner order ----------------
-    swapped = setup[S_SWAPPED, stid] > 0.5
-    b1 = jnp.where(swapped, bv, bu)
-    b2 = jnp.where(swapped, bu, bv)
-    b0 = 1.0 - b1 - b2
-    bary = jnp.stack([b0, b1, b2], axis=-1)
+    bary = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)   # original order
 
     # ---- gather + interpolate attributes ------------------------------------
     mesh = ds["tri_mesh"][stid]
@@ -153,34 +148,14 @@ def shade_surface(
     cam_pos = ds["camera"]["position"]
     v = _normalize(cam_pos[None, :] - world_pos)
 
-    # ---- analytic barycentric screen derivatives (mip selection) ------------
-    # The reference stores d(bary)/dxy planes (geometry_wgsl/fragment.wgsl
-    # barycentric_derivatives); here they are exact per-triangle constants.
+    # ---- uv screen derivatives from the raster's barycentric derivative
+    # planes (the reference's barycentric_derivatives G-buffer target) ------
     if use_mips:
-        x0, y0 = setup[S_X0, stid], setup[S_Y0, stid]
-        x1, y1 = setup[S_X1, stid], setup[S_Y1, stid]
-        x2, y2 = setup[S_X2, stid], setup[S_Y2, stid]
-        area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
-        db_dx = jnp.stack([-(y2 - y1), -(y0 - y2), -(y1 - y0)], axis=-1) * inv_area[:, None]
-        db_dy = jnp.stack([x2 - x1, x0 - x2, x1 - x0], axis=-1) * inv_area[:, None]
-        iw = jnp.stack(
-            [setup[S_IW0, stid], setup[S_IW1, stid], setup[S_IW2, stid]], axis=-1)
-        bary_r = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)
-        sb = bary_r / jnp.maximum(iw, _EPS)
-        sb = sb / jnp.maximum(jnp.sum(sb, axis=-1, keepdims=True), _EPS)
-        d_big = jnp.sum(sb * iw, axis=-1, keepdims=True)
-        dd_dx = jnp.sum(db_dx * iw, axis=-1, keepdims=True)
-        dd_dy = jnp.sum(db_dy * iw, axis=-1, keepdims=True)
-        dpb_dx = (db_dx * iw - bary_r * dd_dx) / jnp.maximum(d_big, _EPS)
-        dpb_dy = (db_dy * iw - bary_r * dd_dy) / jnp.maximum(d_big, _EPS)
-        sw = swapped[:, None]
-        unswap = lambda a: jnp.where(
-            sw, jnp.stack([a[:, 0], a[:, 2], a[:, 1]], axis=-1), a)
-        dpb_dx, dpb_dy = unswap(dpb_dx), unswap(dpb_dy)
-        uv0c = ds["v_uv0"][vid]
-        duv_dx = jnp.einsum("pc,pcj->pj", dpb_dx, uv0c)
-        duv_dy = jnp.einsum("pc,pcj->pj", dpb_dy, uv0c)
+        db_dx = jnp.stack([-(dbu_dx + dbv_dx), dbu_dx, dbv_dx], axis=-1)
+        db_dy = jnp.stack([-(dbu_dy + dbv_dy), dbu_dy, dbv_dy], axis=-1)
+        uv0c = ds["v_uv0"][vid]                                # (P,3,2)
+        duv_dx = jnp.einsum("pc,pcj->pj", db_dx, uv0c)
+        duv_dy = jnp.einsum("pc,pcj->pj", db_dy, uv0c)
     else:
         duv_dx = duv_dy = None
 
@@ -303,6 +278,29 @@ def shade_surface(
         alpha_mode == 0, 1.0,
         jnp.where(alpha_mode == 1,
                   (base[:, 3] >= cutoff).astype(jnp.float32), base[:, 3]))
+
+    # ---- editor grid (KIND_GRID: procedural world-space lines; parity with
+    # editor/src/grid/shaders/grid.wgsl) ----------------------------------------
+    is_grid = mflags[:, M.MI_KIND] == M.KIND_GRID
+    if transparent_pass:
+        spacing = jnp.maximum(mf[:, M.MF_GRID_SPACING], 1e-3)
+        major_every = jnp.maximum(mf[:, M.MF_GRID_MAJOR_EVERY], 1.0)
+        fade_dist = jnp.maximum(mf[:, M.MF_GRID_FADE_DISTANCE], 1e-3)
+        cam_dist = jnp.linalg.norm(world_pos - cam_pos[None, :], axis=-1)
+        # anti-aliased line width ~ projected pixel size in world units
+        aa = jnp.maximum(cam_dist * 2e-3, 1e-4)
+
+        def line_alpha(p, s, width):
+            d = jnp.abs(jnp.mod(p / s + 0.5, 1.0) - 0.5) * s
+            return jnp.clip(1.0 - (d - width) / jnp.maximum(width, 1e-6), 0.0, 1.0)
+
+        gx = world_pos[:, 0]
+        gz = world_pos[:, 2]
+        minor = jnp.maximum(line_alpha(gx, spacing, aa), line_alpha(gz, spacing, aa))
+        major = jnp.maximum(line_alpha(gx, spacing * major_every, aa * 1.5),
+                            line_alpha(gz, spacing * major_every, aa * 1.5))
+        grid_a = jnp.maximum(minor * 0.5, major) * jnp.clip(1.0 - cam_dist / fade_dist, 0.0, 1.0)
+        alpha = jnp.where(is_grid, grid_a * base[:, 3], alpha)
     if transparent_pass and background is not None:
         # KHR_materials_transmission: background transmitted through the
         # surface, tinted by base color (reference: material_transparent_
@@ -321,6 +319,8 @@ def shade_surface(
         pbr_color = pbr_color + transmitted * transmission[:, None]
 
     color = jnp.where(is_unlit[:, None], base[:, :3], pbr_color)
+    if transparent_pass:
+        color = jnp.where(is_grid[:, None], base[:, :3], color)
     valid = ~miss
     return color, alpha, valid, n_final
 
@@ -331,7 +331,7 @@ def shade_surface(
                      "slot_mask", "debug_normals"),
 )
 def shade_deferred(
-    vis, setup, corner_normal, corner_tangent, ds,
+    vis, corner_normal, corner_tangent, ds,
     *,
     width: int,
     height: int,
@@ -345,13 +345,12 @@ def shade_deferred(
     H, W = height, width
     H_full = height_full if height_full is not None else height
     P = H * W
-    tid = vis["tri_id"].reshape(P)
-    depth = vis["depth"].reshape(P)
-    bu = vis["bary_u"].reshape(P)
-    bv = vis["bary_v"].reshape(P)
+    f = lambda k: vis[k].reshape(P)
 
     color, _alpha, valid, n_final = shade_surface(
-        tid, depth, bu, bv, setup, corner_normal, corner_tangent, ds,
+        f("tri_id"), f("depth"), f("bary_u"), f("bary_v"),
+        f("dbu_dx"), f("dbu_dy"), f("dbv_dx"), f("dbv_dy"),
+        corner_normal, corner_tangent, ds,
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask,
     )
@@ -379,9 +378,9 @@ def shade_deferred(
                      "slot_mask", "n_layers"),
 )
 def shade_transparent_layers(
-    layers,            # dict of (K, P) arrays: tri_id, depth, bary_u, bary_v
+    layers,            # dict of (K, P) plane arrays from rasterize_layers
     opaque_hdr,        # (H, W, 4) shaded opaque result
-    setup, corner_normal, corner_tangent, ds,
+    corner_normal, corner_tangent, ds,
     *,
     width: int, height: int,
     height_full: int | None = None,
@@ -401,7 +400,8 @@ def shade_transparent_layers(
     def blend(out, layer):
         color, alpha, valid, _ = shade_surface(
             layer["tri_id"], layer["depth"], layer["bary_u"], layer["bary_v"],
-            setup, corner_normal, corner_tangent, ds,
+            layer["dbu_dx"], layer["dbu_dy"], layer["dbv_dx"], layer["dbv_dy"],
+            corner_normal, corner_tangent, ds,
             width=W, height=H, height_full=H_full, row_offset=row_offset,
             use_mips=use_mips, slot_mask=slot_mask,
             transparent_pass=True, background=out,

@@ -99,12 +99,14 @@ def render_frame_sharded(
         vis = rasterize(sorted_setup, width=width, height=band_h, interpret=interpret)
         vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
         hdr = shade_deferred(
-            vis, setup, corner_n, corner_t, ds_rep,
+            vis, corner_n, corner_t, ds_rep,
             width=width, height=band_h, height_full=height,
             row_offset=y0, use_mips=use_mips,
         )
         ldr = display_pass(hdr, tonemap)
-        return ldr, vis["tri_id"]
+        T_pool = ds_rep["tri_v"].shape[0]
+        tid = jnp.where(vis["tri_id"] >= 0, vis["tri_id"] % T_pool, -1)
+        return ldr, tid
 
     ds_rep = jax.device_put(ds, replicated)
     mask_rep = jax.device_put(opaque_mask, replicated)

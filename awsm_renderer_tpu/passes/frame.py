@@ -127,7 +127,7 @@ def render_frame(
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret)
     vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
     hdr = shade_deferred(
-        vis, setup, corner_n, corner_t, ds,
+        vis, corner_n, corner_t, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
         debug_normals=debug_normals,
     )
@@ -146,7 +146,7 @@ def render_frame(
         )
         layers["tri_id"] = _remap_tri_ids(layers["tri_id"], t_perm)
         hdr = shade_transparent_layers(
-            layers, hdr, t_setup, t_cn, t_ct, ds,
+            layers, hdr, t_cn, t_ct, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
             n_layers=n_transparent_layers,
         )
@@ -159,10 +159,11 @@ def render_frame(
         h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret)
         h_vis["tri_id"] = _remap_tri_ids(h_vis["tri_id"], h_perm)
         P = rw * rh
+        hf = lambda k: h_vis[k].reshape(P)
         h_color, h_alpha, h_valid, _ = shade_surface(
-            h_vis["tri_id"].reshape(P), h_vis["depth"].reshape(P),
-            h_vis["bary_u"].reshape(P), h_vis["bary_v"].reshape(P),
-            h_setup, h_cn, h_ct, ds,
+            hf("tri_id"), hf("depth"), hf("bary_u"), hf("bary_v"),
+            hf("dbu_dx"), hf("dbu_dy"), hf("dbv_dx"), hf("dbv_dy"),
+            h_cn, h_ct, ds,
             width=rw, height=rh, height_full=rh, row_offset=0,
             use_mips=use_mips, slot_mask=slot_mask,
         )
@@ -194,4 +195,7 @@ def render_frame(
     # ---- SMAA runs on the display image (effects_wgsl/helpers/smaa.wgsl) -----
     if smaa:
         ldr = smaa_pass(ldr)
+    # picking ids in original triangle-pool space (clipping doubles columns)
+    T_pool = ds["tri_v"].shape[0]
+    tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
     return ldr, tri_id, depth
