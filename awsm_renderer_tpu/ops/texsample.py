@@ -132,10 +132,17 @@ def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
 
 
 def apply_texture_transform(tex_transforms, transform_id, uv):
-    """KHR_texture_transform: uv' = M @ uv + offset; id < 0 → identity."""
+    """KHR_texture_transform: uv' = M @ uv + offset; id < 0 → identity.
+
+    Row slot 6 is a mode flag: 1 = wrap (fract) uv BEFORE the affine map —
+    used by MegaTexture atlas entries so REPEAT sampling stays inside the
+    entry's sub-rectangle (reference mega_texture per-entry uv offset/scale
+    behaves the same way)."""
     safe = jnp.clip(transform_id, 0, tex_transforms.shape[0] - 1)
     t = tex_transforms[safe]                            # (P, 8)
-    u = t[:, 0] * uv[:, 0] + t[:, 1] * uv[:, 1] + t[:, 4]
-    v = t[:, 2] * uv[:, 0] + t[:, 3] * uv[:, 1] + t[:, 5]
+    wrap_first = t[:, 6] > 0.5
+    uvw = jnp.where(wrap_first[:, None], uv - jnp.floor(uv), uv)
+    u = t[:, 0] * uvw[:, 0] + t[:, 1] * uvw[:, 1] + t[:, 4]
+    v = t[:, 2] * uvw[:, 0] + t[:, 3] * uvw[:, 1] + t[:, 5]
     out = jnp.stack([u, v], axis=-1)
     return jnp.where((transform_id >= 0)[:, None], out, uv)
