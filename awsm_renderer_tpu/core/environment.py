@@ -26,6 +26,84 @@ N_SPEC_MIPS = 5
 IRRADIANCE_SIZE = 16
 
 
+def load_hdr_image(path: str) -> np.ndarray:
+    """Load an HDR/LDR environment image as linear float RGB.
+
+    Reference: renderer-core/src/image/exr.rs (EXR decode) + image.rs.
+    Tries cv2 (EXR/HDR support), falls back to imageio, then PIL (LDR,
+    sRGB-decoded)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
+        if img is not None:
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=2)
+            img = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2RGB)
+            if img.dtype == np.uint8 or img.max() > 0 and path.lower().endswith((".png", ".jpg", ".jpeg")):
+                pass
+            return np.asarray(img, dtype=F)
+    except Exception:
+        pass
+    try:
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(path), dtype=F)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=2)
+        return img[..., :3]
+    except Exception:
+        pass
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path).convert("RGB"), dtype=F) / 255.0
+    from .textures import srgb_to_linear
+
+    return srgb_to_linear(arr)
+
+
+def equirect_to_cubemap(equirect: np.ndarray, size: int = 128) -> np.ndarray:
+    """Equirectangular (H, W, 3|4) → (6, size, size, 4) cubemap, bilinear.
+
+    Face order/orientation matches ops/cubemap.py sampling."""
+    eq = np.asarray(equirect, dtype=F)
+    if eq.shape[-1] == 3:
+        eq = np.concatenate([eq, np.ones((*eq.shape[:-1], 1), F)], axis=-1)
+    Hs, Ws = eq.shape[:2]
+
+    # per-face direction construction mirrors cubemap_face_uv inverted
+    uv = (np.arange(size, dtype=np.float64) + 0.5) / size * 2.0 - 1.0
+    u, v = np.meshgrid(uv, uv, indexing="xy")   # u: x (sc), v: y (tc)
+    ones = np.ones_like(u)
+    faces_dirs = [
+        np.stack([ones, -v, -u], -1),    # +X: sc=-z, tc=-y
+        np.stack([-ones, -v, u], -1),    # -X
+        np.stack([u, ones, v], -1),      # +Y: sc=x, tc=z
+        np.stack([u, -ones, -v], -1),    # -Y
+        np.stack([u, -v, ones], -1),     # +Z
+        np.stack([-u, -v, -ones], -1),   # -Z
+    ]
+    out = np.zeros((6, size, size, 4), F)
+    for f, d in enumerate(faces_dirs):
+        dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        theta = np.arctan2(dn[..., 0], -dn[..., 2])       # azimuth
+        phi = np.arcsin(np.clip(dn[..., 1], -1, 1))        # elevation
+        x = (theta / (2 * np.pi) + 0.5) * Ws - 0.5
+        y = (0.5 - phi / np.pi) * Hs - 0.5
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.clip(np.floor(y).astype(np.int64), 0, Hs - 1)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0m = np.mod(x0, Ws)
+        x1m = np.mod(x0 + 1, Ws)
+        y1 = np.clip(y0 + 1, 0, Hs - 1)
+        out[f] = (
+            eq[y0, x0m] * (1 - fx) * (1 - fy) + eq[y0, x1m] * fx * (1 - fy)
+            + eq[y1, x0m] * (1 - fx) * fy + eq[y1, x1m] * fx * fy
+        )
+    return out
+
+
 def solid_cubemap(color, size: int) -> np.ndarray:
     c = np.asarray(color, dtype=F)
     if c.shape[0] == 3:
@@ -54,6 +132,16 @@ class Environment:
             faces = np.concatenate([faces, np.ones((*faces.shape[:-1], 1), F)], axis=-1)
         self.skybox = faces
         self.gpu_dirty = True
+
+    def set_environment_from_equirect(self, image_or_path, size: int = 128) -> None:
+        """Load an equirect panorama (EXR/HDR/PNG path or array) as skybox
+        AND IBL source in one call (the usual frontend flow: pick an env →
+        skybox + prefiltered + irradiance)."""
+        img = load_hdr_image(image_or_path) if isinstance(image_or_path, str) \
+            else np.asarray(image_or_path, dtype=F)
+        faces = equirect_to_cubemap(img, size)
+        self.set_skybox_cubemap(faces)
+        self.set_ibl_from_cubemap(faces)
 
     def set_ibl_from_cubemap(self, env_faces: np.ndarray) -> None:
         """Build prefiltered + irradiance maps from an environment cubemap.

@@ -61,7 +61,7 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _merge_subgroup(P, px, py, tri_base, state, zbounds=None):
+def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
@@ -69,10 +69,29 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None):
     state: tuple of 8 (1, npx) accumulators
            (z, tid, bu, bv, dbudx, dbudy, dbvdx, dbvdy);
     zbounds: optional (zlo, zhi) per-pixel planes — fragments must satisfy
-    zlo < z < zhi (depth peeling against the previous layer + opaque depth).
+    zlo < z < zhi (depth peeling against the previous layer + opaque depth);
+    tile_xy: optional (tx0, ty0) scalars — when given, the whole subgroup
+    is skipped via lax.cond if its combined bbox misses the tile (Morton-
+    sorted input makes subgroups spatially tight, so most partial-chunk
+    subgroups skip).
     Pure jnp — shared between the unrolled TPU kernel and the fori_loop
     interpret path, and unit-testable directly.
     """
+    if tile_xy is not None:
+        tx0, ty0 = tile_xy
+        hit = (
+            (jnp.min(P[:, S_BB_MINX]) < tx0 + TILE_W)
+            & (jnp.max(P[:, S_BB_MAXX]) > tx0)
+            & (jnp.min(P[:, S_BB_MINY]) < ty0 + TILE_H)
+            & (jnp.max(P[:, S_BB_MAXY]) > ty0)
+        )
+        return jax.lax.cond(
+            hit,
+            lambda st: _merge_subgroup(P, px, py, tri_base, st, zbounds),
+            lambda st: st,
+            state,
+        )
+
     z_best, t_best, bu_best, bv_best, dux_b, duy_b, dvx_b, dvy_b = state
     npx = px.shape[1]
 
@@ -226,14 +245,17 @@ def _make_kernel(unroll: bool, peel: bool):
             if peel:
                 zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
 
+            txy = (tx0, ty0)
             if unroll:
                 for g in range(CHUNK // SUB):
                     Pg = setup_t[g * SUB : (g + 1) * SUB]
-                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state, zbounds)
+                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
+                                            zbounds, txy)
             else:
                 def body(g, st):
                     Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                    return _merge_subgroup(Pg, px, py, base + g * SUB, st, zbounds)
+                    return _merge_subgroup(Pg, px, py, base + g * SUB, st,
+                                           zbounds, txy)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
@@ -250,6 +272,166 @@ def _make_kernel(unroll: bool, peel: bool):
                 o[:] = a[:].reshape(TILE_H, TILE_W)
 
     return _raster_kernel
+
+
+def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
+    """Per-tile chunk lists: for each (8,128) screen tile, the indices of
+    the triangle chunks whose conservative bbox overlaps it.
+
+    This is the TPU analog of tiled binning in software rasterizers
+    (PAPERS.md CuRast): it turns the raster grid from
+    O(tiles x all_chunks) into O(tiles x overlapping_chunks). Returns
+    (bin_idx (n_tiles*B,) i32, counts (n_tiles,) i32, B). Chunks beyond
+    capacity B are dropped (counts clip); pad slots repeat the last valid
+    chunk so the pipelined fetch coalesces (same block index => no DMA).
+    """
+    T = setup.shape[1]
+    n_chunks = T // CHUNK
+    n_ty, n_tx = height // TILE_H, width // TILE_W
+    # the bin table is a scalar-prefetch array in SMEM (1 MiB total);
+    # budget ~0.85 MiB for it and clamp B accordingly
+    smem_budget_entries = (850_000 // 4)
+    b_fit = max(8, smem_budget_entries // (n_ty * n_tx))
+    B = min(max_bins, b_fit, n_chunks)
+    bbox = _chunk_bboxes(setup, n_chunks)                  # (4, Nc)
+
+    tx0 = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W     # (n_tx,)
+    ty0 = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
+    ox = (bbox[0][None, :] < (tx0 + TILE_W)[:, None]) & (bbox[2][None, :] > tx0[:, None])
+    oy = (bbox[1][None, :] < (ty0 + TILE_H)[:, None]) & (bbox[3][None, :] > ty0[:, None])
+    overlap = oy[:, None, :] & ox[None, :, :]              # (n_ty, n_tx, Nc)
+    overlap = overlap.reshape(n_ty * n_tx, n_chunks)
+
+    counts = jnp.minimum(jnp.sum(overlap, axis=1), B).astype(jnp.int32)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
+    key = jnp.where(overlap, iota_c, n_chunks)             # ascending ids first
+    neg_top, _ = jax.lax.top_k(-key, B)                    # B smallest keys
+    bins = -neg_top                                        # (n_tiles, B) ascending
+    # replace out-of-range pad slots with each row's last valid chunk
+    last = jnp.take_along_axis(
+        bins, jnp.maximum(counts - 1, 0)[:, None], axis=1)
+    bins = jnp.where(bins >= n_chunks, last, bins)
+    bins = jnp.where(counts[:, None] == 0, 0, bins)
+    return bins.reshape(-1), counts, B
+
+
+def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int):
+    def _kernel(bin_ref, cnt_ref, setup_ref, *refs):
+        if peel:
+            zlo_ref, zhi_ref = refs[0], refs[1]
+            refs = refs[2:]
+        outs = refs[:N_PLANES]
+        accs = refs[N_PLANES:]
+
+        t = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            accs[0][:] = jnp.full_like(accs[0], 1.0)
+            accs[1][:] = jnp.full_like(accs[1], -1)
+            for a in accs[2:]:
+                a[:] = jnp.zeros_like(a)
+
+        ty0 = ((t // n_tx) * TILE_H).astype(jnp.float32)
+        tx0 = ((t % n_tx) * TILE_W).astype(jnp.float32)
+
+        @pl.when(k < cnt_ref[t])
+        def _process():
+            npx = TILE_H * TILE_W
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+            px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
+            py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
+
+            setup_t = setup_ref[:].T
+            state = tuple(a[:] for a in accs)
+            base = bin_ref[t * B + k] * CHUNK
+            zbounds = None
+            if peel:
+                zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
+
+            txy = (tx0, ty0)
+            if unroll:
+                for g in range(CHUNK // SUB):
+                    Pg = setup_t[g * SUB : (g + 1) * SUB]
+                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
+                                            zbounds, txy)
+            else:
+                def body(g, st):
+                    Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
+                    return _merge_subgroup(Pg, px, py, base + g * SUB, st,
+                                           zbounds, txy)
+
+                state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
+
+            for a, s in zip(accs, state):
+                a[:] = s
+
+        @pl.when(k == B - 1)
+        def _flush():
+            outs[0][:] = accs[1][:].reshape(TILE_H, TILE_W)
+            outs[1][:] = accs[0][:].reshape(TILE_H, TILE_W)
+            for o, a in zip(outs[2:], accs[2:]):
+                o[:] = a[:].reshape(TILE_H, TILE_W)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_bins", "interpret")
+)
+def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
+                     max_bins: int = 128, interpret: bool | None = None):
+    """Binned rasterizer: grid = (tiles, B) over per-tile chunk lists.
+
+    The scalar-prefetched bin table drives the setup BlockSpec index_map,
+    so a tile only ever DMAs chunks that overlap it — the production path
+    for large scenes (the dense grid does O(tiles x chunks) DMA). Pass
+    zlo/zhi planes for a depth-peel pass."""
+    if interpret is None:
+        interpret = _interpret_default()
+    peel = zlo is not None
+    T = setup.shape[1]
+    assert T % CHUNK == 0
+    n_ty, n_tx = height // TILE_H, width // TILE_W
+    n_tiles = n_ty * n_tx
+    bins, counts, B = build_bins(setup, width=width, height=height, max_bins=max_bins)
+    npx = TILE_H * TILE_W
+
+    def setup_map(t, k, bin_ref, cnt_ref):
+        return (0, bin_ref[t * B + k])
+
+    def tile_map(t, k, bin_ref, cnt_ref):
+        return (t // n_tx, t % n_tx)
+
+    in_specs = [
+        pl.BlockSpec((NSETUP, CHUNK), setup_map, memory_space=pltpu.VMEM),
+    ]
+    args = [setup]
+    if peel:
+        in_specs += [
+            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM),
+        ]
+        args += [zlo, zhi]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, B),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM)
+            for _ in range(N_PLANES)
+        ),
+        scratch_shapes=_scratch(npx),
+    )
+    outs = pl.pallas_call(
+        _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B),
+        grid_spec=grid_spec,
+        out_shape=_out_shapes(width, height),
+        interpret=interpret,
+    )(bins, counts, *args)
+    return dict(zip(_PLANE_NAMES, outs))
 
 
 def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
@@ -276,14 +458,27 @@ def _scratch(npx: int):
     ] + [pltpu.VMEM((1, npx), jnp.float32)] * (N_PLANES - 2)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
-def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
+def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
+              binned: bool | None = None):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
     TILE_H) (the frame pipeline pads and crops). Returns a dict of
-    (height, width) planes (see module docstring).
+    (height, width) planes (see module docstring). Dispatches to the
+    binned kernel on hardware (dense grid kept for interpret-mode tests).
     """
+    if interpret is None:
+        interpret = _interpret_default()
+    if binned is None:
+        binned = not interpret
+    if binned:
+        return rasterize_binned(setup, width=width, height=height,
+                                interpret=interpret)
+    return _rasterize_dense(setup, width=width, height=height, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def _rasterize_dense(setup, *, width: int, height: int, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
     T = setup.shape[1]
@@ -319,14 +514,27 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None):
     return dict(zip(_PLANE_NAMES, outs))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, binned: bool | None = None):
     """One depth-peel pass: nearest fragment with zlo < z < zhi per pixel.
 
     zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
     buffer (shared world depth, read-only — the reference's transparent
     pass binds the opaque depth the same way)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if binned is None:
+        binned = not interpret
+    if binned:
+        return rasterize_binned(setup, zlo, zhi, width=width, height=height,
+                                interpret=interpret)
+    return _rasterize_peel_dense(setup, zlo, zhi, width=width, height=height,
+                                 interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
+                          interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
     T = setup.shape[1]
@@ -381,9 +589,15 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
 
 
 def pad_setup(setup: jnp.ndarray) -> jnp.ndarray:
-    """Pad triangle axis to a CHUNK multiple with invalid triangles."""
+    """Pad triangle axis to a CHUNK multiple with invalid triangles
+    (empty bboxes so bbox-based culling skips padding)."""
     T = setup.shape[1]
     pad = (-T) % CHUNK
     if pad == 0:
         return setup
-    return jnp.pad(setup, ((0, 0), (0, pad)))
+    out = jnp.pad(setup, ((0, 0), (0, pad)))
+    out = out.at[S_BB_MINX, T:].set(_BIG)
+    out = out.at[S_BB_MINY, T:].set(_BIG)
+    out = out.at[S_BB_MAXX, T:].set(-_BIG)
+    out = out.at[S_BB_MAXY, T:].set(-_BIG)
+    return out

@@ -233,6 +233,13 @@ def vertex_stage(
         zmin = jnp.min(z_o, axis=1)
         zmax = jnp.max(z_o, axis=1)
         valid = keep & on_screen & (zmax >= 0.0) & (zmin <= 1.0)
+        # invalid triangles get an EMPTY bbox so chunk- and subgroup-level
+        # bbox culling in the rasterizer skips them without reading S_VALID
+        big = jnp.float32(3.0e38)
+        bb_minx = jnp.where(valid, bb_minx, big)
+        bb_miny = jnp.where(valid, bb_miny, big)
+        bb_maxx = jnp.where(valid, bb_maxx, -big)
+        bb_maxy = jnp.where(valid, bb_maxy, -big)
 
         return jnp.stack(
             [

@@ -193,3 +193,42 @@ def test_multi_chunk_global_ids():
     got = run(tris)
     covered = got["tri_id"] > 0
     assert np.all(got["tri_id"][covered] == CHUNK)
+
+
+def test_binned_matches_dense():
+    # binned path (interpret) must produce identical planes to the dense path
+    rng = np.random.default_rng(11)
+    tris = []
+    for _ in range(40):
+        xy = rng.uniform([0, 0], [W, H], size=(3, 2)).astype(np.float32)
+        area2 = (xy[1, 0] - xy[0, 0]) * (xy[2, 1] - xy[0, 1]) - (
+            xy[2, 0] - xy[0, 0]) * (xy[1, 1] - xy[0, 1])
+        if abs(area2) < 1.0:
+            continue
+        if area2 < 0:
+            xy = xy[[0, 2, 1]]
+        tris.append({"xy": xy, "z": rng.uniform(0.1, 0.9, 3).astype(np.float32)})
+    s = make_setup(tris)
+    from awsm_renderer_tpu.ops.raster import rasterize_binned
+    dense = rasterize(s, width=W, height=H, binned=False)
+    binned = rasterize_binned(s, width=W, height=H, max_bins=8, interpret=True)
+    for k in dense:
+        np.testing.assert_allclose(np.asarray(binned[k]), np.asarray(dense[k]),
+                                   atol=1e-6, err_msg=k)
+
+
+def test_binned_peel_matches_dense():
+    import jax.numpy as jnp
+    from awsm_renderer_tpu.ops.raster import rasterize_binned, _rasterize_peel_dense
+    tris = [
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.3, 0.3, 0.3]},
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.6, 0.6, 0.6]},
+    ]
+    s = make_setup(tris)
+    zlo = jnp.full((H, W), -1.0, jnp.float32)
+    zhi = jnp.full((H, W), 1.0, jnp.float32)
+    dense = _rasterize_peel_dense(s, zlo, zhi, width=W, height=H, interpret=True)
+    binned = rasterize_binned(s, zlo, zhi, width=W, height=H, max_bins=4, interpret=True)
+    for k in dense:
+        np.testing.assert_allclose(np.asarray(binned[k]), np.asarray(dense[k]),
+                                   atol=1e-6, err_msg=k)
