@@ -114,6 +114,8 @@ def solid_cubemap(color, size: int) -> np.ndarray:
 class Environment:
     def __init__(self, skybox_color=(0.1, 0.1, 0.12), ibl_color=(1.0, 1.0, 1.0),
                  ibl_intensity: float = 1.0):
+        # solid environments let shading compile IBL/sky reads to constants
+        self.is_solid = True
         self.skybox = solid_cubemap(skybox_color, SKYBOX_SIZE)
         # prefiltered specular: solid color at every roughness level
         self.prefiltered = np.broadcast_to(
@@ -131,6 +133,7 @@ class Environment:
         if faces.shape[-1] == 3:
             faces = np.concatenate([faces, np.ones((*faces.shape[:-1], 1), F)], axis=-1)
         self.skybox = faces
+        self.is_solid = False
         self.gpu_dirty = True
 
     def set_environment_from_equirect(self, image_or_path, size: int = 128) -> None:
@@ -177,4 +180,5 @@ class Environment:
             for f in mips[-1]
         ])
         self.irradiance = irr
+        self.is_solid = False
         self.gpu_dirty = True

@@ -1,19 +1,21 @@
-"""Mesh store: pooled vertex/triangle/morph device arrays + per-mesh records.
+"""Mesh store: corner-major exploded geometry pools + per-mesh records.
 
 Mirrors reference behavior: crates/renderer/src/meshes.rs (mesh store over
 shared geometry GPU buffers with buddy allocation, refcounted MeshResource
 sharing, per-mesh meta) + meshes/morphs.rs (global morph weight/value
 buffers) + meshes/meta.rs (per-mesh geometry/material meta).
 
-TPU-first redesign notes:
-- The reference explodes triangles into 52-byte visibility vertices
-  (gltf/buffers/mesh/visibility.rs) because WebGPU vertex fetch needs
-  per-corner data. A TPU gathers: vertices stay INDEXED in SoA pools and
-  the vertex stage gathers per *triangle corner* via ``tri_v``, then
-  transforms by ``tri_mesh``'s world matrix. That makes instancing =
-  duplicating 4 i32 per triangle (EXT_mesh_gpu_instancing inserts one mesh
-  record per instance sharing the same vertex-pool range) and keeps the
-  heavy attribute pools deduplicated.
+TPU-first redesign notes (v2):
+- Geometry is stored EXPLODED per triangle corner (c_* arrays of length
+  3 * triangle_capacity), the same layout the reference bakes into its
+  52-byte visibility vertices (gltf/buffers/mesh/visibility.rs) — because
+  on TPU an indexed gather is the slowest primitive while a contiguous
+  reshape is free. The vertex stage reads corners with zero gathers.
+- Morph deltas stay per-ORIGINAL-vertex in a shared pool; corners point
+  at their row via c_morph_base (no delta duplication).
+- MeshResource sharing keeps the CPU-side exploded arrays once; each mesh
+  instance stamps its own triangle range (per-instance corner duplication
+  on device, the price of gather-free vertex fetch).
 - Pools are capacity-padded numpy mirrors of device arrays; growth doubles
   capacity (a recompile trigger, like the reference's buffer-resize →
   bind-group-recreate events).
@@ -54,10 +56,10 @@ MAX_SKIN_SETS = 2      # JOINTS_0/JOINTS_1 (reference supports multiple sets, sk
 
 @dataclass
 class MeshGeometry:
-    """CPU-side geometry for one primitive (already converted, indexed).
+    """CPU-side geometry for one primitive (indexed; exploded at insert).
 
     The glTF pipeline produces this (analog of the reference's
-    gltf/buffers.rs conversion output, but indexed instead of exploded).
+    gltf/buffers.rs conversion output).
     """
 
     positions: np.ndarray                      # (V, 3) f32
@@ -96,15 +98,18 @@ class MeshGeometry:
 
 @dataclass
 class _Resource:
-    """Refcounted pool allocation (reference: meshes.rs:303 MeshResource)."""
+    """Refcounted shared geometry (reference: meshes.rs:303 MeshResource).
 
-    v_base: int
-    v_count: int
-    t_capacity_per_instance: int
+    Keeps the CPU-side exploded corner arrays; device corner pools get a
+    copy per mesh instance."""
+
+    tri_count: int
+    vertex_count: int
     n_morph_targets: int
     morph_base: int  # row into morph pool, -1 if none
     skin_sets: int
     aabb: Aabb
+    corners: Dict[str, np.ndarray] = field(default_factory=dict)
     refcount: int = 0
 
 
@@ -132,29 +137,18 @@ def _grow(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
 
 
 class Meshes:
-    def __init__(self, vertex_capacity: int = 1 << 12, triangle_capacity: int = 1 << 12,
+    def __init__(self, triangle_capacity: int = 1 << 12,
                  mesh_capacity: int = 64, morph_capacity: int = 256):
-        self._v_alloc = BuddyAllocator(vertex_capacity, min_block=64)
         self._t_alloc = BuddyAllocator(triangle_capacity, min_block=64)
         self._m_alloc = BuddyAllocator(morph_capacity, min_block=64)
         self._mesh_alloc = SlotAllocator(mesh_capacity)
         self._res_alloc = SlotAllocator(16)
 
-        vc, tc, mc = self._v_alloc.capacity, self._t_alloc.capacity, self._m_alloc.capacity
-        self.v_pos = np.zeros((vc, 3), dtype=F)
-        self.v_norm = np.zeros((vc, 3), dtype=F)
-        self.v_tang = np.zeros((vc, 4), dtype=F)
-        self.v_uv0 = np.zeros((vc, 2), dtype=F)
-        self.v_uv1 = np.zeros((vc, 2), dtype=F)
-        self.v_color0 = np.ones((vc, 4), dtype=F)
-        self.v_joints = np.zeros((vc, 4 * MAX_SKIN_SETS), dtype=I)
-        self.v_weights = np.zeros((vc, 4 * MAX_SKIN_SETS), dtype=F)
-        self.v_morph_base = np.full(vc, -1, dtype=I)
+        self._resize_corners(self._t_alloc.capacity)
+        mc = self._m_alloc.capacity
         # morph pool: rows of [dpos(3), dnorm(3), dtan(3), pad] = 10 f32
         # (reference: 10 f32/target/vtx, gltf/buffers/morph.rs)
         self.morph_deltas = np.zeros((mc, 10), dtype=F)
-        self.tri_v = np.zeros((tc, 3), dtype=I)
-        self.tri_mesh = np.full(tc, -1, dtype=I)
 
         meshc = self._mesh_alloc.capacity
         self.mesh_info = np.zeros((meshc, MESH_INFO_I32), dtype=I)
@@ -165,46 +159,63 @@ class Meshes:
         self.gpu_dirty = True
         self.capacity_changed = True
 
+    def _resize_corners(self, tri_capacity: int) -> None:
+        n = 3 * tri_capacity
+        self.c_pos = np.zeros((n, 3), dtype=F)
+        self.c_norm = np.zeros((n, 3), dtype=F)
+        self.c_tang = np.zeros((n, 4), dtype=F)
+        self.c_uv0 = np.zeros((n, 2), dtype=F)
+        self.c_uv1 = np.zeros((n, 2), dtype=F)
+        self.c_color = np.ones((n, 4), dtype=F)
+        self.c_joints = np.zeros((n, 4 * MAX_SKIN_SETS), dtype=I)
+        self.c_weights = np.zeros((n, 4 * MAX_SKIN_SETS), dtype=F)
+        self.c_morph_base = np.full(n, -1, dtype=I)
+        self.tri_mesh = np.full(tri_capacity, -1, dtype=I)
+
+    def _grow_corners(self) -> None:
+        tc = self._t_alloc.capacity
+        old = {name: getattr(self, name) for name in (
+            "c_pos", "c_norm", "c_tang", "c_uv0", "c_uv1", "c_color",
+            "c_joints", "c_weights", "c_morph_base", "tri_mesh")}
+        self._resize_corners(tc)
+        for name, arr in old.items():
+            getattr(self, name)[: arr.shape[0]] = arr
+        self.capacity_changed = True
+
     # ---- resource management (geometry sharing) ---------------------------
 
     def insert_resource(self, geo: MeshGeometry) -> int:
-        """Upload geometry into the pools; returns a resource key."""
+        """Convert geometry to exploded corner arrays; returns resource key."""
         V, T = geo.vertex_count, geo.triangle_count
-        v_base = self._v_alloc.alloc(V)
-        if self._v_alloc.take_needs_resize():
-            vc = self._v_alloc.capacity
-            for name in ("v_pos", "v_norm", "v_tang", "v_uv0", "v_uv1", "v_color0",
-                         "v_joints", "v_weights"):
-                setattr(self, name, _grow(getattr(self, name), vc))
-            self.v_morph_base = _grow(self.v_morph_base, vc, fill=-1)
-            self.capacity_changed = True
+        idx = geo.indices.reshape(-1)                       # (3T,)
 
-        sl = slice(v_base, v_base + V)
-        self.v_pos[sl] = geo.positions
-        if geo.normals is not None:
-            self.v_norm[sl] = np.asarray(geo.normals, F).reshape(V, 3)
+        corners: Dict[str, np.ndarray] = {"pos": geo.positions[idx]}
+        corners["norm"] = (np.asarray(geo.normals, F).reshape(V, 3)[idx]
+                           if geo.normals is not None else np.zeros((3 * T, 3), F))
         if geo.tangents is not None:
-            self.v_tang[sl] = np.asarray(geo.tangents, F).reshape(V, 4)
+            corners["tang"] = np.asarray(geo.tangents, F).reshape(V, 4)[idx]
         else:
-            self.v_tang[sl] = [1, 0, 0, 1]
-        if geo.uv0 is not None:
-            self.v_uv0[sl] = np.asarray(geo.uv0, F).reshape(V, 2)
-        if geo.uv1 is not None:
-            self.v_uv1[sl] = np.asarray(geo.uv1, F).reshape(V, 2)
-        if geo.color0 is not None:
-            self.v_color0[sl] = np.asarray(geo.color0, F).reshape(V, 4)
-        else:
-            self.v_color0[sl] = 1.0
+            corners["tang"] = np.tile(np.array([1, 0, 0, 1], F), (3 * T, 1))
+        corners["uv0"] = (np.asarray(geo.uv0, F).reshape(V, 2)[idx]
+                          if geo.uv0 is not None else np.zeros((3 * T, 2), F))
+        corners["uv1"] = (np.asarray(geo.uv1, F).reshape(V, 2)[idx]
+                          if geo.uv1 is not None else np.zeros((3 * T, 2), F))
+        corners["color"] = (np.asarray(geo.color0, F).reshape(V, 4)[idx]
+                            if geo.color0 is not None else np.ones((3 * T, 4), F))
 
         skin_sets = 0
         if geo.joints is not None and geo.weights is not None:
             j = np.asarray(geo.joints, I).reshape(V, -1)
             w = np.asarray(geo.weights, F).reshape(V, -1)
             skin_sets = min(MAX_SKIN_SETS, j.shape[1] // 4)
-            self.v_joints[sl, : skin_sets * 4] = j[:, : skin_sets * 4]
-            self.v_weights[sl, : skin_sets * 4] = w[:, : skin_sets * 4]
+            jj = np.zeros((3 * T, 4 * MAX_SKIN_SETS), I)
+            ww = np.zeros((3 * T, 4 * MAX_SKIN_SETS), F)
+            jj[:, : skin_sets * 4] = j[idx, : skin_sets * 4]
+            ww[:, : skin_sets * 4] = w[idx, : skin_sets * 4]
+            corners["joints"] = jj
+            corners["weights"] = ww
 
-        # morph targets
+        # morph targets: shared per-vertex pool; corners point at their row
         M = geo.morph_target_count
         morph_base = -1
         if M:
@@ -220,20 +231,16 @@ class Meshes:
             if geo.morph_tangents is not None:
                 rows[:, :, 6:9] = geo.morph_tangents[:M][..., :3]
             self.morph_deltas[morph_base : morph_base + M * V] = rows.reshape(M * V, 10)
-            self.v_morph_base[sl] = morph_base + np.arange(V, dtype=I)
-        else:
-            self.v_morph_base[sl] = -1
+            corners["morph_base"] = (morph_base + idx).astype(I)
+            self.gpu_dirty = True
 
         key = self._res_alloc.insert()
         self._res_alloc.take_needs_resize()
         self._resources[key] = _Resource(
-            v_base=v_base, v_count=V, t_capacity_per_instance=T,
-            n_morph_targets=M, morph_base=morph_base, skin_sets=skin_sets,
-            aabb=geo.aabb,
+            tri_count=T, vertex_count=V, n_morph_targets=M,
+            morph_base=morph_base, skin_sets=skin_sets, aabb=geo.aabb,
+            corners=corners,
         )
-        # stash indices (local) for mesh insertion
-        self._resources[key].local_indices = geo.indices  # type: ignore[attr-defined]
-        self.gpu_dirty = True
         return key
 
     # ---- mesh records ------------------------------------------------------
@@ -243,20 +250,12 @@ class Meshes:
                transparent: bool = False, hud: bool = False, hidden: bool = False,
                skin_key: Optional[int] = None, skin_joint_rows: Optional[np.ndarray] = None,
                initial_morph_weights: Optional[np.ndarray] = None) -> int:
-        """Create a renderable mesh over a resource (reference: meshes.rs:455).
-
-        `skin_joint_rows`: (J,) global joint-pool rows for this skin; vertex
-        joint indices (local) were uploaded at resource insert and are
-        rebased here by writing v_joints only once per resource+skin combo.
-        """
+        """Create a renderable mesh over a resource (reference: meshes.rs:455)."""
         res = self._resources[resource_key]
-        T = res.t_capacity_per_instance
+        T = res.tri_count
         t_base = self._t_alloc.alloc(T)
         if self._t_alloc.take_needs_resize():
-            tc = self._t_alloc.capacity
-            self.tri_v = _grow(self.tri_v, tc)
-            self.tri_mesh = _grow(self.tri_mesh, tc, fill=-1)
-            self.capacity_changed = True
+            self._grow_corners()
 
         key = self._mesh_alloc.insert()
         if self._mesh_alloc.take_needs_resize():
@@ -266,16 +265,31 @@ class Meshes:
             self.capacity_changed = True
         row = self._mesh_alloc.row_of(key)
 
-        local = self._resources[resource_key].local_indices  # type: ignore[attr-defined]
-        self.tri_v[t_base : t_base + T] = local + res.v_base
-        self.tri_mesh[t_base : t_base + T] = row
-
-        if skin_joint_rows is not None and res.skin_sets:
-            # rebase local joint indices to global joint-pool rows
-            sl = slice(res.v_base, res.v_base + res.v_count)
+        c = slice(3 * t_base, 3 * (t_base + T))
+        cr = res.corners
+        self.c_pos[c] = cr["pos"]
+        self.c_norm[c] = cr["norm"]
+        self.c_tang[c] = cr["tang"]
+        self.c_uv0[c] = cr["uv0"]
+        self.c_uv1[c] = cr["uv1"]
+        self.c_color[c] = cr["color"]
+        if "morph_base" in cr:
+            self.c_morph_base[c] = cr["morph_base"]
+        else:
+            self.c_morph_base[c] = -1
+        if "joints" in cr and skin_joint_rows is not None and res.skin_sets:
             rows = np.asarray(skin_joint_rows, I)
-            local = np.clip(self.v_joints[sl, : res.skin_sets * 4], 0, len(rows) - 1)
-            self.v_joints[sl, : res.skin_sets * 4] = rows[local]
+            local = np.clip(cr["joints"][:, : res.skin_sets * 4], 0, len(rows) - 1)
+            self.c_joints[c] = 0
+            self.c_joints[c][:, : res.skin_sets * 4] = rows[local]
+            self.c_weights[c] = cr["weights"]
+        elif "joints" in cr:
+            self.c_joints[c] = cr["joints"]
+            self.c_weights[c] = cr["weights"]
+        else:
+            self.c_joints[c] = 0
+            self.c_weights[c] = 0.0
+        self.tri_mesh[t_base : t_base + T] = row
 
         flags = (
             (MESH_FLAG_HIDDEN if hidden else 0)
@@ -288,7 +302,7 @@ class Meshes:
         self.mesh_info[row, MI_MATERIAL_ROW] = material_row
         self.mesh_info[row, MI_FLAGS] = flags
         self.mesh_info[row, MI_N_MORPH_TARGETS] = res.n_morph_targets
-        self.mesh_info[row, MI_MORPH_STRIDE] = res.v_count
+        self.mesh_info[row, MI_MORPH_STRIDE] = res.vertex_count
         self.mesh_info[row, MI_SKIN_SETS] = res.skin_sets
         if initial_morph_weights is not None:
             w = np.zeros(MAX_MORPH_TARGETS, dtype=F)
@@ -324,7 +338,6 @@ class Meshes:
         res = self._resources[mesh.resource_key]
         res.refcount -= 1
         if res.refcount == 0:
-            self._v_alloc.free(res.v_base)
             if res.morph_base >= 0:
                 self._m_alloc.free(res.morph_base)
             self._res_alloc.remove(mesh.resource_key)
@@ -393,10 +406,6 @@ class Meshes:
         mins = np.stack([self._meshes[k].world_aabb.min for k in keys])
         maxs = np.stack([self._meshes[k].world_aabb.max for k in keys])
         return mins, maxs, keys
-
-    @property
-    def vertex_capacity(self) -> int:
-        return self._v_alloc.capacity
 
     @property
     def triangle_capacity(self) -> int:

@@ -41,9 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .vertex import (
     NSETUP,
     S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
-    S_BU0, S_BU1, S_BU2, S_BV0, S_BV1, S_BV2,
-    S_IW0, S_IW1, S_IW2,
-    S_VALID,
+    S_COLOR, S_IW0, S_IW1, S_IW2, S_MAT_ROW, S_NORMAL,
+    S_TANGENT, S_UV0, S_UV1, S_VALID,
     S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
     S_Z0, S_Z1, S_Z2,
 )
@@ -54,7 +53,21 @@ CHUNK = 128          # triangles DMA'd per grid step
 SUB = 8              # triangles merged per vector op
 _BIG = 3.0e38
 
-N_PLANES = 8  # tid, depth, bu, bv, dbudx, dbudy, dbvdx, dbvdy
+# G-buffer planes: id/depth/material + interpolated vertex attributes +
+# uv0 screen derivatives (the reference packs normals/tangents/barycentric
+# derivatives into its G-buffer the same way; we add uv/color so shading
+# needs no per-triangle gathers at all — gathers are TPU poison)
+N_PLANES = 22
+_PLANE_NAMES = (
+    "tri_id", "depth", "mat_row",
+    "uv0_u", "uv0_v", "uv1_u", "uv1_v",
+    "color_r", "color_g", "color_b", "color_a",
+    "normal_x", "normal_y", "normal_z",
+    "tangent_x", "tangent_y", "tangent_z", "tangent_w",
+    "du0_dx", "dv0_dx", "du0_dy", "dv0_dy",
+)
+# attribute channel base rows, in output order after (tid, depth, mat_row)
+_ATTR_ROWS = tuple(S_UV0 + 3 * c for c in range(2)) +     tuple(S_UV1 + 3 * c for c in range(2)) +     tuple(S_COLOR + 3 * c for c in range(4)) +     tuple(S_NORMAL + 3 * c for c in range(3)) +     tuple(S_TANGENT + 3 * c for c in range(4))
 
 
 def _interpret_default() -> bool:
@@ -66,8 +79,8 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
     tri_base: scalar i32 global id of P's first triangle;
-    state: tuple of 8 (1, npx) accumulators
-           (z, tid, bu, bv, dbudx, dbudy, dbvdx, dbvdy);
+    state: tuple of N_PLANES (1, npx) accumulators
+           (z, tid, mat_row, 15 interpolated attrs, 4 uv0 derivatives);
     zbounds: optional (zlo, zhi) per-pixel planes — fragments must satisfy
     zlo < z < zhi (depth peeling against the previous layer + opaque depth);
     tile_xy: optional (tx0, ty0) scalars — when given, the whole subgroup
@@ -92,7 +105,6 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
             state,
         )
 
-    z_best, t_best, bu_best, bv_best, dux_b, duy_b, dvx_b, dvy_b = state
     npx = px.shape[1]
 
     def col(r):
@@ -133,7 +145,7 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
         cover = cover & (z > zlo) & (z < zhi)
     zc = jnp.where(cover, z, _BIG)           # (SUB, npx)
 
-    # perspective-correct barycentrics of the SUB-triangle corners
+    # perspective-correct corner weights
     iw0, iw1, iw2 = col(S_IW0), col(S_IW1), col(S_IW2)
     pb0 = b0 * iw0
     pb1 = b1 * iw1
@@ -144,30 +156,19 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
     pn1 = pb1 * inv_denom
     pn2 = pb2 * inv_denom
 
-    # map to ORIGINAL-triangle barycentrics via per-corner mapping rows
-    bu0, bu1, bu2 = col(S_BU0), col(S_BU1), col(S_BU2)
-    bv0, bv1, bv2 = col(S_BV0), col(S_BV1), col(S_BV2)
-    bu = pn0 * bu0 + pn1 * bu1 + pn2 * bu2
-    bv = pn0 * bv0 + pn1 * bv1 + pn2 * bv2
-
-    # analytic screen derivatives of the mapped barycentrics (the
-    # reference's barycentric_derivatives G-buffer target):
-    # d(pn_i)/dx = invD * (db_i/dx * iw_i - pn_i * dD/dx)
+    # derivative weights for uv0 (mip selection):
+    # d(pn_i)/d = invD * (db_i/d * iw_i - pn_i * dD/d)
     db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
     db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
     db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
     dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
     dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
-
-    def dmap(du0, du1, du2, dD):
-        dp0 = inv_denom * (du0 * iw0 - pn0 * dD)
-        dp1 = inv_denom * (du1 * iw1 - pn1 * dD)
-        dp2 = inv_denom * (du2 * iw2 - pn2 * dD)
-        return (dp0 * bu0 + dp1 * bu1 + dp2 * bu2,
-                dp0 * bv0 + dp1 * bv1 + dp2 * bv2)
-
-    dbu_dx, dbv_dx = dmap(db0_dx, db1_dx, db2_dx, dD_dx)
-    dbu_dy, dbv_dy = dmap(db0_dy, db1_dy, db2_dy, dD_dy)
+    dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
+    dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
+    dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
+    dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
+    dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
+    dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
 
     # resolve sub-group: nearest z, lowest index on ties (LESS + draw order)
     zmin = jnp.min(zc, axis=0, keepdims=True)            # (1, npx)
@@ -180,21 +181,29 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
     def pick(vals):
         return jnp.sum(vals * oh, axis=0, keepdims=True)
 
-    tri_gid = tri_base + win
-    take = zmin < z_best
-    z_best = jnp.where(take, zmin, z_best)
-    t_best = jnp.where(take, tri_gid, t_best)
-    bu_best = jnp.where(take, pick(bu), bu_best)
-    bv_best = jnp.where(take, pick(bv), bv_best)
-    dux_b = jnp.where(take, pick(dbu_dx), dux_b)
-    duy_b = jnp.where(take, pick(dbu_dy), duy_b)
-    dvx_b = jnp.where(take, pick(dbv_dx), dvx_b)
-    dvy_b = jnp.where(take, pick(dbv_dy), dvy_b)
-    return z_best, t_best, bu_best, bv_best, dux_b, duy_b, dvx_b, dvy_b
+    def interp(base_row):
+        a0, a1, a2 = col(base_row), col(base_row + 1), col(base_row + 2)
+        return pn0 * a0 + pn1 * a1 + pn2 * a2
 
-
-_PLANE_NAMES = ("tri_id", "depth", "bary_u", "bary_v",
-                "dbu_dx", "dbu_dy", "dbv_dx", "dbv_dy")
+    take = zmin < state[0]
+    out = [
+        jnp.where(take, zmin, state[0]),                          # z
+        jnp.where(take, tri_base + win, state[1]),                # tid
+        jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]),
+    ]
+    i = 3
+    for base_row in _ATTR_ROWS:
+        out.append(jnp.where(take, pick(interp(base_row)), state[i]))
+        i += 1
+    # uv0 derivatives
+    u0a, u0b, u0c = col(S_UV0), col(S_UV0 + 1), col(S_UV0 + 2)
+    v0a, v0b, v0c = col(S_UV0 + 3), col(S_UV0 + 4), col(S_UV0 + 5)
+    for (da0, da1, da2) in ((dpn0_dx, dpn1_dx, dpn2_dx), (dpn0_dy, dpn1_dy, dpn2_dy)):
+        du = da0 * u0a + da1 * u0b + da2 * u0c
+        dv = da0 * v0a + da1 * v0b + da2 * v0c
+        out.append(jnp.where(take, pick(du), state[i])); i += 1
+        out.append(jnp.where(take, pick(dv), state[i])); i += 1
+    return tuple(out)
 
 
 def _make_kernel(unroll: bool, peel: bool):

@@ -2,21 +2,24 @@
 
 TPU-native port of the reference's material passes:
 - material_opaque compute pass (render_passes/material_opaque/
-  material_opaque_wgsl/compute.wgsl:100-322): load visibility buffer,
-  reconstruct triangle data, manual perspective-correct attribute
-  interpolation, gradient-mip texture sampling, unlit-vs-PBR branch by
-  material kind, punctual + IBL lighting, skybox on miss.
+  material_opaque_wgsl/compute.wgsl:100-322): consume the G-buffer,
+  gradient-mip texture sampling, unlit-vs-PBR branch by material kind,
+  punctual + IBL lighting, skybox on miss.
 - material_transparent forward pass (material_transparent_wgsl/
   fragment.wgsl): full PBR per transparent fragment incl. transmission of
   the opaque color buffer (KHR_materials_transmission/volume).
 
-`shade_surface` is the shared fragment-shading core; `shade_deferred`
-wraps it for the opaque pass. Everything is flat pixel-batched jnp.
+TPU-first v2: the rasterizer already interpolated every vertex attribute
+into G-buffer planes (ops/raster.py), so shading does NO per-triangle
+gathers. The only remaining indexed reads are texture taps (unavoidable)
+and the per-pixel material fetch, which goes through a one-hot matmul on
+the MXU (ops/vertex.py onehot_gather). With a solid-color environment
+(static `solid_env` flag) the IBL/skybox reads compile to constants, and
+the split-sum BRDF LUT is replaced by Lazarov's analytic fit.
 
 Static args mirror the reference's shader-template variables
-(material_opaque/shader/template.rs): `slot_mask` (which texture slots any
-scene material binds — unbound slots compile to constants, exactly like
-template-gated WGSL), `use_mips`, `debug_normals`.
+(material_opaque/shader/template.rs): `slot_mask`, `use_mips`,
+`solid_env`, `debug_normals`.
 """
 
 from __future__ import annotations
@@ -31,21 +34,34 @@ from ..core import materials as M
 from ..core.lights import (
     L_COLOR, L_DIRECTION, L_INNER_COS, L_KIND, L_OUTER_COS, L_POSITION, L_RANGE,
 )
-from ..core.meshes import MI_MATERIAL_ROW
 from . import brdf
-from .brdf_lut import sample_brdf_lut
 from .cubemap import sample_cubemap, sample_prefiltered
 from .texsample import (
     apply_texture_transform,
     mip_level_from_grads,
     sample_texture,
 )
+from .vertex import onehot_gather
+
 _EPS = 1e-6
 ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
 
 
 def _normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), _EPS)
+
+
+def env_brdf_approx(n_dot_v, roughness):
+    """Analytic split-sum environment BRDF (Lazarov 2013 fit) — replaces
+    the LUT texture fetch (renderer-core brdf_lut) with pure ALU."""
+    c0 = jnp.array([-1.0, -0.0275, -0.572, 0.022])
+    c1 = jnp.array([1.0, 0.0425, 1.04, -0.04])
+    rx = roughness * c0[0] + c1[0]
+    ry = roughness * c0[1] + c1[1]
+    rz = roughness * c0[2] + c1[2]
+    rw = roughness * c0[3] + c1[3]
+    a004 = jnp.minimum(rx * rx, jnp.exp2(-9.28 * n_dot_v)) * rx + ry
+    return a004 * -1.04 + rz, a004 * 1.04 + rw  # (A, B)
 
 
 def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
@@ -101,42 +117,64 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
     return total
 
 
+def _material_table(ds):
+    """Fused material table (cap, NUM_F32 + slots*3 + NUM_I32) f32 — ONE
+    one-hot matmul fetches everything per pixel."""
+    cap = ds["mat_float"].shape[0]
+    return jnp.concatenate([
+        ds["mat_float"],
+        ds["mat_tex"].reshape(cap, -1).astype(jnp.float32),
+        ds["mat_flags"].astype(jnp.float32),
+    ], axis=1)
+
+
+def _env_samplers(ds, solid_env: bool):
+    """IBL/sky sample functions; constants when the environment is solid."""
+    if solid_env:
+        irr_c = ds["irradiance"][0, 0, 0, :3]
+        pref_c = ds["prefiltered"][0, 0, 0, 0, :3]
+        sky_c = ds["skybox"][0, 0, 0, :3]
+        return (
+            lambda d: jnp.broadcast_to(irr_c, (d.shape[0], 3)),
+            lambda d, r: jnp.broadcast_to(pref_c, (d.shape[0], 3)),
+            lambda d: jnp.broadcast_to(sky_c, (d.shape[0], 3)),
+        )
+    return (
+        lambda d: sample_cubemap(ds["irradiance"], d)[:, :3],
+        lambda d, r: sample_prefiltered(ds["prefiltered"], d, r)[:, :3],
+        lambda d: sample_cubemap(ds["skybox"], d)[:, :3],
+    )
+
+
 def shade_surface(
-    tid, depth, bu, bv,      # (P,) flat visibility data
-    dbu_dx, dbu_dy, dbv_dx, dbv_dy,   # (P,) raster derivative planes
-    corner_normal, corner_tangent, ds,
+    planes,            # dict of (P,) flat G-buffer planes (ops/raster.py)
+    ds,
     *,
     width: int, height: int, height_full: int, row_offset,
     use_mips: bool, slot_mask: Tuple[bool, ...],
+    solid_env: bool = False,
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
 ):
-    """Shared fragment shading → (rgb (P,3), alpha (P,), normal (P,3)).
+    """Shared fragment shading → (rgb (P,3), alpha (P,), valid, normal).
 
-    tid is in setup-column space (near-plane clipping doubles the columns);
-    the original triangle id is tid % T_pool. Barycentrics arrive already
-    in ORIGINAL corner space (ops/vertex.py mapping rows).
     alpha: coverage for the opaque pass; blend alpha for the transparent
     pass (base alpha with KHR transmission mixing against `background`)."""
     P = width * height
     W, H, H_full = width, height, height_full
-    miss = tid < 0
-    T_pool = ds["tri_v"].shape[0]
-    stid = jnp.clip(tid, 0, 2 * T_pool - 1) % T_pool
+    miss = planes["tri_id"] < 0
+    depth = planes["depth"]
 
-    bary = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)   # original order
-
-    # ---- gather + interpolate attributes ------------------------------------
-    mesh = ds["tri_mesh"][stid]
-    minfo = ds["mesh_info"][jnp.clip(mesh, 0, ds["mesh_info"].shape[0] - 1)]
-    mat_row = jnp.clip(minfo[:, MI_MATERIAL_ROW], 0, ds["mat_float"].shape[0] - 1)
-
-    vid = ds["tri_v"][stid]
-    n = _normalize(jnp.einsum("pc,pcj->pj", bary, corner_normal[stid]))
-    tang4 = jnp.einsum("pc,pcj->pj", bary, corner_tangent[stid])
-    uv0 = jnp.einsum("pc,pcj->pj", bary, ds["v_uv0"][vid])
-    uv1 = jnp.einsum("pc,pcj->pj", bary, ds["v_uv1"][vid])
-    vcolor = jnp.einsum("pc,pcj->pj", bary, ds["v_color0"][vid])
+    uv0 = jnp.stack([planes["uv0_u"], planes["uv0_v"]], axis=-1)
+    uv1 = jnp.stack([planes["uv1_u"], planes["uv1_v"]], axis=-1)
+    vcolor = jnp.stack([planes["color_r"], planes["color_g"],
+                        planes["color_b"], planes["color_a"]], axis=-1)
+    n = _normalize(jnp.stack(
+        [planes["normal_x"], planes["normal_y"], planes["normal_z"]], axis=-1))
+    tang4 = jnp.stack([planes["tangent_x"], planes["tangent_y"],
+                       planes["tangent_z"], planes["tangent_w"]], axis=-1)
+    duv_dx = jnp.stack([planes["du0_dx"], planes["dv0_dx"]], axis=-1)
+    duv_dy = jnp.stack([planes["du0_dy"], planes["dv0_dy"]], axis=-1)
 
     # ---- world position + view ray ------------------------------------------
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
@@ -148,22 +186,17 @@ def shade_surface(
     cam_pos = ds["camera"]["position"]
     v = _normalize(cam_pos[None, :] - world_pos)
 
-    # ---- uv screen derivatives from the raster's barycentric derivative
-    # planes (the reference's barycentric_derivatives G-buffer target) ------
-    if use_mips:
-        db_dx = jnp.stack([-(dbu_dx + dbv_dx), dbu_dx, dbv_dx], axis=-1)
-        db_dy = jnp.stack([-(dbu_dy + dbv_dy), dbu_dy, dbv_dy], axis=-1)
-        uv0c = ds["v_uv0"][vid]                                # (P,3,2)
-        duv_dx = jnp.einsum("pc,pcj->pj", db_dx, uv0c)
-        duv_dy = jnp.einsum("pc,pcj->pj", db_dy, uv0c)
-    else:
-        duv_dx = duv_dy = None
-
-    # ---- material fetch ------------------------------------------------------
-    mf = ds["mat_float"][mat_row]
-    slots = ds["mat_tex"][mat_row]
-    mflags = ds["mat_flags"][mat_row]
-    is_unlit = mflags[:, M.MI_KIND] == M.KIND_UNLIT
+    # ---- material fetch: ONE one-hot matmul ----------------------------------
+    mat_row = jnp.clip(planes["mat_row"].astype(jnp.int32), 0,
+                       ds["mat_float"].shape[0] - 1)
+    table = _material_table(ds)
+    fused = onehot_gather(mat_row, table)                   # (P, 116)
+    mf = fused[:, : M.NUM_F32]
+    slots = fused[:, M.NUM_F32 : M.NUM_F32 + M.NUM_TEX_SLOTS * 3].reshape(
+        P, M.NUM_TEX_SLOTS, 3)
+    mflags = fused[:, M.NUM_F32 + M.NUM_TEX_SLOTS * 3 :]
+    is_unlit = mflags[:, M.MI_KIND] == float(M.KIND_UNLIT)
+    is_grid = mflags[:, M.MI_KIND] == float(M.KIND_GRID)
 
     white = jnp.ones((P, 4), jnp.float32)
 
@@ -172,10 +205,10 @@ def shade_surface(
         scene material binds it (the template-variable specialization)."""
         if not slot_mask[slot]:
             return white
-        tex_id = slots[:, slot, 0]
+        tex_id = slots[:, slot, 0].astype(jnp.int32)
         uv_set = slots[:, slot, 1]
-        tform = slots[:, slot, 2]
-        uv = jnp.where((uv_set == 1)[:, None], uv1, uv0)
+        tform = slots[:, slot, 2].astype(jnp.int32)
+        uv = jnp.where((uv_set == 1.0)[:, None], uv1, uv0)
         uv = apply_texture_transform(ds["tex_transforms"], tform, uv)
         level = (mip_level_from_grads(ds["tex_desc"], tex_id, duv_dx, duv_dy)
                  if use_mips else None)
@@ -229,7 +262,6 @@ def shade_surface(
     f0 = f0_diel * (1.0 - metallic[:, None]) + base[:, :3] * metallic[:, None]
     c_diff = base[:, :3] * (1.0 - metallic[:, None])
 
-    # transmission removes diffuse (transmitted instead) — glTF spec
     transmission = mf[:, M.MF_TRANSMISSION] * tex(M.TS_TRANSMISSION)[:, 0]
     if transparent_pass:
         c_diff = c_diff * (1.0 - transmission[:, None])
@@ -237,11 +269,12 @@ def shade_surface(
     # ---- punctual + IBL -------------------------------------------------------
     direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0, alpha_rough)
 
+    irr_fn, pref_fn, _sky_fn = _env_samplers(ds, solid_env)
     n_dot_v = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
     r = _normalize(2.0 * n_dot_v[:, None] * n_final - v)
-    irr = sample_cubemap(ds["irradiance"], n_final)[:, :3]
-    pref = sample_prefiltered(ds["prefiltered"], r, roughness)[:, :3]
-    lut_a, lut_b = sample_brdf_lut(ds["brdf_lut"], n_dot_v, roughness)
+    irr = irr_fn(n_final)
+    pref = pref_fn(r, roughness)
+    lut_a, lut_b = env_brdf_approx(n_dot_v, roughness)
     fresnel_scale = f0 * lut_a[:, None] + lut_b[:, None]
     ibl_spec = pref * fresnel_scale
     ibl_diff = irr * c_diff
@@ -252,14 +285,14 @@ def shade_surface(
     sheen_rough = jnp.clip(
         mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
     sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)
-    sheen_ibl = sample_prefiltered(ds["prefiltered"], r, sheen_rough)[:, :3] * sheen_color
+    sheen_ibl = pref_fn(r, sheen_rough) * sheen_color
 
     # ---- clearcoat (KHR_materials_clearcoat) -----------------------------------
     cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
     cc_rough = jnp.clip(
         mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
-    cc_pref = sample_prefiltered(ds["prefiltered"], r, cc_rough)[:, :3]
-    cc_a, cc_b = sample_brdf_lut(ds["brdf_lut"], n_dot_v, cc_rough)
+    cc_pref = pref_fn(r, cc_rough)
+    cc_a, cc_b = env_brdf_approx(n_dot_v, cc_rough)
     cc_spec = cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
     cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
     cc_scale = 1.0 - cc * cc_fresnel
@@ -275,24 +308,22 @@ def shade_surface(
     alpha_mode = mflags[:, M.MI_ALPHA_MODE]
     cutoff = mf[:, M.MF_ALPHA_CUTOFF]
     alpha = jnp.where(
-        alpha_mode == 0, 1.0,
-        jnp.where(alpha_mode == 1,
+        alpha_mode == 0.0, 1.0,
+        jnp.where(alpha_mode == 1.0,
                   (base[:, 3] >= cutoff).astype(jnp.float32), base[:, 3]))
 
     # ---- editor grid (KIND_GRID: procedural world-space lines; parity with
     # editor/src/grid/shaders/grid.wgsl) ----------------------------------------
-    is_grid = mflags[:, M.MI_KIND] == M.KIND_GRID
     if transparent_pass:
         spacing = jnp.maximum(mf[:, M.MF_GRID_SPACING], 1e-3)
         major_every = jnp.maximum(mf[:, M.MF_GRID_MAJOR_EVERY], 1.0)
         fade_dist = jnp.maximum(mf[:, M.MF_GRID_FADE_DISTANCE], 1e-3)
         cam_dist = jnp.linalg.norm(world_pos - cam_pos[None, :], axis=-1)
-        # anti-aliased line width ~ projected pixel size in world units
         aa = jnp.maximum(cam_dist * 2e-3, 1e-4)
 
-        def line_alpha(p, s, width):
+        def line_alpha(p, s, wdt):
             d = jnp.abs(jnp.mod(p / s + 0.5, 1.0) - 0.5) * s
-            return jnp.clip(1.0 - (d - width) / jnp.maximum(width, 1e-6), 0.0, 1.0)
+            return jnp.clip(1.0 - (d - wdt) / jnp.maximum(wdt, 1e-6), 0.0, 1.0)
 
         gx = world_pos[:, 0]
         gz = world_pos[:, 2]
@@ -301,11 +332,9 @@ def shade_surface(
                             line_alpha(gz, spacing * major_every, aa * 1.5))
         grid_a = jnp.maximum(minor * 0.5, major) * jnp.clip(1.0 - cam_dist / fade_dist, 0.0, 1.0)
         alpha = jnp.where(is_grid, grid_a * base[:, 3], alpha)
+
+    # ---- transmission of the background (transparent pass only) ---------------
     if transparent_pass and background is not None:
-        # KHR_materials_transmission: background transmitted through the
-        # surface, tinted by base color (reference: material_transparent_
-        # wgsl/fragment.wgsl screen-space refraction — thin approximation,
-        # zero refraction offset; attenuation per KHR_materials_volume)
         att_dist = mf[:, M.MF_ATTENUATION_DISTANCE : M.MF_ATTENUATION_DISTANCE + 1]
         att_color = mf[:, M.MF_ATTENUATION_COLOR : M.MF_ATTENUATION_COLOR + 3]
         thickness = mf[:, M.MF_THICKNESS : M.MF_THICKNESS + 1]
@@ -325,37 +354,10 @@ def shade_surface(
     return color, alpha, valid, n_final
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "debug_normals"),
-)
-def shade_deferred(
-    vis, corner_normal, corner_tangent, ds,
-    *,
-    width: int,
-    height: int,
-    height_full: int | None = None,
-    row_offset=0,
-    use_mips: bool = True,
-    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
-    debug_normals: bool = False,
-):
-    """Deferred opaque shading → HDR linear (height, width, 4) f32."""
-    H, W = height, width
-    H_full = height_full if height_full is not None else height
-    P = H * W
-    f = lambda k: vis[k].reshape(P)
-
-    color, _alpha, valid, n_final = shade_surface(
-        f("tri_id"), f("depth"), f("bary_u"), f("bary_v"),
-        f("dbu_dx"), f("dbu_dy"), f("dbv_dx"), f("dbv_dy"),
-        corner_normal, corner_tangent, ds,
-        width=W, height=H, height_full=H_full, row_offset=row_offset,
-        use_mips=use_mips, slot_mask=slot_mask,
-    )
-
-    # skybox on miss (compute.wgsl miss path)
+def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
+    """Skybox color per pixel (compute.wgsl miss path)."""
+    if solid_env:
+        return jnp.broadcast_to(ds["skybox"][0, 0, 0, :3], (P, 3))
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
     rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
     ys = 1.0 - (rows + 0.5) / H_full * 2.0
@@ -363,8 +365,39 @@ def shade_deferred(
     wp = ndc @ ds["camera"]["inv_view_proj"].T
     far_pos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > _EPS, wp[:, 3:4], _EPS)
     view_dir = _normalize(far_pos - ds["camera"]["position"][None, :])
-    sky = sample_cubemap(ds["skybox"], view_dir)[:, :3]
+    return sample_cubemap(ds["skybox"], view_dir)[:, :3]
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "height_full", "use_mips",
+                     "slot_mask", "solid_env", "debug_normals"),
+)
+def shade_deferred(
+    vis, ds,
+    *,
+    width: int,
+    height: int,
+    height_full: int | None = None,
+    row_offset=0,
+    use_mips: bool = True,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
+    debug_normals: bool = False,
+):
+    """Deferred opaque shading → HDR linear (height, width, 4) f32."""
+    H, W = height, width
+    H_full = height_full if height_full is not None else height
+    P = H * W
+    planes = {k: v.reshape(P) for k, v in vis.items()}
+
+    color, _alpha, valid, n_final = shade_surface(
+        planes, ds,
+        width=W, height=H, height_full=H_full, row_offset=row_offset,
+        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+    )
+
+    sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
     out = jnp.where(valid[:, None], color, sky)
     if debug_normals:
         out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
@@ -375,18 +408,19 @@ def shade_deferred(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "n_layers"),
+                     "slot_mask", "solid_env", "n_layers"),
 )
 def shade_transparent_layers(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
     opaque_hdr,        # (H, W, 4) shaded opaque result
-    corner_normal, corner_tangent, ds,
+    ds,
     *,
     width: int, height: int,
     height_full: int | None = None,
     row_offset=0,
     use_mips: bool = True,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
     n_layers: int = 4,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
@@ -399,11 +433,9 @@ def shade_transparent_layers(
 
     def blend(out, layer):
         color, alpha, valid, _ = shade_surface(
-            layer["tri_id"], layer["depth"], layer["bary_u"], layer["bary_v"],
-            layer["dbu_dx"], layer["dbu_dy"], layer["dbv_dx"], layer["dbv_dy"],
-            corner_normal, corner_tangent, ds,
+            layer, ds,
             width=W, height=H, height_full=H_full, row_offset=row_offset,
-            use_mips=use_mips, slot_mask=slot_mask,
+            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
             transparent_pass=True, background=out,
         )
         a = jnp.where(valid, alpha, 0.0)[:, None]

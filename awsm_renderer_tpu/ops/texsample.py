@@ -48,9 +48,12 @@ def _sample_level(texels, desc, uv, level):
     h0 = desc[:, TD_HEIGHT]
     wm = jnp.maximum(w0 >> level, 1)
     hm = jnp.maximum(h0 >> level, 1)
-    offset = jnp.take_along_axis(
-        desc, (TD_MIP_OFFSETS + jnp.clip(level, 0, MAX_MIPS - 1))[:, None], axis=1
-    )[:, 0]
+    lv = jnp.clip(level, 0, MAX_MIPS - 1)
+    # select the mip offset with a one-hot sum (row-wise dynamic column
+    # extraction lowers to a slow gather otherwise)
+    offset = sum(
+        jnp.where(lv == m, desc[:, TD_MIP_OFFSETS + m], 0) for m in range(MAX_MIPS)
+    )
     wrap_s = desc[:, TD_WRAP_S]
     wrap_t = desc[:, TD_WRAP_T]
     linear = desc[:, TD_FILTER_LINEAR] > 0
@@ -93,11 +96,15 @@ def sample_texture(texels, descriptors, tex_id, uv, mip_level=None):
     """Sample textures per pixel. tex_id < 0 → white (1,1,1,1).
 
     mip_level: (P,) f32 or None (base level). Trilinear when the sampler's
-    mip filter is linear, else nearest-mip.
+    mip filter is linear, else nearest-mip. The descriptor fetch rides the
+    MXU (one-hot matmul — the descriptor table is tiny and XLA's TPU
+    gather lowering is slow).
     """
+    from .vertex import onehot_gather
+
     P = tex_id.shape[0]
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = descriptors[safe_id]                        # (P, DESC_I32)
+    desc = onehot_gather(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
     n_mips = desc[:, TD_N_MIPS]
 
     if mip_level is None:
@@ -121,8 +128,10 @@ def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
     Ports the reference's gradient-based mip selection in the opaque
     shading kernel (material_opaque_wgsl/compute.wgsl texture sampling).
     """
+    from .vertex import onehot_gather
+
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = descriptors[safe_id]
+    desc = onehot_gather(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
     w = desc[:, TD_WIDTH].astype(jnp.float32)
     h = desc[:, TD_HEIGHT].astype(jnp.float32)
     gx = jnp.stack([duv_dx[:, 0] * w, duv_dx[:, 1] * h], axis=-1)

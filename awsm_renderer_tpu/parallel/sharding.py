@@ -82,13 +82,13 @@ def render_frame_sharded(
         idx = jax.lax.axis_index(axis)
         y0 = idx * band_h
 
-        setup, corner_n, corner_t, _ = vertex_stage(
-            ds_rep["v_pos"], ds_rep["v_norm"], ds_rep["v_tang"],
-            ds_rep["v_morph_base"], ds_rep["v_joints"], ds_rep["v_weights"],
-            ds_rep["morph_deltas"], ds_rep["tri_v"], ds_rep["tri_mesh"],
-            ds_rep["mesh_info"], ds_rep["morph_weights"], ds_rep["world"],
-            ds_rep["normal_mat"], ds_rep["joint_matrices"],
-            ds_rep["camera"]["view_proj"], mask_rep,
+        setup = vertex_stage(
+            ds_rep["c_pos"], ds_rep["c_norm"], ds_rep["c_tang"],
+            ds_rep["c_uv0"], ds_rep["c_uv1"], ds_rep["c_color"],
+            ds_rep["c_joints"], ds_rep["c_weights"], ds_rep["c_morph_base"],
+            ds_rep["morph_deltas"], ds_rep["tri_mesh"], ds_rep["mesh_info"],
+            ds_rep["morph_weights"], ds_rep["world"], ds_rep["normal_mat"],
+            ds_rep["joint_matrices"], ds_rep["camera"]["view_proj"], mask_rep,
             width=width, height=height, has_morphs=has_morphs,
             skin_sets=skin_sets,
         )
@@ -99,12 +99,12 @@ def render_frame_sharded(
         vis = rasterize(sorted_setup, width=width, height=band_h, interpret=interpret)
         vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
         hdr = shade_deferred(
-            vis, corner_n, corner_t, ds_rep,
+            vis, ds_rep,
             width=width, height=band_h, height_full=height,
             row_offset=y0, use_mips=use_mips,
         )
         ldr = display_pass(hdr, tonemap)
-        T_pool = ds_rep["tri_v"].shape[0]
+        T_pool = ds_rep["tri_mesh"].shape[0]
         tid = jnp.where(vis["tri_id"] >= 0, vis["tri_id"] % T_pool, -1)
         return ldr, tid
 

@@ -78,8 +78,8 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
-        "n_transparent_layers", "slot_mask", "debug_normals", "interpret",
-        "bloom", "dof", "smaa",
+        "n_transparent_layers", "slot_mask", "solid_env", "debug_normals",
+        "interpret", "bloom", "dof", "smaa",
     ),
 )
 def render_frame(
@@ -99,6 +99,7 @@ def render_frame(
     has_hud: bool = False,
     n_transparent_layers: int = 4,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
     debug_normals: bool = False,
     interpret: bool | None = None,
     bloom: bool = False,
@@ -112,24 +113,23 @@ def render_frame(
 
     def run_vertex(mask):
         return vertex_stage(
-            ds["v_pos"], ds["v_norm"], ds["v_tang"], ds["v_morph_base"],
-            ds["v_joints"], ds["v_weights"], ds["morph_deltas"],
-            ds["tri_v"], ds["tri_mesh"], ds["mesh_info"], ds["morph_weights"],
-            ds["world"], ds["normal_mat"], ds["joint_matrices"],
-            ds["camera"]["view_proj"], mask,
+            ds["c_pos"], ds["c_norm"], ds["c_tang"], ds["c_uv0"], ds["c_uv1"],
+            ds["c_color"], ds["c_joints"], ds["c_weights"], ds["c_morph_base"],
+            ds["morph_deltas"], ds["tri_mesh"], ds["mesh_info"],
+            ds["morph_weights"], ds["world"], ds["normal_mat"],
+            ds["joint_matrices"], ds["camera"]["view_proj"], mask,
             width=rw, height=rh, has_morphs=has_morphs, skin_sets=skin_sets,
         )
 
     # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
-    setup, corner_n, corner_t, _ = run_vertex(opaque_mask)
-    setup = pad_setup(setup)
+    setup = pad_setup(run_vertex(opaque_mask))
     sorted_setup, perm = _sort_triangles(setup)
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret)
     vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
     hdr = shade_deferred(
-        vis, corner_n, corner_t, ds,
+        vis, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-        debug_normals=debug_normals,
+        solid_env=solid_env, debug_normals=debug_normals,
     )
     tri_id = vis["tri_id"]
     depth = vis["depth"]
@@ -137,8 +137,7 @@ def render_frame(
     # ---- transparent forward pass (render.rs step 9: back-to-front over
     # opaque with shared read-only depth) -------------------------------------
     if has_transparent and transparent_mask is not None:
-        t_setup, t_cn, t_ct, _ = run_vertex(transparent_mask)
-        t_setup = pad_setup(t_setup)
+        t_setup = pad_setup(run_vertex(transparent_mask))
         t_sorted, t_perm = _sort_triangles(t_setup)
         layers = rasterize_layers(
             t_sorted, depth, width=rw, height=rh,
@@ -146,26 +145,23 @@ def render_frame(
         )
         layers["tri_id"] = _remap_tri_ids(layers["tri_id"], t_perm)
         hdr = shade_transparent_layers(
-            layers, hdr, t_cn, t_ct, ds,
+            layers, hdr, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-            n_layers=n_transparent_layers,
+            solid_env=solid_env, n_layers=n_transparent_layers,
         )
 
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
-        h_setup, h_cn, h_ct, _ = run_vertex(hud_mask)
-        h_setup = pad_setup(h_setup)
+        h_setup = pad_setup(run_vertex(hud_mask))
         h_sorted, h_perm = _sort_triangles(h_setup)
         h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret)
         h_vis["tri_id"] = _remap_tri_ids(h_vis["tri_id"], h_perm)
         P = rw * rh
-        hf = lambda k: h_vis[k].reshape(P)
+        h_planes = {k: v.reshape(P) for k, v in h_vis.items()}
         h_color, h_alpha, h_valid, _ = shade_surface(
-            hf("tri_id"), hf("depth"), hf("bary_u"), hf("bary_v"),
-            hf("dbu_dx"), hf("dbu_dy"), hf("dbv_dx"), hf("dbv_dy"),
-            h_cn, h_ct, ds,
+            h_planes, ds,
             width=rw, height=rh, height_full=rh, row_offset=0,
-            use_mips=use_mips, slot_mask=slot_mask,
+            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         )
         hit = h_valid[:, None]
         a = jnp.where(h_valid, h_alpha, 0.0)[:, None]
@@ -196,6 +192,6 @@ def render_frame(
     if smaa:
         ldr = smaa_pass(ldr)
     # picking ids in original triangle-pool space (clipping doubles columns)
-    T_pool = ds["tri_v"].shape[0]
+    T_pool = ds["tri_mesh"].shape[0]
     tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
     return ldr, tri_id, depth

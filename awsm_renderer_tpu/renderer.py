@@ -120,9 +120,9 @@ class AwsmRendererTpu:
         m = self.meshes
         if m.gpu_dirty:
             for name in (
-                "v_pos", "v_norm", "v_tang", "v_uv0", "v_uv1", "v_color0",
-                "v_joints", "v_weights", "v_morph_base", "morph_deltas",
-                "tri_v", "tri_mesh", "mesh_info", "morph_weights",
+                "c_pos", "c_norm", "c_tang", "c_uv0", "c_uv1", "c_color",
+                "c_joints", "c_weights", "c_morph_base", "morph_deltas",
+                "tri_mesh", "mesh_info", "morph_weights",
             ):
                 d[name] = jnp.asarray(getattr(m, name))
             m.gpu_dirty = False
@@ -226,6 +226,7 @@ class AwsmRendererTpu:
             has_hud=has_hud,
             n_transparent_layers=cfg.max_transparent_layers,
             slot_mask=self._slot_mask(),
+            solid_env=self.environment.is_solid,
             debug_normals=debug_normals,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,

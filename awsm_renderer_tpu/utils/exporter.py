@@ -68,8 +68,9 @@ def geometry_report(meshes) -> Dict:
     """Pool occupancy for vertex/triangle/morph buffers
     (reference exposes the same via buffer reports)."""
     return {
-        "vertices": {"capacity": meshes._v_alloc.capacity, "used": meshes._v_alloc.used},
         "triangles": {"capacity": meshes._t_alloc.capacity, "used": meshes._t_alloc.used},
+        "corners": {"capacity": 3 * meshes._t_alloc.capacity,
+                    "used": 3 * meshes._t_alloc.used},
         "morph_rows": {"capacity": meshes._m_alloc.capacity, "used": meshes._m_alloc.used},
         "meshes": meshes.count,
     }

@@ -121,7 +121,7 @@ class TestExporter:
         r = _scene()
         rep = geometry_report(r.meshes)
         assert rep["meshes"] == 1
-        assert rep["vertices"]["used"] >= 24
+        assert rep["corners"]["used"] >= 36  # 12 tris exploded
 
 
 class TestNative:

@@ -9,8 +9,7 @@ import jax.numpy as jnp
 from awsm_renderer_tpu.ops.raster import CHUNK, pad_setup, rasterize
 from awsm_renderer_tpu.ops.vertex import (
     NSETUP, S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
-    S_BU0, S_BU1, S_BU2, S_BV0, S_BV1, S_BV2,
-    S_IW0, S_IW1, S_IW2, S_VALID,
+    S_IW0, S_IW1, S_IW2, S_UV0, S_VALID,
     S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2, S_Z0, S_Z1, S_Z2,
 )
 
@@ -38,8 +37,10 @@ def make_setup(tris):
         s[S_BB_MINX, t], s[S_BB_MINY, t] = xy[:, 0].min(), xy[:, 1].min()
         s[S_BB_MAXX, t], s[S_BB_MAXY, t] = xy[:, 0].max(), xy[:, 1].max()
         s[S_VALID, t] = 1.0
-        s[S_BU1, t] = 1.0   # identity original-bary mapping (unclipped)
-        s[S_BV2, t] = 1.0
+        # uv0 per-corner = identity barycentric probes: the interpolated
+        # uv0_u/uv0_v planes then equal bary_u/bary_v of the raster corners
+        s[S_UV0 + 1, t] = 1.0   # u at corner 1
+        s[S_UV0 + 5, t] = 1.0   # v at corner 2
     return pad_setup(jnp.asarray(s))
 
 
@@ -84,7 +85,10 @@ def numpy_raster(tris, w=W, h=H):
 
 def run(tris, w=W, h=H):
     out = rasterize(make_setup(tris), width=w, height=h)
-    return {k: np.asarray(v) for k, v in out.items()}
+    got = {k: np.asarray(v) for k, v in out.items()}
+    got["bary_u"] = got.pop("uv0_u")
+    got["bary_v"] = got.pop("uv0_v")
+    return got
 
 
 def test_single_triangle_matches_reference():

@@ -172,8 +172,8 @@ class TestMeshes:
         assert m.mesh_info[row, MI_TRANSFORM_ROW] == 3
         assert m.mesh_info[row, MI_MATERIAL_ROW] == 7
         mesh = m.get(k)
-        tri = m.tri_v[mesh.t_base]
-        np.testing.assert_allclose(m.v_pos[tri[1]], [1, 0, 0])
+        # corner-major: corner 1 of triangle t_base holds vertex 1
+        np.testing.assert_allclose(m.c_pos[3 * mesh.t_base + 1], [1, 0, 0])
         assert m.tri_mesh[mesh.t_base] == row
 
     def test_resource_sharing_instances(self):
@@ -182,8 +182,10 @@ class TestMeshes:
         k1 = m.insert(rk, 0, 0, 1, 1)
         k2 = m.insert(rk, 1, 0, 2, 1)
         m1, m2 = m.get(k1), m.get(k2)
-        # same vertex range, distinct triangle rows stamped with own mesh row
-        assert np.array_equal(m.tri_v[m1.t_base], m.tri_v[m2.t_base])
+        # identical corner data, distinct triangle rows with own mesh row
+        np.testing.assert_array_equal(
+            m.c_pos[3 * m1.t_base : 3 * m1.t_base + 3],
+            m.c_pos[3 * m2.t_base : 3 * m2.t_base + 3])
         assert m.tri_mesh[m1.t_base] != m.tri_mesh[m2.t_base]
 
     def test_remove_frees_resource(self):
@@ -191,11 +193,13 @@ class TestMeshes:
         rk = m.insert_resource(_tri_geometry())
         k1 = m.insert(rk, 0, 0, 1, 1)
         k2 = m.insert(rk, 0, 0, 2, 1)
-        used_v = m._v_alloc.used
+        used_t = m._t_alloc.used
         m.remove(k1)
-        assert m._v_alloc.used == used_v  # still referenced
+        assert m._t_alloc.used < used_t     # instance freed
+        assert rk in m._resources           # still referenced by k2
         m.remove(k2)
-        assert m._v_alloc.used == 0
+        assert m._t_alloc.used == 0
+        assert rk not in m._resources
 
     def test_morph_pool(self):
         geo = _tri_geometry()
@@ -205,8 +209,7 @@ class TestMeshes:
         row = m.row_of(k)
         np.testing.assert_allclose(m.morph_weights[row, :2], [0.5, 0.25])
         mesh = m.get(k)
-        v0 = m.tri_v[mesh.t_base][0]
-        base = m.v_morph_base[v0]
+        base = m.c_morph_base[3 * mesh.t_base]   # corner 0 -> vertex 0
         assert base >= 0
         np.testing.assert_allclose(m.morph_deltas[base, 0:3], [0, 0, 1])
         # target 1 at base + stride (V=3)
