@@ -8,12 +8,14 @@ triangle pool into per-pixel planes:
     tri_id (H,W) i32   — setup-column index, -1 = miss (original triangle
                           = tri_id % T_pool; the reference packs split16
                           triangle_index + meta offset into Rgba16uint)
-    bary_u/bary_v      — perspective-correct barycentrics of ORIGINAL
-                          corners 1/2 (geometry_wgsl/fragment.wgsl stores
-                          barycentric.xy); near-plane-clipped sub-triangles
-                          map through their per-corner S_BU*/S_BV* rows
-    dbu_dx/dbu_dy/dbv_dx/dbv_dy — analytic barycentric screen derivatives
-                          (the reference's barycentric_derivatives target)
+    mat_row            — per-pixel material row (flat attribute)
+    uv0/uv1/color/normal/tangent — perspective-correct interpolated vertex
+                          attributes (see _PLANE_NAMES); the reference
+                          stores packed normal/tangent + barycentrics and
+                          re-interpolates in the shade kernel — on TPU we
+                          interpolate here so shading needs no gathers
+    du0_*/dv0_*        — analytic uv0 screen derivatives (the reference's
+                          barycentric_derivatives target, pre-multiplied)
     depth (H,W) f32    — NDC z in [0,1], cleared to 1.0, LESS compare
 
 Kernel shape: grid = (tiles_y, tiles_x, triangle_chunks); each (8,128)
@@ -468,7 +470,7 @@ def _scratch(npx: int):
 
 
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
-              binned: bool | None = None):
+              binned: bool | None = None, max_bins: int = 64):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
@@ -482,7 +484,7 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
         binned = not interpret
     if binned:
         return rasterize_binned(setup, width=width, height=height,
-                                interpret=interpret)
+                                max_bins=max_bins, interpret=interpret)
     return _rasterize_dense(setup, width=width, height=height, interpret=interpret)
 
 

@@ -153,6 +153,7 @@ def shade_surface(
     width: int, height: int, height_full: int, row_offset,
     use_mips: bool, slot_mask: Tuple[bool, ...],
     solid_env: bool = False,
+    has_nearest: bool = True,
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
 ):
@@ -212,7 +213,8 @@ def shade_surface(
         uv = apply_texture_transform(ds["tex_transforms"], tform, uv)
         level = (mip_level_from_grads(ds["tex_desc"], tex_id, duv_dx, duv_dy)
                  if use_mips else None)
-        return sample_texture(ds["texels"], ds["tex_desc"], tex_id, uv, level)
+        return sample_texture(ds["texels"], ds["tex_desc"], tex_id, uv, level,
+                              has_nearest=has_nearest)
 
     base_tex = tex(M.TS_BASE_COLOR)
     base = mf[:, M.MF_BASE_COLOR : M.MF_BASE_COLOR + 4] * base_tex * vcolor
@@ -371,7 +373,7 @@ def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "debug_normals"),
+                     "slot_mask", "solid_env", "has_nearest", "debug_normals"),
 )
 def shade_deferred(
     vis, ds,
@@ -383,6 +385,7 @@ def shade_deferred(
     use_mips: bool = True,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
+    has_nearest: bool = True,
     debug_normals: bool = False,
 ):
     """Deferred opaque shading → HDR linear (height, width, 4) f32."""
@@ -395,6 +398,7 @@ def shade_deferred(
         planes, ds,
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+        has_nearest=has_nearest,
     )
 
     sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
@@ -408,7 +412,7 @@ def shade_deferred(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "n_layers"),
+                     "slot_mask", "solid_env", "has_nearest", "n_layers"),
 )
 def shade_transparent_layers(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
@@ -421,6 +425,7 @@ def shade_transparent_layers(
     use_mips: bool = True,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
+    has_nearest: bool = True,
     n_layers: int = 4,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
@@ -436,7 +441,7 @@ def shade_transparent_layers(
             layer, ds,
             width=W, height=H, height_full=H_full, row_offset=row_offset,
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            transparent_pass=True, background=out,
+            has_nearest=has_nearest, transparent_pass=True, background=out,
         )
         a = jnp.where(valid, alpha, 0.0)[:, None]
         return color * a + out * (1.0 - a), None

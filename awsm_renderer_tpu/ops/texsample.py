@@ -42,8 +42,11 @@ def _wrap_coord(i: jnp.ndarray, n: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarra
     return out
 
 
-def _sample_level(texels, desc, uv, level):
-    """Bilinear sample at integer mip `level` (P,). desc: (P, DESC_I32)."""
+def _sample_level(texels, desc, uv, level, has_nearest: bool = True):
+    """Bilinear sample at integer mip `level` (P,). desc: (P, DESC_I32).
+
+    has_nearest=False compiles out the nearest-filter tap (scene-wide
+    static flag; saves 2 of 10 texel gathers per trilinear sample)."""
     w0 = desc[:, TD_WIDTH]
     h0 = desc[:, TD_HEIGHT]
     wm = jnp.maximum(w0 >> level, 1)
@@ -85,6 +88,8 @@ def _sample_level(texels, desc, uv, level):
         + t01 * (1 - fx) * fy
         + t11 * fx * fy
     )
+    if not has_nearest:
+        return bil
     # nearest taps reuse the wrap path with rounded coords
     xn = jnp.floor(uv[:, 0] * wf).astype(jnp.int32)
     yn = jnp.floor(uv[:, 1] * hf).astype(jnp.int32)
@@ -92,7 +97,8 @@ def _sample_level(texels, desc, uv, level):
     return jnp.where(linear[:, None], bil, nearest)
 
 
-def sample_texture(texels, descriptors, tex_id, uv, mip_level=None):
+def sample_texture(texels, descriptors, tex_id, uv, mip_level=None,
+                   has_nearest: bool = True):
     """Sample textures per pixel. tex_id < 0 → white (1,1,1,1).
 
     mip_level: (P,) f32 or None (base level). Trilinear when the sampler's
@@ -108,15 +114,15 @@ def sample_texture(texels, descriptors, tex_id, uv, mip_level=None):
     n_mips = desc[:, TD_N_MIPS]
 
     if mip_level is None:
-        out = _sample_level(texels, desc, uv, jnp.zeros(P, jnp.int32))
+        out = _sample_level(texels, desc, uv, jnp.zeros(P, jnp.int32), has_nearest)
     else:
         level = jnp.clip(mip_level, 0.0, (n_mips - 1).astype(jnp.float32))
         l0 = jnp.floor(level).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, n_mips - 1)
         frac = (level - l0.astype(jnp.float32))[:, None]
-        s0 = _sample_level(texels, desc, uv, l0)
+        s0 = _sample_level(texels, desc, uv, l0, has_nearest)
         tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
-        s1 = _sample_level(texels, desc, uv, l1)
+        s1 = _sample_level(texels, desc, uv, l1, has_nearest)
         out = jnp.where(tri[:, None], s0 * (1 - frac) + s1 * frac, s0)
 
     return jnp.where((tex_id >= 0)[:, None], out, jnp.ones_like(out))

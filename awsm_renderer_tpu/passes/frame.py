@@ -13,7 +13,8 @@ display.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,26 @@ from ..ops.vertex import vertex_stage
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class RenderHooks:
+    """Extension points inside the jitted frame (reference: render.rs:28-46
+    RenderHooks — pre_render, after_geometry_pass, before/after_transparent,
+    last_pass). Hooks are traceable jax functions; swapping a hook set is a
+    retrace, like the reference's hook-driven pipeline rebuilds.
+
+    Signatures:
+      after_geometry(vis: dict, ds) -> vis dict
+      before_transparent(hdr, depth, ds) -> hdr
+      after_transparent(hdr, ds) -> hdr
+      last_pass(ldr, ds) -> ldr
+    """
+
+    after_geometry: Optional[Callable] = None
+    before_transparent: Optional[Callable] = None
+    after_transparent: Optional[Callable] = None
+    last_pass: Optional[Callable] = None
 
 
 def _morton(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +100,7 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_normals",
-        "interpret", "bloom", "dof", "smaa",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins",
     ),
 )
 def render_frame(
@@ -105,6 +126,9 @@ def render_frame(
     bloom: bool = False,
     dof: bool = False,
     smaa: bool = False,
+    hooks: Optional[RenderHooks] = None,
+    has_nearest: bool = True,
+    max_bins: int = 64,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth)."""
     scale = 2 if supersample else 1
@@ -124,15 +148,22 @@ def render_frame(
     # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
     setup = pad_setup(run_vertex(opaque_mask))
     sorted_setup, perm = _sort_triangles(setup)
-    vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret)
+    vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
+                    max_bins=max_bins)
     vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
+    if hooks and hooks.after_geometry:
+        vis = hooks.after_geometry(vis, ds)
     hdr = shade_deferred(
         vis, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-        solid_env=solid_env, debug_normals=debug_normals,
+        solid_env=solid_env, has_nearest=has_nearest,
+        debug_normals=debug_normals,
     )
     tri_id = vis["tri_id"]
     depth = vis["depth"]
+
+    if hooks and hooks.before_transparent:
+        hdr = hooks.before_transparent(hdr, depth, ds)
 
     # ---- transparent forward pass (render.rs step 9: back-to-front over
     # opaque with shared read-only depth) -------------------------------------
@@ -147,8 +178,12 @@ def render_frame(
         hdr = shade_transparent_layers(
             layers, hdr, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-            solid_env=solid_env, n_layers=n_transparent_layers,
+            solid_env=solid_env, has_nearest=has_nearest,
+            n_layers=n_transparent_layers,
         )
+
+    if hooks and hooks.after_transparent:
+        hdr = hooks.after_transparent(hdr, ds)
 
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
@@ -162,6 +197,7 @@ def render_frame(
             h_planes, ds,
             width=rw, height=rh, height_full=rh, row_offset=0,
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+            has_nearest=has_nearest,
         )
         hit = h_valid[:, None]
         a = jnp.where(h_valid, h_alpha, 0.0)[:, None]
@@ -191,6 +227,9 @@ def render_frame(
     # ---- SMAA runs on the display image (effects_wgsl/helpers/smaa.wgsl) -----
     if smaa:
         ldr = smaa_pass(ldr)
+    if hooks and hooks.last_pass:
+        ldr = hooks.last_pass(ldr, ds)
+
     # picking ids in original triangle-pool space (clipping doubles columns)
     T_pool = ds["tri_mesh"].shape[0]
     tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)

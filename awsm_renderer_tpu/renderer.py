@@ -200,7 +200,7 @@ class AwsmRendererTpu:
         bound = (self.materials.tex_slots[:, :, 0] >= 0).any(axis=0)
         return tuple(bool(b) for b in bound)
 
-    def render_device(self, debug_normals: bool = False):
+    def render_device(self, debug_normals: bool = False, hooks=None):
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
         GPU — no host readback)."""
@@ -227,20 +227,24 @@ class AwsmRendererTpu:
             n_transparent_layers=cfg.max_transparent_layers,
             slot_mask=self._slot_mask(),
             solid_env=self.environment.is_solid,
+            has_nearest=bool(
+                (self.textures.descriptors[:, 5] == 0).any()
+                and self.textures.descriptor_capacity > 0),
             debug_normals=debug_normals,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
             smaa=cfg.anti_aliasing.smaa,
+            hooks=hooks,
         )
         self._last_tri_id = tri_id
         return ldr
 
-    def render(self, debug_normals: bool = False) -> np.ndarray:
+    def render(self, debug_normals: bool = False, hooks=None) -> np.ndarray:
         """Render one frame and read it back to host (H, W, 4) f32 sRGB.
 
         The readback is the expensive part on a remote-attached TPU; use
         render_device() for benchmarking / on-device consumers."""
-        return np.asarray(self.render_device(debug_normals=debug_normals))
+        return np.asarray(self.render_device(debug_normals=debug_normals, hooks=hooks))
 
     def render_u8(self) -> np.ndarray:
         return (np.clip(self.render(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
