@@ -154,6 +154,7 @@ def shade_surface(
     use_mips: bool, slot_mask: Tuple[bool, ...],
     solid_env: bool = False,
     has_nearest: bool = True,
+    debug_mode: str = "none",   # none | ibl | punctual (template.rs:46-65)
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
 ):
@@ -305,6 +306,12 @@ def shade_surface(
         + cc[:, None] * cc_spec
         + emissive
     )
+    # lighting-isolation debug variants (reference:
+    # material_opaque/shader/template.rs ShaderTemplateMaterialOpaqueDebug)
+    if debug_mode == "ibl":
+        pbr_color = ambient
+    elif debug_mode == "punctual":
+        pbr_color = direct
 
     # ---- alpha per mode (OPAQUE=1, MASK=cutoff test, BLEND=base.a) ------------
     alpha_mode = mflags[:, M.MI_ALPHA_MODE]
@@ -373,7 +380,7 @@ def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "has_nearest", "debug_normals"),
+                     "slot_mask", "solid_env", "has_nearest", "debug_mode"),
 )
 def shade_deferred(
     vis, ds,
@@ -386,7 +393,7 @@ def shade_deferred(
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
     has_nearest: bool = True,
-    debug_normals: bool = False,
+    debug_mode: str = "none",   # none | normals | ibl | punctual
 ):
     """Deferred opaque shading → HDR linear (height, width, 4) f32."""
     H, W = height, width
@@ -399,11 +406,12 @@ def shade_deferred(
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest,
+        debug_mode=debug_mode if debug_mode in ("ibl", "punctual") else "none",
     )
 
     sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
     out = jnp.where(valid[:, None], color, sky)
-    if debug_normals:
+    if debug_mode == "normals":
         out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
     alpha = valid.astype(jnp.float32)
     return jnp.concatenate([out, alpha[:, None]], axis=-1).reshape(H, W, 4)

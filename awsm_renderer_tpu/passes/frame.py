@@ -99,7 +99,7 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     static_argnames=(
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
-        "n_transparent_layers", "slot_mask", "solid_env", "debug_normals",
+        "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins",
     ),
 )
@@ -121,7 +121,7 @@ def render_frame(
     n_transparent_layers: int = 4,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
-    debug_normals: bool = False,
+    debug_mode: str = "none",
     interpret: bool | None = None,
     bloom: bool = False,
     dof: bool = False,
@@ -157,7 +157,7 @@ def render_frame(
         vis, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
         solid_env=solid_env, has_nearest=has_nearest,
-        debug_normals=debug_normals,
+        debug_mode=debug_mode,
     )
     tri_id = vis["tri_id"]
     depth = vis["depth"]

@@ -89,6 +89,25 @@ class AwsmRendererTpu:
         self.meshes.update_world(self.transforms, {transform_key})
         return key
 
+    # ---- runtime reconfiguration (reference: anti_alias.rs set_anti_aliasing,
+    # post_process.rs set_post_processing — pipeline rebuilds become retraces)
+
+    def set_anti_aliasing(self, aa) -> None:
+        from dataclasses import replace
+
+        self.config = replace(self.config, anti_aliasing=aa)
+
+    def set_post_processing(self, pp) -> None:
+        from dataclasses import replace
+
+        self.config = replace(self.config, post_processing=pp)
+
+    def remove_all(self) -> None:
+        """Clear the whole scene, keeping caches warm (reference:
+        lib.rs:117-128 remove_all rebuilds the renderer state)."""
+        cfg = self.config
+        self.__init__(cfg)
+
     # ---- per-frame update (reference: update.rs:8-19) ------------------------
 
     def update_all(self, dt: float, view=None, projection=None) -> None:
@@ -200,7 +219,7 @@ class AwsmRendererTpu:
         bound = (self.materials.tex_slots[:, :, 0] >= 0).any(axis=0)
         return tuple(bool(b) for b in bound)
 
-    def render_device(self, debug_normals: bool = False, hooks=None):
+    def render_device(self, debug_mode: str = "none", hooks=None):
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
         GPU — no host readback)."""
@@ -230,7 +249,7 @@ class AwsmRendererTpu:
             has_nearest=bool(
                 (self.textures.descriptors[:, 5] == 0).any()
                 and self.textures.descriptor_capacity > 0),
-            debug_normals=debug_normals,
+            debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
             smaa=cfg.anti_aliasing.smaa,
@@ -239,12 +258,14 @@ class AwsmRendererTpu:
         self._last_tri_id = tri_id
         return ldr
 
-    def render(self, debug_normals: bool = False, hooks=None) -> np.ndarray:
+    def render(self, debug_mode: str = "none", hooks=None) -> np.ndarray:
         """Render one frame and read it back to host (H, W, 4) f32 sRGB.
 
+        debug_mode: "none" | "normals" | "ibl" | "punctual" (the reference's
+        shader debug template variants, template.rs:46-65).
         The readback is the expensive part on a remote-attached TPU; use
         render_device() for benchmarking / on-device consumers."""
-        return np.asarray(self.render_device(debug_normals=debug_normals, hooks=hooks))
+        return np.asarray(self.render_device(debug_mode=debug_mode, hooks=hooks))
 
     def render_u8(self) -> np.ndarray:
         return (np.clip(self.render(), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

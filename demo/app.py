@@ -43,7 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--supersample", action="store_true")
     p.add_argument("--no-mips", action="store_true")
     p.add_argument("--grid", action="store_true", help="editor ground grid")
-    p.add_argument("--debug-normals", action="store_true")
+    p.add_argument("--debug", choices=["none", "normals", "ibl", "punctual"],
+                   default="none", help="shader debug variant")
     p.add_argument("--report", action="store_true", help="print store reports")
     p.add_argument("--timings", action="store_true")
     p.add_argument("--mp4", help="also write an mp4 at this path (cv2)")
@@ -127,7 +128,10 @@ def main(argv=None):
         view = m3.look_at(e, center, (0, 1, 0))
         r.update_all(dt, view, proj)
         t0 = time.perf_counter()
-        img = r.render_u8()
+        if args.debug != "none":
+            img = (np.clip(r.render(debug_mode=args.debug), 0, 1) * 255 + 0.5).astype(np.uint8)
+        else:
+            img = r.render_u8()
         ms = (time.perf_counter() - t0) * 1000
         path = os.path.join(args.out, f"frame_{i:04d}.png")
         Image.fromarray(img).save(path)

@@ -1,0 +1,66 @@
+"""Debug shading variants + compatibility check."""
+
+import numpy as np
+
+from awsm_renderer_tpu import (
+    AwsmRendererTpu, Light, PbrMaterial, PostProcessing, RendererConfig, ToneMapping,
+)
+from awsm_renderer_tpu.geometry import uv_sphere
+from awsm_renderer_tpu.utils import math3d as m3
+from awsm_renderer_tpu.utils.compatibility import check_compatibility
+
+W, H = 128, 32
+F = np.float32
+
+
+def _scene():
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H, post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], F), roughness_factor=0.6))
+    r.add_mesh(uv_sphere(0.7), mat)
+    r.lights.insert(Light.directional([0, 0, -1], intensity=3.0))
+    r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, W / H, 0.1, 100.0))
+    return r
+
+
+def test_debug_normals_view():
+    r = _scene()
+    img = r.render(debug_mode="normals")
+    c = img[H // 2, W // 2, :3]
+    # sphere front face normal ~ +z -> encoded ~(0.5, 0.5, 1.0) pre-sRGB
+    assert c[2] > c[0] and c[2] > 0.8
+
+
+def test_debug_lighting_isolation():
+    r = _scene()
+    full = r.render()
+    ibl = r.render(debug_mode="ibl")
+    punc = r.render(debug_mode="punctual")
+    m = (H // 2, W // 2)
+    # isolations differ from the full render and from each other
+    assert not np.allclose(ibl[m], punc[m], atol=0.01)
+    assert full[m][0] >= max(ibl[m][0], punc[m][0]) - 0.3
+
+
+def test_compatibility_report():
+    r = _scene()
+    rep = check_compatibility(r)
+    assert rep.ok
+    assert rep.scene_bytes > 0 and rep.framebuffer_bytes > 0
+
+
+def test_runtime_setters_and_remove_all():
+    from awsm_renderer_tpu import AntiAliasing
+
+    r = _scene()
+    r.render()
+    r.set_anti_aliasing(AntiAliasing(smaa=True))
+    assert r.config.anti_aliasing.smaa
+    img = r.render()
+    assert np.isfinite(img).all()
+    r.remove_all()
+    assert r.meshes.count == 0
+    img2 = r.render()  # empty scene renders uniform skybox
+    assert img2[..., 0].std() < 1e-4 and img2[..., 0].mean() > 0.1
