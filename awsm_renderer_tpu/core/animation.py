@@ -158,16 +158,24 @@ class AnimationPlayer:
 
 
 class Animations:
-    """Reference: animation/animations.rs:39-120."""
+    """Reference: animation/animations.rs:39-120.
+
+    Per-frame keyframe sampling (binary search + lerp/slerp per channel)
+    runs in the native C++ runtime when available (native/awsm_host.cpp
+    sample_channels — the tier the reference implements in Rust); cubic-
+    spline channels and the python fallback use AnimationSampler directly.
+    """
 
     def __init__(self):
         self._players: Dict[int, AnimationPlayer] = {}
         self._next_key = 1
+        self._native_tables = None  # rebuilt when the player set changes
 
     def insert(self, player: AnimationPlayer) -> int:
         key = self._next_key
         self._next_key += 1
         self._players[key] = player
+        self._native_tables = None
         return key
 
     def get(self, key: int) -> AnimationPlayer:
@@ -175,31 +183,104 @@ class Animations:
 
     def remove(self, key: int) -> None:
         del self._players[key]
+        self._native_tables = None
 
     def items(self):
         return self._players.items()
 
+    def _build_native_tables(self):
+        """Flatten LINEAR/STEP channels of all players into the concatenated
+        arrays the C++ sampler consumes. Cubic-spline channels stay python."""
+        entries = []  # (player, channel, mode, D)
+        times_parts, values_parts = [], []
+        t_off, t_len, v_off, dim, mode, out_off = [], [], [], [], [], []
+        to_cur = vo_cur = oo_cur = 0
+        for player in self._players.values():
+            for ch in player.clip.channels:
+                if ch.sampler.interpolation == Interpolation.CUBIC_SPLINE:
+                    continue
+                vals = ch.sampler.values.reshape(len(ch.sampler.times), -1)
+                D = vals.shape[1]
+                is_rot = ch.path == TargetPath.ROTATION
+                entries.append((player, ch, D))
+                times_parts.append(ch.sampler.times)
+                values_parts.append(vals.reshape(-1))
+                t_off.append(to_cur)
+                t_len.append(len(ch.sampler.times))
+                v_off.append(vo_cur)
+                dim.append(D)
+                mode.append(2 if is_rot and D == 4 else
+                            (1 if ch.sampler.interpolation == Interpolation.STEP else 0))
+                out_off.append(oo_cur)
+                to_cur += len(ch.sampler.times)
+                vo_cur += vals.size
+                oo_cur += D
+        import numpy as _np
+
+        self._native_tables = {
+            "entries": entries,
+            "times": _np.concatenate(times_parts).astype(_np.float32)
+            if times_parts else _np.zeros(0, _np.float32),
+            "values": _np.concatenate(values_parts).astype(_np.float32)
+            if values_parts else _np.zeros(0, _np.float32),
+            "t_off": _np.asarray(t_off, _np.int64),
+            "t_len": _np.asarray(t_len, _np.int32),
+            "v_off": _np.asarray(v_off, _np.int64),
+            "dim": _np.asarray(dim, _np.int32),
+            "mode": _np.asarray(mode, _np.int32),
+            "out_off": _np.asarray(out_off, _np.int64),
+            "out_size": oo_cur,
+        }
+
+    def _apply(self, ch, v, transforms, meshes) -> None:
+        if ch.path == TargetPath.WEIGHTS:
+            if ch.mesh_key is not None:
+                meshes.update_morph_weights(ch.mesh_key, np.atleast_1d(v))
+            return
+        if ch.transform_key is None:
+            return
+        if ch.path == TargetPath.TRANSLATION:
+            transforms.set_translation(ch.transform_key, v)
+        elif ch.path == TargetPath.ROTATION:
+            transforms.set_rotation(ch.transform_key, m3.quat_normalize(v))
+        elif ch.path == TargetPath.SCALE:
+            transforms.set_scale(ch.transform_key, v)
+
     def update(self, dt: float, transforms, meshes) -> None:
         """Sample all playing clips and apply to targets
         (reference: animations.rs:84 update_animations)."""
-        for player in self._players.values():
-            if not player.playing and player.time == 0.0:
-                continue
-            t = player.advance(dt)
-            for ch in player.clip.channels:
-                if ch.path == TargetPath.WEIGHTS:
-                    if ch.mesh_key is not None:
-                        from .meshes import MAX_MORPH_TARGETS
+        from ..utils import native
 
-                        w = ch.sampler.sample(t)
-                        meshes.update_morph_weights(ch.mesh_key, np.atleast_1d(w))
+        active_players = [p for p in self._players.values()
+                          if p.playing or p.time != 0.0]
+        if not active_players:
+            return
+        for player in active_players:
+            player.advance(dt)
+
+        if self._native_tables is None:
+            self._build_native_tables()
+        nt = self._native_tables
+        used_native = False
+        if nt["entries"]:
+            t = np.asarray([p.time for p, _, _ in nt["entries"]], np.float32)
+            out = np.zeros(nt["out_size"], np.float32)
+            used_native = native.sample_channels(
+                nt["times"], nt["values"], nt["t_off"], nt["t_len"],
+                nt["v_off"], nt["dim"], nt["mode"], t, nt["out_off"], out)
+            if used_native:
+                for (player, ch, D), oo in zip(nt["entries"], nt["out_off"]):
+                    if not player.playing and player.time == 0.0:
+                        continue
+                    self._apply(ch, out[oo : oo + D], transforms, meshes)
+
+        # python path: cubic-spline channels always; everything when the
+        # native library is unavailable
+        for player in active_players:
+            for ch in player.clip.channels:
+                cubic = ch.sampler.interpolation == Interpolation.CUBIC_SPLINE
+                if used_native and not cubic:
                     continue
-                if ch.transform_key is None:
-                    continue
-                v = ch.sampler.sample(t, is_rotation=(ch.path == TargetPath.ROTATION))
-                if ch.path == TargetPath.TRANSLATION:
-                    transforms.set_translation(ch.transform_key, v)
-                elif ch.path == TargetPath.ROTATION:
-                    transforms.set_rotation(ch.transform_key, m3.quat_normalize(v))
-                elif ch.path == TargetPath.SCALE:
-                    transforms.set_scale(ch.transform_key, v)
+                v = ch.sampler.sample(
+                    player.time, is_rotation=(ch.path == TargetPath.ROTATION))
+                self._apply(ch, v, transforms, meshes)

@@ -128,6 +128,24 @@ def world_propagate(order: np.ndarray, parent: np.ndarray, local: np.ndarray,
     return changed
 
 
+def sample_channels(times, values, t_off, t_len, v_off, dim, mode, t, out_off,
+                    out: np.ndarray) -> bool:
+    """Batched keyframe sampling (LINEAR/STEP/SLERP). Returns False when the
+    native library is unavailable (caller falls back to python samplers)."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(t_len)
+    if n == 0:
+        return True
+    lib.sample_channels(
+        _fp(times), _fp(values), _lp(t_off),
+        _ip(t_len), _lp(v_off), _ip(dim), _ip(mode), _fp(t),
+        _lp(out_off), _fp(out), n,
+    )
+    return True
+
+
 def transform_aabbs(rows: np.ndarray, world: np.ndarray,
                     mins: np.ndarray, maxs: np.ndarray):
     """Batch world-space AABBs: center/extent method. Returns (omin, omax)."""
