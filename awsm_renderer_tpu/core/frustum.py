@@ -46,6 +46,17 @@ class Frustum:
                 return False
         return True
 
+    def fully_in_front_of_near(self, mins: np.ndarray, maxs: np.ndarray,
+                               margin: float = 1e-3) -> np.ndarray:
+        """(N,) mask: AABB entirely on the inner side of the near plane —
+        the host-side proof that lets the vertex stage skip near-plane
+        clipping (its static needs_clip specialization)."""
+        p = self.planes[4]
+        normal = p[:3]
+        # negative vertex: the corner LEAST along the plane normal
+        nv = np.where(normal[None, :] >= 0.0, mins, maxs)
+        return (nv @ normal + p[3]) > margin
+
     def intersects_aabbs(self, mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
         """Vectorized test: mins/maxs (N,3) -> (N,) bool mask."""
         mins = np.asarray(mins, dtype=F)

@@ -67,15 +67,86 @@ def onehot_gather(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
     rows (N,) i32 in [0, cap); table (cap, K) f32 → (N, K) f32. For the
     small capacity-padded scene tables this is far faster than XLA's
-    gather lowering on TPU."""
+    gather lowering on TPU. The one-hot matrix is bf16 (0/1 are exact)
+    with f32 accumulation — halves the dominant intermediate buffer."""
     cap = table.shape[0]
-    oh = (rows[:, None] == jnp.arange(cap, dtype=rows.dtype)[None, :]).astype(table.dtype)
-    return oh @ table
+    oh = (rows[:, None] == jnp.arange(cap, dtype=rows.dtype)[None, :]).astype(jnp.bfloat16)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+
+
+def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height):
+    """Screen-map one output triangle set → (NSETUP, T) setup rows.
+
+    c*: (T,4) clip-space corners; q*: (T,NA) per-corner attribute bundles;
+    act: (T,) active mask; flags: per-triangle mesh flags (double-sided).
+    """
+    double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
+    cc = jnp.stack([c0, c1, c2], axis=1)       # (T,3,4)
+    qq = jnp.stack([q0, q1, q2], axis=1)       # (T,3,NA)
+    NA = qq.shape[-1]
+    w = cc[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
+    inv_w = 1.0 / safe_w
+    ndc = cc[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height    # y-down screen
+    z = ndc[..., 2]
+
+    # orientation: front faces are CW in y-down screen coords (negative
+    # area here); swap corners 1<->2 so the rasterizer always sees
+    # positive orientation (attributes swap along)
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sx[:, 2] - sx[:, 0]
+    ) * (sy[:, 1] - sy[:, 0])
+    front = area2 < 0.0
+    keep = (front | double_sided) & act & (jnp.abs(area2) > 1e-12)
+
+    def swp(arr):
+        return jnp.where(front[:, None], arr[:, jnp.array([0, 2, 1])], arr)
+
+    sx_o = swp(sx)
+    sy_o = swp(sy)
+    z_o = swp(z)
+    iw_o = swp(inv_w)
+    q_o = jnp.where(front[:, None, None], qq[:, jnp.array([0, 2, 1])], qq)
+
+    bb_minx = jnp.clip(jnp.min(sx_o, axis=1), 0.0, float(width))
+    bb_maxx = jnp.clip(jnp.max(sx_o, axis=1), 0.0, float(width))
+    bb_miny = jnp.clip(jnp.min(sy_o, axis=1), 0.0, float(height))
+    bb_maxy = jnp.clip(jnp.max(sy_o, axis=1), 0.0, float(height))
+    on_screen = (bb_maxx > bb_minx) & (bb_maxy > bb_miny)
+    zmin = jnp.min(z_o, axis=1)
+    zmax = jnp.max(z_o, axis=1)
+    # triangles with any corner behind the near plane must have been
+    # clipped before this point; reject any stragglers (w <= 0)
+    w_ok = jnp.all(w > 0.0, axis=1)
+    valid = keep & on_screen & w_ok & (zmax >= 0.0) & (zmin <= 1.0)
+    big = jnp.float32(3.0e38)
+    bb_minx = jnp.where(valid, bb_minx, big)
+    bb_miny = jnp.where(valid, bb_miny, big)
+    bb_maxx = jnp.where(valid, bb_maxx, -big)
+    bb_maxy = jnp.where(valid, bb_maxy, -big)
+
+    # Assemble (T, NSETUP) from 2D blocks, then ONE transpose. Stacking 64
+    # separate (T,) rows makes XLA materialize each as a (1, T) buffer in a
+    # column-major layout padded 128x on the unit dim (256 MB apiece at
+    # Sponza scale — a 15 GB compile-time OOM).
+    xy_interleaved = jnp.stack([sx_o, sy_o], axis=-1).reshape(-1, 6)  # x0 y0 x1 y1 x2 y2
+    bbox = jnp.stack([bb_minx, bb_miny, bb_maxx, bb_maxy], axis=-1)   # (T, 4)
+    scalars = jnp.stack([valid.astype(jnp.float32), mat_row], axis=-1)
+    # attribute columns: channel-major, 3 corner entries per channel
+    attrs_cols = jnp.swapaxes(q_o, 1, 2).reshape(-1, 3 * NA)          # (T, 3*NA)
+    pad = jnp.zeros_like(area2)[:, None]
+    setup_t = jnp.concatenate(
+        [xy_interleaved, z_o, iw_o, bbox, scalars, attrs_cols, pad], axis=1)
+    return setup_t.T                                                   # (NSETUP, T)
 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "has_morphs", "skin_sets"),
+    static_argnames=("width", "height", "has_morphs", "skin_sets",
+                     "needs_clip"),
 )
 def vertex_stage(
     c_pos,            # (3T, 3) f32 corner positions (corner-major)
@@ -101,8 +172,12 @@ def vertex_stage(
     height: int,
     has_morphs: bool,
     skin_sets: int,
+    needs_clip: bool = True,
 ):
-    """Returns setup (NSETUP, 2T) f32."""
+    """Returns setup (NSETUP, 2T) f32 — or (NSETUP, T) when needs_clip is
+    False (host proved every visible AABB sits fully in front of the near
+    plane, so the clipping machinery and the secondary output slots
+    compile away; toggling the flag is a retrace, like any variant)."""
     T = tri_mesh.shape[0]
     mesh = jnp.clip(tri_mesh, 0, mesh_info.shape[0] - 1)
 
@@ -171,6 +246,12 @@ def vertex_stage(
     NA = attrs.shape[-1]   # 15
 
     # ---- near-plane clipping (z_clip >= eps; [0,1] depth convention) -------
+    if not needs_clip:
+        return finish_setup(
+            clip[:, 0], clip[:, 1], clip[:, 2],
+            attrs[:, 0], attrs[:, 1], attrs[:, 2], active,
+            mat_row, flags, width, height)
+
     zc = clip[..., 2]
     inside = zc > _Z_EPS
     n_in = jnp.sum(inside.astype(jnp.int32), axis=1)
@@ -219,66 +300,8 @@ def vertex_stage(
     s2, sa2 = i_ac, t_ac
     secondary_active = active & two_in
 
-    double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
-
-    def finish(c0, c1, c2, q0, q1, q2, act):
-        """Screen-map one output triangle set → (NSETUP, T) rows."""
-        cc = jnp.stack([c0, c1, c2], axis=1)       # (T,3,4)
-        qq = jnp.stack([q0, q1, q2], axis=1)       # (T,3,NA)
-        w = cc[..., 3]
-        safe_w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
-        inv_w = 1.0 / safe_w
-        ndc = cc[..., :3] * inv_w[..., None]
-        sx = (ndc[..., 0] * 0.5 + 0.5) * width
-        sy = (0.5 - ndc[..., 1] * 0.5) * height    # y-down screen
-        z = ndc[..., 2]
-
-        # orientation: front faces are CW in y-down screen coords (negative
-        # area here); swap corners 1<->2 so the rasterizer always sees
-        # positive orientation (attributes swap along)
-        area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
-            sx[:, 2] - sx[:, 0]
-        ) * (sy[:, 1] - sy[:, 0])
-        front = area2 < 0.0
-        keep = (front | double_sided) & act & (jnp.abs(area2) > 1e-12)
-
-        def swp(arr):
-            return jnp.where(front[:, None], arr[:, jnp.array([0, 2, 1])], arr)
-
-        sx_o = swp(sx)
-        sy_o = swp(sy)
-        z_o = swp(z)
-        iw_o = swp(inv_w)
-        q_o = jnp.where(front[:, None, None], qq[:, jnp.array([0, 2, 1])], qq)
-
-        bb_minx = jnp.clip(jnp.min(sx_o, axis=1), 0.0, float(width))
-        bb_maxx = jnp.clip(jnp.max(sx_o, axis=1), 0.0, float(width))
-        bb_miny = jnp.clip(jnp.min(sy_o, axis=1), 0.0, float(height))
-        bb_maxy = jnp.clip(jnp.max(sy_o, axis=1), 0.0, float(height))
-        on_screen = (bb_maxx > bb_minx) & (bb_maxy > bb_miny)
-        zmin = jnp.min(z_o, axis=1)
-        zmax = jnp.max(z_o, axis=1)
-        valid = keep & on_screen & (zmax >= 0.0) & (zmin <= 1.0)
-        big = jnp.float32(3.0e38)
-        bb_minx = jnp.where(valid, bb_minx, big)
-        bb_miny = jnp.where(valid, bb_miny, big)
-        bb_maxx = jnp.where(valid, bb_maxx, -big)
-        bb_maxy = jnp.where(valid, bb_maxy, -big)
-
-        rows = [
-            sx_o[:, 0], sy_o[:, 0], sx_o[:, 1], sy_o[:, 1], sx_o[:, 2], sy_o[:, 2],
-            z_o[:, 0], z_o[:, 1], z_o[:, 2],
-            iw_o[:, 0], iw_o[:, 1], iw_o[:, 2],
-            bb_minx, bb_miny, bb_maxx, bb_maxy,
-            valid.astype(jnp.float32),
-            mat_row,
-        ]
-        # attribute rows: channel-major, 3 corner rows per channel
-        for ch in range(NA):
-            rows += [q_o[:, 0, ch], q_o[:, 1, ch], q_o[:, 2, ch]]
-        rows.append(jnp.zeros_like(area2))  # pad to NSETUP
-        return jnp.stack(rows, axis=0)
-
-    setup_primary = finish(p0, p1, p2, pa0, pa1, pa2, primary_active)
-    setup_secondary = finish(s0, s1, s2, sa0, sa1, sa2, secondary_active)
+    setup_primary = finish_setup(p0, p1, p2, pa0, pa1, pa2, primary_active,
+                                 mat_row, flags, width, height)
+    setup_secondary = finish_setup(s0, s1, s2, sa0, sa1, sa2, secondary_active,
+                                   mat_row, flags, width, height)
     return jnp.concatenate([setup_primary, setup_secondary], axis=1)  # (NSETUP, 2T)

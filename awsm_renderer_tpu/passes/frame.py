@@ -100,7 +100,7 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
-        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip",
     ),
 )
 def render_frame(
@@ -129,6 +129,7 @@ def render_frame(
     hooks: Optional[RenderHooks] = None,
     has_nearest: bool = True,
     max_bins: int = 64,
+    needs_clip: bool = True,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth)."""
     scale = 2 if supersample else 1
@@ -143,6 +144,7 @@ def render_frame(
             ds["morph_weights"], ds["world"], ds["normal_mat"],
             ds["joint_matrices"], ds["camera"]["view_proj"], mask,
             width=rw, height=rh, has_morphs=has_morphs, skin_sets=skin_sets,
+            needs_clip=needs_clip,
         )
 
     # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------

@@ -190,10 +190,13 @@ class AwsmRendererTpu:
         opaque = np.zeros(cap, dtype=bool)
         transparent = np.zeros(cap, dtype=bool)
         hud = np.zeros(cap, dtype=bool)
+        needs_clip = False
         mins, maxs, keys = self.meshes.world_bounds()
         if keys:
             frustum = Frustum(self.camera.view_projection)
             visible = frustum.intersects_aabbs(mins, maxs)
+            in_front = frustum.fully_in_front_of_near(mins, maxs)
+            needs_clip = bool((~in_front).any())
             for i, key in enumerate(keys):
                 mesh = self.meshes.get(key)
                 row = self.meshes.row_of(key)
@@ -208,7 +211,8 @@ class AwsmRendererTpu:
                     transparent[row] = True
                 else:
                     opaque[row] = True
-        return {"opaque": opaque, "transparent": transparent, "hud": hud}
+        return {"opaque": opaque, "transparent": transparent, "hud": hud,
+                "needs_clip": needs_clip}
 
     # ---- render (reference: render.rs:53-383) --------------------------------
 
@@ -249,6 +253,7 @@ class AwsmRendererTpu:
             has_nearest=bool(
                 (self.textures.descriptors[:, 5] == 0).any()
                 and self.textures.descriptor_capacity > 0),
+            needs_clip=masks["needs_clip"],
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,

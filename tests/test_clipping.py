@@ -73,3 +73,35 @@ def test_partially_clipped_triangle_barycentrics():
     right = img[row, xs.max() - 2]
     assert left[0] > left[1], f"left should lean red: {left}"
     assert right[1] > right[0], f"right should lean green: {right}"
+
+
+def test_no_clip_fast_path_matches():
+    # scene fully in front of the near plane: needs_clip=False must produce
+    # the same image as the clipping path
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    r.add_mesh(box(), mat)
+    masks = r._mesh_masks()
+    assert not masks["needs_clip"]
+    img_fast = r.render()
+
+    # force the clipping variant through the frame entry point
+    import jax.numpy as jnp
+    from awsm_renderer_tpu.config import ToneMapping
+    from awsm_renderer_tpu.passes.frame import render_frame
+
+    ds = r._flush()
+    ldr, _, _ = render_frame(
+        ds, jnp.asarray(masks["opaque"]),
+        width=W, height=H, supersample=False, tonemap=ToneMapping.NONE,
+        use_mips=True, has_morphs=False, skin_sets=0,
+        slot_mask=r._slot_mask(), solid_env=True, needs_clip=True)
+    np.testing.assert_allclose(np.asarray(ldr), img_fast, atol=1e-5)
+
+
+def test_needs_clip_detected_for_ground_plane():
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial())
+    r.add_mesh(plane(200.0), mat, transform=Transform(
+        translation=np.array([0, -0.5, 0], F)))
+    assert r._mesh_masks()["needs_clip"]
