@@ -89,6 +89,25 @@ class AwsmRendererTpu:
         self.meshes.update_world(self.transforms, {transform_key})
         return key
 
+    def add_instanced_mesh(self, geometry: MeshGeometry, material_key: int,
+                           transforms) -> list:
+        """Insert one geometry resource rendered under many transforms
+        (reference: instances.rs + EXT_mesh_gpu_instancing — one shared
+        MeshResource, one mesh record per instance)."""
+        rk = self.meshes.insert_resource(geometry)
+        mat = self.materials.get(material_key)
+        keys = []
+        for tr in transforms:
+            tk = self.transforms.insert(tr)
+            self.transforms.update_world()
+            keys.append(self.meshes.insert(
+                rk, self.transforms.row_of(tk), self.materials.row_of(material_key),
+                tk, material_key,
+                double_sided=getattr(mat, "double_sided", False),
+                transparent=self.materials.is_transparency_pass(material_key)))
+        self.meshes.update_world(self.transforms)
+        return keys
+
     # ---- runtime reconfiguration (reference: anti_alias.rs set_anti_aliasing,
     # post_process.rs set_post_processing — pipeline rebuilds become retraces)
 

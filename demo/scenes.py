@@ -152,11 +152,18 @@ def scene_alpha_blend(r: AwsmRendererTpu):
     return {"camera": ([0, 0.6, 3.5], [0, 0, 0])}
 
 
-def scene_sponza_stress(r: AwsmRendererTpu):
-    """Sponza open-world stress stand-in (bench scene)."""
-    import bench
-
-    return {"camera": ([10, 7, 10], [0, 0, 0]), "_prebuilt": True}
+def scene_instanced(r: AwsmRendererTpu):
+    """Extensions/SimpleInstancing: one box resource, a ring of instances."""
+    mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.4, 0.7, 0.9, 1], F), roughness_factor=0.5))
+    transforms = []
+    for i in range(12):
+        a = 2 * np.pi * i / 12
+        transforms.append(Transform(
+            translation=np.array([np.cos(a) * 2.2, 0, np.sin(a) * 2.2], F)))
+    r.add_instanced_mesh(box(0.5), mat, transforms)
+    _default_light(r)
+    return {"camera": ([0, 3.5, 5.0], [0, 0, 0])}
 
 
 SCENES = {
@@ -167,4 +174,5 @@ SCENES = {
     "morph-cube": scene_morph_cube,
     "rigged-simple": scene_rigged_simple,
     "alpha-blend": scene_alpha_blend,
+    "instanced": scene_instanced,
 }

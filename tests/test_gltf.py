@@ -313,3 +313,35 @@ class TestLoaderPopulate:
         lookups = populate_gltf(r, data)
         mk = lookups.node_meshes[0][0]
         np.testing.assert_allclose(r.meshes.morph_weights[r.meshes.row_of(mk), 0], 0.5)
+
+
+def test_khr_texture_transform_import(tmp_path):
+    import io
+    from PIL import Image
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png_b64 = base64.b64encode(buf.getvalue()).decode()
+    mat = {
+        "pbrMetallicRoughness": {"baseColorTexture": {
+            "index": 0,
+            "extensions": {"KHR_texture_transform": {
+                "offset": [0.25, 0.5], "scale": [2.0, 2.0]}},
+        }},
+    }
+    g = _tri_gltf_dict(material=mat, extra={
+        "textures": [{"source": 0}],
+        "images": [{"uri": "data:image/png;base64," + png_b64}],
+    })
+    data = load_gltf(_write(tmp_path, g))
+    r = _renderer()
+    lookups = populate_gltf(r, data)
+    m = r.materials.get(lookups.material_keys[0])
+    from awsm_renderer_tpu.core.materials import TS_BASE_COLOR
+
+    ref = m.textures[TS_BASE_COLOR]
+    assert ref.transform_id >= 0
+    row = ref.transform_id
+    np.testing.assert_allclose(r.textures.tex_transforms[row, :6],
+                               [2, 0, 0, 2, 0.25, 0.5])

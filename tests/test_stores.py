@@ -318,3 +318,18 @@ class TestAnimation:
         t.update_world()
         np.testing.assert_allclose(t.world_of(tk)[:3, 3], [2, 0, 0])
         np.testing.assert_allclose(m.morph_weights[m.row_of(mk), 0], 0.5)
+
+
+def test_add_instanced_mesh():
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig, UnlitMaterial
+    from awsm_renderer_tpu.geometry import box
+
+    r = AwsmRendererTpu(RendererConfig(width=128, height=32))
+    mat = r.materials.insert(UnlitMaterial())
+    keys = r.add_instanced_mesh(box(0.3), mat, [
+        Transform(translation=np.array([i, 0, 0], np.float32)) for i in range(5)])
+    assert len(keys) == 5
+    # one shared resource, five triangle ranges
+    res_keys = {r.meshes.get(k).resource_key for k in keys}
+    assert len(res_keys) == 1
+    assert r.meshes._resources[res_keys.pop()].refcount == 5
