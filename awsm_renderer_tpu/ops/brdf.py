@@ -115,7 +115,7 @@ def iridescent_fresnel(outside_ior, iridescence_ior, base_f0, thickness, cos_the
     base_f0_sqrt = jnp.sqrt(jnp.clip(base_f0, 0.0, 0.9999))
     base_ior = (1.0 + base_f0_sqrt) / jnp.maximum(1.0 - base_f0_sqrt, _EPS)  # (P,3)
     r23 = _fresnel_dielectric(
-        cos_theta2[:, None], base_ior / iridescence_ior
+        cos_theta2[:, None], base_ior / iridescence_ior[:, None]
     )
     # Airy summation, 2-bounce approximation
     t121 = 1.0 - r12

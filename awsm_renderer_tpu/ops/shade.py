@@ -45,6 +45,11 @@ from .vertex import onehot_gather
 
 _EPS = 1e-6
 ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
+# extension-enable flags: (clearcoat, sheen, iridescence, anisotropy,
+# transmission) — static per scene, like the reference's cargo features /
+# template variables gating extension WGSL
+EXT_CLEARCOAT, EXT_SHEEN, EXT_IRIDESCENCE, EXT_ANISOTROPY, EXT_TRANSMISSION = range(5)
+ALL_EXT = (True, True, True, True, True)
 
 
 def _normalize(v, axis=-1):
@@ -154,6 +159,7 @@ def shade_surface(
     use_mips: bool, slot_mask: Tuple[bool, ...],
     solid_env: bool = False,
     has_nearest: bool = True,
+    ext: Tuple[bool, ...] = ALL_EXT,
     debug_mode: str = "none",   # none | ibl | punctual (template.rs:46-65)
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
@@ -263,10 +269,30 @@ def shade_surface(
         f0_scalar[:, None] * spec_color * spec_color_tex[:, :3], 1.0
     ) * (spec_w * spec_tex[:, 3:4])
     f0 = f0_diel * (1.0 - metallic[:, None]) + base[:, :3] * metallic[:, None]
+
+    # KHR_materials_iridescence: thin-film fresnel replaces F0, weighted by
+    # the iridescence factor (brdf.wgsl iridescence path)
+    if ext[EXT_IRIDESCENCE]:
+        irid = mf[:, M.MF_IRIDESCENCE] * tex(M.TS_IRIDESCENCE)[:, 0]
+        irid_thick = (
+            mf[:, M.MF_IRIDESCENCE_THICKNESS_MIN]
+            + (mf[:, M.MF_IRIDESCENCE_THICKNESS_MAX]
+               - mf[:, M.MF_IRIDESCENCE_THICKNESS_MIN])
+            * tex(M.TS_IRIDESCENCE_THICKNESS)[:, 1]
+        )
+        n_dot_v_pre = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
+        f_irid = brdf.iridescent_fresnel(
+            jnp.ones_like(irid), mf[:, M.MF_IRIDESCENCE_IOR], f0,
+            irid_thick, n_dot_v_pre)
+        f0 = f0 * (1.0 - irid[:, None]) + f_irid * irid[:, None]
+
     c_diff = base[:, :3] * (1.0 - metallic[:, None])
 
-    transmission = mf[:, M.MF_TRANSMISSION] * tex(M.TS_TRANSMISSION)[:, 0]
-    if transparent_pass:
+    if ext[EXT_TRANSMISSION]:
+        transmission = mf[:, M.MF_TRANSMISSION] * tex(M.TS_TRANSMISSION)[:, 0]
+    else:
+        transmission = jnp.zeros_like(metallic)
+    if transparent_pass and ext[EXT_TRANSMISSION]:
         c_diff = c_diff * (1.0 - transmission[:, None])
 
     # ---- punctual + IBL -------------------------------------------------------
@@ -274,7 +300,26 @@ def shade_surface(
 
     irr_fn, pref_fn, _sky_fn = _env_samplers(ds, solid_env)
     n_dot_v = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
-    r = _normalize(2.0 * n_dot_v[:, None] * n_final - v)
+
+    # KHR_materials_anisotropy: bend the reflection lobe along the
+    # tangent/bitangent (Filament-style bent-normal approximation for IBL;
+    # reference brdf.wgsl anisotropic GGX)
+    n_ibl = n_final
+    if ext[EXT_ANISOTROPY]:
+        aniso = mf[:, M.MF_ANISOTROPY_STRENGTH] * (2.0 * tex(M.TS_ANISOTROPY)[:, 2] - 1.0
+                                                   if slot_mask[M.TS_ANISOTROPY]
+                                                   else jnp.ones_like(metallic))
+        rot = mf[:, M.MF_ANISOTROPY_ROTATION]
+        cr, sr = jnp.cos(rot)[:, None], jnp.sin(rot)[:, None]
+        t_dir = t_w * cr + b_w * sr
+        b_dir = -t_w * sr + b_w * cr
+        a_dir = jnp.where((aniso >= 0)[:, None], b_dir, t_dir)
+        t_perp = jnp.cross(a_dir, v)
+        bent = _normalize(jnp.cross(t_perp, a_dir))
+        mixw = jnp.clip(jnp.abs(aniso), 0.0, 1.0)[:, None]
+        n_ibl = _normalize(n_final * (1.0 - mixw) + bent * mixw)
+    n_dot_v_ibl = jnp.maximum(jnp.sum(n_ibl * v, axis=-1), _EPS)
+    r = _normalize(2.0 * n_dot_v_ibl[:, None] * n_ibl - v)
     irr = irr_fn(n_final)
     pref = pref_fn(r, roughness)
     lut_a, lut_b = env_brdf_approx(n_dot_v, roughness)
@@ -284,26 +329,34 @@ def shade_surface(
     ambient = (ibl_diff + ibl_spec) * occlusion[:, None]
 
     # ---- sheen (KHR_materials_sheen) ------------------------------------------
-    sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
-    sheen_rough = jnp.clip(
-        mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
-    sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)
-    sheen_ibl = pref_fn(r, sheen_rough) * sheen_color
+    if ext[EXT_SHEEN]:
+        sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
+        sheen_rough = jnp.clip(
+            mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
+        sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)[:, None]
+        sheen_ibl = pref_fn(r, sheen_rough) * sheen_color
+    else:
+        sheen_scale = 1.0
+        sheen_ibl = 0.0
 
     # ---- clearcoat (KHR_materials_clearcoat) -----------------------------------
-    cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
-    cc_rough = jnp.clip(
-        mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
-    cc_pref = pref_fn(r, cc_rough)
-    cc_a, cc_b = env_brdf_approx(n_dot_v, cc_rough)
-    cc_spec = cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
-    cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
-    cc_scale = 1.0 - cc * cc_fresnel
+    if ext[EXT_CLEARCOAT]:
+        cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
+        cc_rough = jnp.clip(
+            mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
+        cc_pref = pref_fn(r, cc_rough)
+        cc_a, cc_b = env_brdf_approx(n_dot_v, cc_rough)
+        cc_spec = cc[:, None] * cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
+        cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
+        cc_scale = (1.0 - cc * cc_fresnel)[:, None]
+    else:
+        cc_spec = 0.0
+        cc_scale = 1.0
 
     pbr_color = (
-        ((direct + ambient) * sheen_scale[:, None] + sheen_ibl)
-        * cc_scale[:, None]
-        + cc[:, None] * cc_spec
+        ((direct + ambient) * sheen_scale + sheen_ibl)
+        * cc_scale
+        + cc_spec
         + emissive
     )
     # lighting-isolation debug variants (reference:
@@ -380,7 +433,8 @@ def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "has_nearest", "debug_mode"),
+                     "slot_mask", "solid_env", "has_nearest", "ext",
+                     "debug_mode"),
 )
 def shade_deferred(
     vis, ds,
@@ -393,6 +447,7 @@ def shade_deferred(
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
     has_nearest: bool = True,
+    ext: Tuple[bool, ...] = ALL_EXT,
     debug_mode: str = "none",   # none | normals | ibl | punctual
 ):
     """Deferred opaque shading → HDR linear (height, width, 4) f32."""
@@ -405,7 +460,7 @@ def shade_deferred(
         planes, ds,
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-        has_nearest=has_nearest,
+        has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode if debug_mode in ("ibl", "punctual") else "none",
     )
 
@@ -420,7 +475,8 @@ def shade_deferred(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "has_nearest", "n_layers"),
+                     "slot_mask", "solid_env", "has_nearest", "ext",
+                     "n_layers"),
 )
 def shade_transparent_layers(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
@@ -434,6 +490,7 @@ def shade_transparent_layers(
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
     has_nearest: bool = True,
+    ext: Tuple[bool, ...] = ALL_EXT,
     n_layers: int = 4,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
@@ -449,7 +506,8 @@ def shade_transparent_layers(
             layer, ds,
             width=W, height=H, height_full=H_full, row_offset=row_offset,
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            has_nearest=has_nearest, transparent_pass=True, background=out,
+            has_nearest=has_nearest, ext=ext,
+            transparent_pass=True, background=out,
         )
         a = jnp.where(valid, alpha, 0.0)[:, None]
         return color * a + out * (1.0 - a), None

@@ -100,7 +100,7 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
-        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip", "ext",
     ),
 )
 def render_frame(
@@ -130,8 +130,13 @@ def render_frame(
     has_nearest: bool = True,
     max_bins: int = 64,
     needs_clip: bool = True,
+    ext=None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth)."""
+    from ..ops.shade import ALL_EXT
+
+    if ext is None:
+        ext = ALL_EXT
     scale = 2 if supersample else 1
     rw = _pad_to(width * scale, TILE_W)
     rh = _pad_to(height * scale, TILE_H)
@@ -158,7 +163,7 @@ def render_frame(
     hdr = shade_deferred(
         vis, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-        solid_env=solid_env, has_nearest=has_nearest,
+        solid_env=solid_env, has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode,
     )
     tri_id = vis["tri_id"]
@@ -180,7 +185,7 @@ def render_frame(
         hdr = shade_transparent_layers(
             layers, hdr, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
-            solid_env=solid_env, has_nearest=has_nearest,
+            solid_env=solid_env, has_nearest=has_nearest, ext=ext,
             n_layers=n_transparent_layers,
         )
 
@@ -199,7 +204,7 @@ def render_frame(
             h_planes, ds,
             width=rw, height=rh, height_full=rh, row_offset=0,
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            has_nearest=has_nearest,
+            has_nearest=has_nearest, ext=ext,
         )
         hit = h_valid[:, None]
         a = jnp.where(h_valid, h_alpha, 0.0)[:, None]

@@ -235,6 +235,23 @@ class AwsmRendererTpu:
 
     # ---- render (reference: render.rs:53-383) --------------------------------
 
+    def _ext_mask(self) -> tuple:
+        """Which material extensions any scene material uses — static
+        shading specialization (extension WGSL is feature-gated in the
+        reference; here unused extensions compile away)."""
+        from .core import materials as M
+
+        f = self.materials.float_data
+        slots = self.materials.tex_slots[:, :, 0]
+        return (
+            bool((f[:, M.MF_CLEARCOAT] > 0).any() or (slots[:, M.TS_CLEARCOAT] >= 0).any()),
+            bool((f[:, M.MF_SHEEN_COLOR:M.MF_SHEEN_COLOR + 3] > 0).any()),
+            bool((f[:, M.MF_IRIDESCENCE] > 0).any()),
+            bool((np.abs(f[:, M.MF_ANISOTROPY_STRENGTH]) > 0).any()),
+            bool((f[:, M.MF_TRANSMISSION] > 0).any()
+                 or (slots[:, M.TS_TRANSMISSION] >= 0).any()),
+        )
+
     def _slot_mask(self) -> tuple:
         """Which texture slots ANY material binds — a static shading
         specialization (the reference's shader-template variables;
@@ -273,6 +290,7 @@ class AwsmRendererTpu:
                 (self.textures.descriptors[:, 5] == 0).any()
                 and self.textures.descriptor_capacity > 0),
             needs_clip=masks["needs_clip"],
+            ext=self._ext_mask(),
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
