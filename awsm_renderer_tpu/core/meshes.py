@@ -156,6 +156,7 @@ class Meshes:
 
         self._resources: Dict[int, _Resource] = {}
         self._meshes: Dict[int, _Mesh] = {}
+        self.uses_vertex_colors = False   # static shading specialization
         self.gpu_dirty = True
         self.capacity_changed = True
 
@@ -202,6 +203,8 @@ class Meshes:
                           if geo.uv1 is not None else np.zeros((3 * T, 2), F))
         corners["color"] = (np.asarray(geo.color0, F).reshape(V, 4)[idx]
                             if geo.color0 is not None else np.ones((3 * T, 4), F))
+        if geo.color0 is not None:
+            self.uses_vertex_colors = True
 
         skin_sets = 0
         if geo.joints is not None and geo.weights is not None:

@@ -58,25 +58,38 @@ _BIG = 3.0e38
 # G-buffer planes: id/depth/material + interpolated vertex attributes +
 # uv0 screen derivatives (the reference packs normals/tangents/barycentric
 # derivatives into its G-buffer the same way; we add uv/color so shading
-# needs no per-triangle gathers at all — gathers are TPU poison)
-N_PLANES = 22
-_PLANE_NAMES = (
-    "tri_id", "depth", "mat_row",
-    "uv0_u", "uv0_v", "uv1_u", "uv1_v",
-    "color_r", "color_g", "color_b", "color_a",
-    "normal_x", "normal_y", "normal_z",
-    "tangent_x", "tangent_y", "tangent_z", "tangent_w",
-    "du0_dx", "dv0_dx", "du0_dy", "dv0_dy",
-)
-# attribute channel base rows, in output order after (tid, depth, mat_row)
-_ATTR_ROWS = tuple(S_UV0 + 3 * c for c in range(2)) +     tuple(S_UV1 + 3 * c for c in range(2)) +     tuple(S_COLOR + 3 * c for c in range(4)) +     tuple(S_NORMAL + 3 * c for c in range(3)) +     tuple(S_TANGENT + 3 * c for c in range(4))
+# needs no per-triangle gathers at all — gathers are TPU poison).
+# uv1 / vertex-color planes are statically elided when the scene never
+# uses them (shader-template-style specialization; shading substitutes
+# defaults).
+def plane_layout(has_uv1: bool = True, has_color: bool = True):
+    """→ (plane_names tuple, attr setup-row tuple)."""
+    names = ["tri_id", "depth", "mat_row", "uv0_u", "uv0_v"]
+    rows = [S_UV0, S_UV0 + 3]
+    if has_uv1:
+        names += ["uv1_u", "uv1_v"]
+        rows += [S_UV1, S_UV1 + 3]
+    if has_color:
+        names += ["color_r", "color_g", "color_b", "color_a"]
+        rows += [S_COLOR + 3 * c for c in range(4)]
+    names += ["normal_x", "normal_y", "normal_z",
+              "tangent_x", "tangent_y", "tangent_z", "tangent_w"]
+    rows += [S_NORMAL + 3 * c for c in range(3)]
+    rows += [S_TANGENT + 3 * c for c in range(4)]
+    names += ["du0_dx", "dv0_dx", "du0_dy", "dv0_dy"]
+    return tuple(names), tuple(rows)
+
+
+_PLANE_NAMES, _ATTR_ROWS = plane_layout()
+N_PLANES = len(_PLANE_NAMES)
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
+def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
+                    attr_rows=_ATTR_ROWS):
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
@@ -102,7 +115,8 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
         )
         return jax.lax.cond(
             hit,
-            lambda st: _merge_subgroup(P, px, py, tri_base, st, zbounds),
+            lambda st: _merge_subgroup(P, px, py, tri_base, st, zbounds,
+                                       attr_rows=attr_rows),
             lambda st: st,
             state,
         )
@@ -194,7 +208,7 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
         jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]),
     ]
     i = 3
-    for base_row in _ATTR_ROWS:
+    for base_row in attr_rows:
         out.append(jnp.where(take, pick(interp(base_row)), state[i]))
         i += 1
     # uv0 derivatives
@@ -208,7 +222,8 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None):
     return tuple(out)
 
 
-def _make_kernel(unroll: bool, peel: bool):
+def _make_kernel(unroll: bool, peel: bool, attr_rows=_ATTR_ROWS,
+                 n_planes=N_PLANES):
     def _raster_kernel(
         chunk_bbox_ref,   # SMEM (4, n_chunks) f32
         setup_ref,        # VMEM (NSETUP, CHUNK) f32
@@ -217,8 +232,8 @@ def _make_kernel(unroll: bool, peel: bool):
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
-        outs = refs[:N_PLANES]
-        accs = refs[N_PLANES:]
+        outs = refs[:n_planes]
+        accs = refs[n_planes:]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -261,12 +276,12 @@ def _make_kernel(unroll: bool, peel: bool):
                 for g in range(CHUNK // SUB):
                     Pg = setup_t[g * SUB : (g + 1) * SUB]
                     state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
-                                            zbounds, txy)
+                                            zbounds, txy, attr_rows)
             else:
                 def body(g, st):
                     Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
                     return _merge_subgroup(Pg, px, py, base + g * SUB, st,
-                                           zbounds, txy)
+                                           zbounds, txy, attr_rows)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
@@ -326,13 +341,14 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     return bins.reshape(-1), counts, B
 
 
-def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int):
+def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
+                        attr_rows=_ATTR_ROWS, n_planes=N_PLANES):
     def _kernel(bin_ref, cnt_ref, setup_ref, *refs):
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
-        outs = refs[:N_PLANES]
-        accs = refs[N_PLANES:]
+        outs = refs[:n_planes]
+        accs = refs[n_planes:]
 
         t = pl.program_id(0)
         k = pl.program_id(1)
@@ -366,12 +382,12 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int):
                 for g in range(CHUNK // SUB):
                     Pg = setup_t[g * SUB : (g + 1) * SUB]
                     state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
-                                            zbounds, txy)
+                                            zbounds, txy, attr_rows)
             else:
                 def body(g, st):
                     Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
                     return _merge_subgroup(Pg, px, py, base + g * SUB, st,
-                                           zbounds, txy)
+                                           zbounds, txy, attr_rows)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
@@ -389,10 +405,12 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_bins", "interpret")
+    jax.jit, static_argnames=("width", "height", "max_bins", "interpret",
+                              "has_uv1", "has_color")
 )
 def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
-                     max_bins: int = 128, interpret: bool | None = None):
+                     max_bins: int = 128, interpret: bool | None = None,
+                     has_uv1: bool = True, has_color: bool = True):
     """Binned rasterizer: grid = (tiles, B) over per-tile chunk lists.
 
     The scalar-prefetched bin table drives the setup BlockSpec index_map,
@@ -402,6 +420,8 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     if interpret is None:
         interpret = _interpret_default()
     peel = zlo is not None
+    names, attr_rows = plane_layout(has_uv1, has_color)
+    n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
     n_ty, n_tx = height // TILE_H, width // TILE_W
@@ -432,17 +452,18 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
         in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM)
-            for _ in range(N_PLANES)
+            for _ in range(n_planes)
         ),
-        scratch_shapes=_scratch(npx),
+        scratch_shapes=_scratch(npx, n_planes),
     )
     outs = pl.pallas_call(
-        _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B),
+        _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B,
+                            attr_rows=attr_rows, n_planes=n_planes),
         grid_spec=grid_spec,
-        out_shape=_out_shapes(width, height),
+        out_shape=_out_shapes(width, height, n_planes),
         interpret=interpret,
     )(bins, counts, *args)
-    return dict(zip(_PLANE_NAMES, outs))
+    return dict(zip(names, outs))
 
 
 def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
@@ -456,21 +477,22 @@ def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
     return jnp.stack([minx, miny, maxx, maxy], axis=0)
 
 
-def _out_shapes(width: int, height: int):
+def _out_shapes(width: int, height: int, n_planes: int = N_PLANES):
     shapes = [jax.ShapeDtypeStruct((height, width), jnp.int32)]
-    shapes += [jax.ShapeDtypeStruct((height, width), jnp.float32)] * (N_PLANES - 1)
+    shapes += [jax.ShapeDtypeStruct((height, width), jnp.float32)] * (n_planes - 1)
     return tuple(shapes)
 
 
-def _scratch(npx: int):
+def _scratch(npx: int, n_planes: int = N_PLANES):
     return [
         pltpu.VMEM((1, npx), jnp.float32),   # z
         pltpu.VMEM((1, npx), jnp.int32),     # tid
-    ] + [pltpu.VMEM((1, npx), jnp.float32)] * (N_PLANES - 2)
+    ] + [pltpu.VMEM((1, npx), jnp.float32)] * (n_planes - 2)
 
 
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
-              binned: bool | None = None, max_bins: int = 64):
+              binned: bool | None = None, max_bins: int = 64,
+              has_uv1: bool = True, has_color: bool = True):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
@@ -484,7 +506,8 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
         binned = not interpret
     if binned:
         return rasterize_binned(setup, width=width, height=height,
-                                max_bins=max_bins, interpret=interpret)
+                                max_bins=max_bins, interpret=interpret,
+                                has_uv1=has_uv1, has_color=has_color)
     return _rasterize_dense(setup, width=width, height=height, interpret=interpret)
 
 
@@ -526,7 +549,8 @@ def _rasterize_dense(setup, *, width: int, height: int, interpret: bool | None =
 
 
 def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
-                   interpret: bool | None = None, binned: bool | None = None):
+                   interpret: bool | None = None, binned: bool | None = None,
+                   has_uv1: bool = True, has_color: bool = True):
     """One depth-peel pass: nearest fragment with zlo < z < zhi per pixel.
 
     zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
@@ -538,7 +562,8 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
         binned = not interpret
     if binned:
         return rasterize_binned(setup, zlo, zhi, width=width, height=height,
-                                interpret=interpret)
+                                interpret=interpret,
+                                has_uv1=has_uv1, has_color=has_color)
     return _rasterize_peel_dense(setup, zlo, zhi, width=width, height=height,
                                  interpret=interpret)
 
@@ -580,7 +605,8 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
 
 
 def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
-                     n_layers: int, interpret: bool | None = None):
+                     n_layers: int, interpret: bool | None = None,
+                     has_uv1: bool = True, has_color: bool = True):
     """Depth-peel K transparent layers front-to-back.
 
     Returns dict of (K, H*W) flat arrays. Exact order-independent
@@ -589,7 +615,8 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
 
     def peel(zlo, _):
         layer = rasterize_peel(setup, zlo, opaque_depth,
-                               width=width, height=height, interpret=interpret)
+                               width=width, height=height, interpret=interpret,
+                               has_uv1=has_uv1, has_color=has_color)
         zlo_next = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
         flat = {k: v.reshape(-1) for k, v in layer.items()}
         return zlo_next, flat

@@ -174,9 +174,16 @@ def shade_surface(
     depth = planes["depth"]
 
     uv0 = jnp.stack([planes["uv0_u"], planes["uv0_v"]], axis=-1)
-    uv1 = jnp.stack([planes["uv1_u"], planes["uv1_v"]], axis=-1)
-    vcolor = jnp.stack([planes["color_r"], planes["color_g"],
-                        planes["color_b"], planes["color_a"]], axis=-1)
+    # slimmed G-buffers omit uv1 / vertex-color planes (raster plane_layout)
+    if "uv1_u" in planes:
+        uv1 = jnp.stack([planes["uv1_u"], planes["uv1_v"]], axis=-1)
+    else:
+        uv1 = uv0
+    if "color_r" in planes:
+        vcolor = jnp.stack([planes["color_r"], planes["color_g"],
+                            planes["color_b"], planes["color_a"]], axis=-1)
+    else:
+        vcolor = jnp.ones((P, 4), jnp.float32)
     n = _normalize(jnp.stack(
         [planes["normal_x"], planes["normal_y"], planes["normal_z"]], axis=-1))
     tang4 = jnp.stack([planes["tangent_x"], planes["tangent_y"],

@@ -100,7 +100,7 @@ def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
         "width", "height", "supersample", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
-        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip", "ext",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
     ),
 )
 def render_frame(
@@ -131,6 +131,8 @@ def render_frame(
     max_bins: int = 64,
     needs_clip: bool = True,
     ext=None,
+    has_uv1: bool = True,
+    has_color: bool = True,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth)."""
     from ..ops.shade import ALL_EXT
@@ -156,7 +158,7 @@ def render_frame(
     setup = pad_setup(run_vertex(opaque_mask))
     sorted_setup, perm = _sort_triangles(setup)
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
-                    max_bins=max_bins)
+                    max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
     vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
     if hooks and hooks.after_geometry:
         vis = hooks.after_geometry(vis, ds)
@@ -180,6 +182,7 @@ def render_frame(
         layers = rasterize_layers(
             t_sorted, depth, width=rw, height=rh,
             n_layers=n_transparent_layers, interpret=interpret,
+            has_uv1=has_uv1, has_color=has_color,
         )
         layers["tri_id"] = _remap_tri_ids(layers["tri_id"], t_perm)
         hdr = shade_transparent_layers(
@@ -196,7 +199,8 @@ def render_frame(
     if has_hud and hud_mask is not None:
         h_setup = pad_setup(run_vertex(hud_mask))
         h_sorted, h_perm = _sort_triangles(h_setup)
-        h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret)
+        h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret,
+                          max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
         h_vis["tri_id"] = _remap_tri_ids(h_vis["tri_id"], h_perm)
         P = rw * rh
         h_planes = {k: v.reshape(P) for k, v in h_vis.items()}

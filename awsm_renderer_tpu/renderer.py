@@ -45,6 +45,7 @@ class AwsmRendererTpu:
         self.camera = CameraState()
         self.environment = Environment()
         self._device: Dict[str, object] = {}
+        self._mask_cache: Dict[str, tuple] = {}  # name -> (np copy, device array)
         self._brdf_lut = None
         self._last_tri_id = None   # device plane kept for picking
         self._mesh_row_to_key: Dict[int, int] = {}
@@ -259,6 +260,17 @@ class AwsmRendererTpu:
         bound = (self.materials.tex_slots[:, :, 0] >= 0).any(axis=0)
         return tuple(bool(b) for b in bound)
 
+    def _device_mask(self, name: str, arr: np.ndarray):
+        """Upload a per-frame mask only when it changed (device_put has
+        real latency on a remote-attached TPU; masks are usually static
+        frame-to-frame)."""
+        cached = self._mask_cache.get(name)
+        if cached is not None and np.array_equal(cached[0], arr):
+            return cached[1]
+        dev = jnp.asarray(arr)
+        self._mask_cache[name] = (arr.copy(), dev)
+        return dev
+
     def render_device(self, debug_mode: str = "none", hooks=None):
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
@@ -271,9 +283,9 @@ class AwsmRendererTpu:
         has_hud = bool(masks["hud"].any())
         ldr, tri_id, depth = render_frame(
             ds,
-            jnp.asarray(masks["opaque"]),
-            jnp.asarray(masks["transparent"]) if has_transparent else None,
-            jnp.asarray(masks["hud"]) if has_hud else None,
+            self._device_mask("opaque", masks["opaque"]),
+            self._device_mask("transparent", masks["transparent"]) if has_transparent else None,
+            self._device_mask("hud", masks["hud"]) if has_hud else None,
             width=cfg.width,
             height=cfg.height,
             supersample=cfg.anti_aliasing.supersample,
@@ -291,6 +303,8 @@ class AwsmRendererTpu:
                 and self.textures.descriptor_capacity > 0),
             needs_clip=masks["needs_clip"],
             ext=self._ext_mask(),
+            has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
+            has_color=self.meshes.uses_vertex_colors,
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
