@@ -96,6 +96,29 @@ def calculate_mip_levels(width: int, height: int) -> int:
     return min(MAX_MIPS, int(np.floor(np.log2(max(width, height)))) + 1)
 
 
+def _pack_quads(mip: np.ndarray, wrap_s: int, wrap_t: int) -> np.ndarray:
+    """Bake each texel's bilinear footprint into one row: (h,w,4) → (h,w,16).
+
+    Row = [T(y,x), T(y,x+1), T(y+1,x), T(y+1,x+1)] with the +1 neighbors
+    pre-wrapped by the sampler mode (REPEAT → modular, CLAMP/MIRROR →
+    edge-clamped; mirrored sampling folds the continuous coordinate into
+    [0,1] at sample time, after which neighbor semantics are clamp).
+    This turns a bilinear tap into ONE device gather instead of four —
+    XLA TPU gathers are latency-bound per ROW, not per byte, so 4x the
+    texel bytes buys a ~4x cut in sampling time (see ops/texsample.py)."""
+    h, w = mip.shape[:2]
+    if wrap_s == WRAP_REPEAT:
+        xn = (np.arange(w) + 1) % w
+    else:
+        xn = np.minimum(np.arange(w) + 1, w - 1)
+    if wrap_t == WRAP_REPEAT:
+        yn = (np.arange(h) + 1) % h
+    else:
+        yn = np.minimum(np.arange(h) + 1, h - 1)
+    down = mip[yn]
+    return np.concatenate([mip, mip[:, xn], down, down[:, xn]], axis=-1)
+
+
 def generate_mip_chain(img: np.ndarray, kind: MipmapKind) -> List[np.ndarray]:
     """Full chain [level0, level1, ...] with semantic filtering per kind."""
     img = np.asarray(img, dtype=F)
@@ -131,7 +154,8 @@ class Textures:
 
     def __init__(self, initial_texels: int = 1 << 16, initial_descriptors: int = 32):
         self._texel_alloc = BuddyAllocator(initial_texels, min_block=256)
-        self.texels = np.zeros((self._texel_alloc.capacity, 4), dtype=F)
+        # quad-packed texels: [self, right, down, diag] per row (_pack_quads)
+        self.texels_packed = np.zeros((self._texel_alloc.capacity, 16), dtype=F)
         self._desc_alloc = SlotAllocator(initial_descriptors)
         self.descriptors = np.zeros((self._desc_alloc.capacity, DESC_I32), dtype=np.int32)
         self._tex_offset: Dict[int, int] = {}  # key -> texel buffer offset
@@ -180,9 +204,9 @@ class Textures:
         total = sum(m.shape[0] * m.shape[1] for m in chain)
         offset = self._texel_alloc.alloc(total)
         if self._texel_alloc.take_needs_resize():
-            old = self.texels
-            self.texels = np.zeros((self._texel_alloc.capacity, 4), dtype=F)
-            self.texels[: old.shape[0]] = old
+            old = self.texels_packed
+            self.texels_packed = np.zeros((self._texel_alloc.capacity, 16), dtype=F)
+            self.texels_packed[: old.shape[0]] = old
 
         key = self._desc_alloc.insert()
         if self._desc_alloc.take_needs_resize():
@@ -203,7 +227,8 @@ class Textures:
         off = offset
         for i, mip in enumerate(chain):
             d[TD_MIP_OFFSETS + i] = off
-            self.texels[off : off + mip.shape[0] * mip.shape[1]] = mip.reshape(-1, 4)
+            packed = _pack_quads(mip, sampler.wrap_s, sampler.wrap_t)
+            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed.reshape(-1, 16)
             off += mip.shape[0] * mip.shape[1]
         # clamp remaining mip offsets to the last mip (simplifies device clamping)
         for i in range(len(chain), MAX_MIPS):

@@ -42,11 +42,31 @@ def _wrap_coord(i: jnp.ndarray, n: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarra
     return out
 
 
-def _sample_level(texels, desc, uv, level, has_nearest: bool = True):
+def _prep_coord(u: jnp.ndarray, n_f: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+    """Continuous texel-space coord with wrap baked into its range.
+
+    MIRROR folds u into [0,1] (triangle wave, period 2) — after which the
+    correct integer-level behavior is CLAMP. CLAMP (and folded MIRROR)
+    pre-clamps the continuous coord to [0, n-1] so the bilinear footprint
+    [x0, x0+1] never leaves the texture: at the edge fx→0 so the baked
+    edge-clamped neighbor contributes nothing — identical results to
+    per-tap clamping. REPEAT stays unbounded; modular wrap of x0 composes
+    with the modular baked neighbor ((a mod n)+1 mod n == (a+1) mod n)."""
+    u_mir = 1.0 - jnp.abs(2.0 * (u * 0.5 - jnp.floor(u * 0.5)) - 1.0)
+    u_p = jnp.where(mode == WRAP_MIRROR, u_mir, u)
+    x = u_p * n_f - 0.5
+    return jnp.where(mode == WRAP_REPEAT, x, jnp.clip(x, 0.0, n_f - 1.0))
+
+
+def _sample_level(texq, desc, uv, level, has_nearest: bool = True):
     """Bilinear sample at integer mip `level` (P,). desc: (P, DESC_I32).
 
-    has_nearest=False compiles out the nearest-filter tap (scene-wide
-    static flag; saves 2 of 10 texel gathers per trilinear sample)."""
+    texq is the quad-packed texel buffer (N, 16): each row carries the
+    texel plus its pre-wrapped right/down/diag neighbors
+    (core/textures.py::_pack_quads), so one bilinear tap = ONE gather
+    (TPU gathers cost ~10-17ns per row regardless of width; this is the
+    single biggest shading cost). has_nearest=False compiles out the
+    nearest-filter tap (scene-wide static flag)."""
     w0 = desc[:, TD_WIDTH]
     h0 = desc[:, TD_HEIGHT]
     wm = jnp.maximum(w0 >> level, 1)
@@ -63,43 +83,37 @@ def _sample_level(texels, desc, uv, level, has_nearest: bool = True):
 
     wf = wm.astype(jnp.float32)
     hf = hm.astype(jnp.float32)
-    x = uv[:, 0] * wf - 0.5
-    y = uv[:, 1] * hf - 0.5
+    x = _prep_coord(uv[:, 0], wf, wrap_s)
+    y = _prep_coord(uv[:, 1], hf, wrap_t)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i = _wrap_coord(x0.astype(jnp.int32), wm, wrap_s)
+    y0i = _wrap_coord(y0.astype(jnp.int32), hm, wrap_t)
 
-    def tap(xi, yi):
-        xi = _wrap_coord(xi, wm, wrap_s)
-        yi = _wrap_coord(yi, hm, wrap_t)
-        idx = offset + yi * wm + xi
-        return texels[jnp.clip(idx, 0, texels.shape[0] - 1)]
-
-    t00 = tap(x0i, y0i)
-    t10 = tap(x0i + 1, y0i)
-    t01 = tap(x0i, y0i + 1)
-    t11 = tap(x0i + 1, y0i + 1)
+    idx = offset + y0i * wm + x0i
+    q = texq[jnp.clip(idx, 0, texq.shape[0] - 1)]  # (P, 16): one gather, 4 taps
     bil = (
-        t00 * (1 - fx) * (1 - fy)
-        + t10 * fx * (1 - fy)
-        + t01 * (1 - fx) * fy
-        + t11 * fx * fy
+        q[:, 0:4] * (1 - fx) * (1 - fy)
+        + q[:, 4:8] * fx * (1 - fy)
+        + q[:, 8:12] * (1 - fx) * fy
+        + q[:, 12:16] * fx * fy
     )
     if not has_nearest:
         return bil
-    # nearest taps reuse the wrap path with rounded coords
-    xn = jnp.floor(uv[:, 0] * wf).astype(jnp.int32)
-    yn = jnp.floor(uv[:, 1] * hf).astype(jnp.int32)
-    nearest = tap(xn, yn)
+    # nearest tap: round the pre-wrapped continuous coord
+    xn = _wrap_coord(jnp.floor(x + 0.5).astype(jnp.int32), wm, wrap_s)
+    yn = _wrap_coord(jnp.floor(y + 0.5).astype(jnp.int32), hm, wrap_t)
+    idxn = offset + yn * wm + xn
+    nearest = texq[jnp.clip(idxn, 0, texq.shape[0] - 1), 0:4]
     return jnp.where(linear[:, None], bil, nearest)
 
 
-def sample_texture(texels, descriptors, tex_id, uv, mip_level=None,
+def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,
                    has_nearest: bool = True):
     """Sample textures per pixel. tex_id < 0 → white (1,1,1,1).
+    texq: quad-packed texel buffer (N, 16) — see core/textures.py.
 
     mip_level: (P,) f32 or None (base level). Trilinear when the sampler's
     mip filter is linear, else nearest-mip. The descriptor fetch rides the
@@ -114,15 +128,15 @@ def sample_texture(texels, descriptors, tex_id, uv, mip_level=None,
     n_mips = desc[:, TD_N_MIPS]
 
     if mip_level is None:
-        out = _sample_level(texels, desc, uv, jnp.zeros(P, jnp.int32), has_nearest)
+        out = _sample_level(texq, desc, uv, jnp.zeros(P, jnp.int32), has_nearest)
     else:
         level = jnp.clip(mip_level, 0.0, (n_mips - 1).astype(jnp.float32))
         l0 = jnp.floor(level).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, n_mips - 1)
         frac = (level - l0.astype(jnp.float32))[:, None]
-        s0 = _sample_level(texels, desc, uv, l0, has_nearest)
+        s0 = _sample_level(texq, desc, uv, l0, has_nearest)
         tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
-        s1 = _sample_level(texels, desc, uv, l1, has_nearest)
+        s1 = _sample_level(texq, desc, uv, l1, has_nearest)
         out = jnp.where(tri[:, None], s0 * (1 - frac) + s1 * frac, s0)
 
     return jnp.where((tex_id >= 0)[:, None], out, jnp.ones_like(out))

@@ -182,7 +182,7 @@ class AwsmRendererTpu:
 
         tx = self.textures
         if tx.gpu_dirty:
-            d["texels"] = jnp.asarray(tx.texels)
+            d["texels"] = jnp.asarray(tx.texels_packed)
             d["tex_desc"] = jnp.asarray(tx.descriptors)
             d["tex_transforms"] = jnp.asarray(tx.tex_transforms)
             tx.gpu_dirty = False

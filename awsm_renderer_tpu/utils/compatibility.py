@@ -39,7 +39,7 @@ def check_compatibility(renderer) -> CompatibilityReport:
                  "c_joints", "c_weights", "c_morph_base", "morph_deltas",
                  "tri_mesh", "mesh_info", "morph_weights"):
         scene += getattr(m, name).nbytes
-    scene += renderer.textures.texels.nbytes
+    scene += renderer.textures.texels_packed.nbytes
     scene += renderer.transforms.world.nbytes + renderer.transforms.normal.nbytes
 
     cfg = renderer.config

@@ -62,7 +62,7 @@ def test_entry_samples_correct_texels():
     e1 = mt.add_image(red)
     e2 = mt.add_image(blue)
     mt.finalize()
-    texels = jnp.asarray(t.texels)
+    texels = jnp.asarray(t.texels_packed)
     descs = jnp.asarray(t.descriptors)
     transforms = jnp.asarray(t.tex_transforms)
     uv = jnp.array([[0.5, 0.5]], jnp.float32)
