@@ -88,7 +88,7 @@ def uv_sphere(radius: float = 0.5, rings: int = 16, sectors: int = 32) -> MeshGe
         for c in range(sectors):
             a = r * cols + c
             b = a + cols
-            idx += [[a, b, a + 1], [a + 1, b, b + 1]]
+            idx += [[a, a + 1, b], [a + 1, b + 1, b]]
     return MeshGeometry(
         positions=pos.astype(F),
         indices=np.array(idx, np.int32),
@@ -119,7 +119,7 @@ def cylinder(radius: float = 0.05, height: float = 1.0, sectors: int = 12,
     for i in range(sectors):
         a, b = i, i + 1
         idx += [[a, n + a, b], [b, n + a, n + b]]
-        idx += [[2 * n, b, a], [2 * n + 1, n + a, n + b]]
+        idx += [[2 * n, a, b], [2 * n + 1, n + b, n + a]]
     geo = MeshGeometry(
         positions=pos.astype(F), indices=np.array(idx, np.int32),
         normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))
@@ -146,7 +146,7 @@ def cone(radius: float = 0.1, height: float = 0.3, sectors: int = 12,
     ])
     idx = []
     for i in range(sectors):
-        idx += [[i, n, i + 1], [n + 1, i + 1, i]]
+        idx += [[i, n, i + 1], [n + 1, i, i + 1]]
     geo = MeshGeometry(
         positions=pos.astype(F), indices=np.array(idx, np.int32),
         normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))
@@ -175,7 +175,7 @@ def torus(radius: float = 0.7, tube: float = 0.03, sectors: int = 32,
         for j in range(sides):
             a = i * cols + j
             b = a + cols
-            idx += [[a, b, a + 1], [a + 1, b, b + 1]]
+            idx += [[a, a + 1, b], [a + 1, b + 1, b]]
     geo = MeshGeometry(
         positions=pos.astype(F), indices=np.array(idx, np.int32),
         normals=nrm.astype(F), uv0=np.zeros((pos.shape[0], 2), F))

@@ -4,11 +4,34 @@ Port of the cubemap sampling used by the reference's lighting WGSL
 (shared_wgsl/lighting/lights.wgsl IBL path, material_opaque skybox miss
 path). Faces follow the WebGPU/GL order +X,-X,+Y,-Y,+Z,-Z with standard
 uv orientation. Bilinear filtering with edge clamp (no seam blending).
+
+Device layout is quad-packed, same trick as ops/texsample.py: each texel
+row carries its edge-clamped right/down/diag neighbors (16 channels), so
+one bilinear tap = ONE latency-bound TPU gather instead of four.
+`pack_cubemap` builds the packed buffer host-side at scene flush.
 """
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
+import numpy as np
+
+
+def pack_cubemap(faces: np.ndarray) -> np.ndarray:
+    """(..., 6, S, S, 4) f32 → (..., 6*S*S, 16) quad-packed, clamp wrap.
+
+    Leading dims (e.g. the prefiltered roughness-mip axis) are preserved.
+    """
+    from ..core.textures import WRAP_CLAMP, _pack_quads
+
+    faces = np.asarray(faces, dtype=np.float32)
+    lead = faces.shape[:-4]
+    S = faces.shape[-2]
+    flat_faces = faces.reshape(-1, S, S, 4)
+    packed = np.stack([_pack_quads(f, WRAP_CLAMP, WRAP_CLAMP) for f in flat_faces])
+    return packed.reshape(*lead, 6 * S * S, 16)
 
 
 def cubemap_face_uv(dirs: jnp.ndarray):
@@ -36,54 +59,50 @@ def cubemap_face_uv(dirs: jnp.ndarray):
     return face, jnp.stack([u, v], axis=-1)
 
 
-def sample_cubemap(faces: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """faces (6,S,S,4), dirs (P,3) → (P,4), bilinear, clamped."""
-    S = faces.shape[1]
+def _bilinear_setup(dirs: jnp.ndarray, S: int):
+    """Shared footprint math: flat base index within one cubemap + weights."""
     face, uv = cubemap_face_uv(dirs)
-    x = uv[:, 0] * S - 0.5
-    y = uv[:, 1] * S - 0.5
+    x = jnp.clip(uv[:, 0] * S - 0.5, 0.0, S - 1.0)
+    y = jnp.clip(uv[:, 1] * S - 0.5, 0.0, S - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
+    idx = face * (S * S) + y0.astype(jnp.int32) * S + x0.astype(jnp.int32)
+    return idx, fx, fy
 
-    flat = faces.reshape(6 * S * S, faces.shape[-1])
 
-    def tap(xi, yi):
-        xi = jnp.clip(xi, 0, S - 1)
-        yi = jnp.clip(yi, 0, S - 1)
-        return flat[face * S * S + yi * S + xi]
-
-    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
-    t00 = tap(x0i, y0i)
-    t10 = tap(x0i + 1, y0i)
-    t01 = tap(x0i, y0i + 1)
-    t11 = tap(x0i + 1, y0i + 1)
+def _blend_quads(q: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
     return (
-        t00 * (1 - fx) * (1 - fy)
-        + t10 * fx * (1 - fy)
-        + t01 * (1 - fx) * fy
-        + t11 * fx * fy
+        q[:, 0:4] * (1 - fx) * (1 - fy)
+        + q[:, 4:8] * fx * (1 - fy)
+        + q[:, 8:12] * (1 - fx) * fy
+        + q[:, 12:16] * fx * fy
     )
 
 
-def sample_prefiltered(prefiltered: jnp.ndarray, dirs: jnp.ndarray, roughness: jnp.ndarray):
-    """prefiltered (N_MIPS,6,S,S,4); roughness (P,) selects mip, lerped."""
-    n = prefiltered.shape[0]
+def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """packed (6*S*S,16) quad rows, dirs (P,3) → (P,4), bilinear, clamped."""
+    S = math.isqrt(packed.shape[0] // 6)
+    idx, fx, fy = _bilinear_setup(dirs, S)
+    return _blend_quads(packed[idx], fx, fy)
+
+
+def sample_prefiltered(packed: jnp.ndarray, dirs: jnp.ndarray, roughness: jnp.ndarray):
+    """packed (N_MIPS, 6*S*S, 16); roughness (P,) selects mip, lerped.
+
+    Bilinear within each roughness level (one packed gather per level;
+    the pre-packing point-sampled to keep gather count down)."""
+    n = packed.shape[0]
+    S = math.isqrt(packed.shape[1] // 6)
     level = jnp.clip(roughness, 0.0, 1.0) * (n - 1)
     l0 = jnp.floor(level).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n - 1)
     frac = (level - l0.astype(jnp.float32))[:, None]
 
-    S = prefiltered.shape[2]
-    face, uv = cubemap_face_uv(dirs)
-    x = jnp.clip((uv[:, 0] * S - 0.5), 0, S - 1)
-    y = jnp.clip((uv[:, 1] * S - 0.5), 0, S - 1)
-    x0 = x.astype(jnp.int32)
-    y0 = y.astype(jnp.int32)
-    flat = prefiltered.reshape(n * 6 * S * S, prefiltered.shape[-1])
-
-    def tap(l):
-        return flat[((l * 6) + face) * S * S + y0 * S + x0]
-
-    return tap(l0) * (1 - frac) + tap(l1) * frac
+    idx, fx, fy = _bilinear_setup(dirs, S)
+    flat = packed.reshape(n * packed.shape[1], 16)
+    stride = packed.shape[1]
+    s0 = _blend_quads(flat[l0 * stride + idx], fx, fy)
+    s1 = _blend_quads(flat[l1 * stride + idx], fx, fy)
+    return s0 * (1 - frac) + s1 * frac

@@ -44,7 +44,7 @@ from .vertex import (
     NSETUP,
     S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
     S_COLOR, S_IW0, S_IW1, S_IW2, S_MAT_ROW, S_NORMAL,
-    S_TANGENT, S_UV0, S_UV1, S_VALID,
+    S_ORIG_ID, S_TANGENT, S_UV0, S_UV1, S_VALID,
     S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
     S_Z0, S_Z1, S_Z2,
 )
@@ -93,7 +93,9 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
-    tri_base: scalar i32 global id of P's first triangle;
+    tri_base: unused (ids come from the S_ORIG_ID setup row — this keeps
+    the raster output in ORIGINAL triangle-pool ids with no per-pixel
+    remap gather after the Morton sort);
     state: tuple of N_PLANES (1, npx) accumulators
            (z, tid, mat_row, 15 interpolated attrs, 4 uv0 derivatives);
     zbounds: optional (zlo, zhi) per-pixel planes — fragments must satisfy
@@ -202,9 +204,12 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
         return pn0 * a0 + pn1 * a1 + pn2 * a2
 
     take = zmin < state[0]
+    # original ids ride in a setup row (f32 exact below 2^24); the pick is
+    # a one-hot sum, so the value is exact
+    tid = pick(col(S_ORIG_ID) * jnp.ones_like(zc)).astype(jnp.int32)
     out = [
         jnp.where(take, zmin, state[0]),                          # z
-        jnp.where(take, tri_base + win, state[1]),                # tid
+        jnp.where(take, tid, state[1]),                           # tid
         jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]),
     ]
     i = 3
@@ -320,6 +325,7 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     b_fit = max(8, smem_budget_entries // (n_ty * n_tx))
     B = min(max_bins, b_fit, n_chunks)
     bbox = _chunk_bboxes(setup, n_chunks)                  # (4, Nc)
+    zmin = _chunk_zmin(setup, n_chunks)                    # (Nc,)
 
     tx0 = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W     # (n_tx,)
     ty0 = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
@@ -329,77 +335,119 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     overlap = overlap.reshape(n_ty * n_tx, n_chunks)
 
     counts = jnp.minimum(jnp.sum(overlap, axis=1), B).astype(jnp.int32)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, 1)
-    key = jnp.where(overlap, iota_c, n_chunks)             # ascending ids first
+    # near-first ordering: each tile's list is sorted by chunk z-min so the
+    # kernel's hi-Z test can skip occluded chunks (and everything after
+    # them). Ranks, not raw ids, keep the top_k integer-keyed.
+    order = jnp.argsort(zmin)                              # rank -> chunk id
+    rank = jnp.argsort(order).astype(jnp.int32)            # chunk id -> rank
+    key = jnp.where(overlap, rank[None, :], n_chunks)      # nearest ranks first
     neg_top, _ = jax.lax.top_k(-key, B)                    # B smallest keys
-    bins = -neg_top                                        # (n_tiles, B) ascending
+    ranks_sel = -neg_top                                   # (n_tiles, B) ascending z
+    bins = order[jnp.clip(ranks_sel, 0, n_chunks - 1)].astype(jnp.int32)
     # replace out-of-range pad slots with each row's last valid chunk
+    valid_slot = ranks_sel < n_chunks
     last = jnp.take_along_axis(
         bins, jnp.maximum(counts - 1, 0)[:, None], axis=1)
-    bins = jnp.where(bins >= n_chunks, last, bins)
+    bins = jnp.where(valid_slot, bins, last)
     bins = jnp.where(counts[:, None] == 0, 0, bins)
-    return bins.reshape(-1), counts, B
+    return bins.reshape(-1), counts, B, zmin
 
 
 def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
                         attr_rows=_ATTR_ROWS, n_planes=N_PLANES):
-    def _kernel(bin_ref, cnt_ref, setup_ref, *refs):
+    """Streamed binned kernel: grid = (n_tiles,), ONE step per tile.
+
+    Each step walks the tile's bin list with a dynamic fori_loop and
+    double-buffered async DMA of the setup chunks from HBM — the previous
+    rectangular (n_tiles, B) grid paid ~0.5 µs of scalar pipeline overhead
+    per PADDED slot (~60 ms/frame at B=64 on the 1080p stress scene);
+    here the loop runs exactly counts[t] iterations and the grid shrinks
+    ~64x. DMA of bin b+1 is kicked off before waiting on bin b, so the
+    fetch rides under the merge math."""
+
+    def _kernel(bin_ref, cnt_ref, zmin_ref, setup_ref, *refs):
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
         outs = refs[:n_planes]
-        accs = refs[n_planes:]
+        buf, sem = refs[n_planes], refs[n_planes + 1]
 
         t = pl.program_id(0)
-        k = pl.program_id(1)
-
-        @pl.when(k == 0)
-        def _init():
-            accs[0][:] = jnp.full_like(accs[0], 1.0)
-            accs[1][:] = jnp.full_like(accs[1], -1)
-            for a in accs[2:]:
-                a[:] = jnp.zeros_like(a)
-
+        cnt = cnt_ref[t]
         ty0 = ((t // n_tx) * TILE_H).astype(jnp.float32)
         tx0 = ((t % n_tx) * TILE_W).astype(jnp.float32)
+        npx = TILE_H * TILE_W
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
+        py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
 
-        @pl.when(k < cnt_ref[t])
-        def _process():
-            npx = TILE_H * TILE_W
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-            px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
-            py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
+        def start(b, slot):
+            chunk = bin_ref[t * B + b]
+            pltpu.make_async_copy(
+                setup_ref.at[:, pl.ds(chunk * CHUNK, CHUNK)],
+                buf.at[slot], sem.at[slot],
+            ).start()
 
-            setup_t = setup_ref[:].T
-            state = tuple(a[:] for a in accs)
-            base = bin_ref[t * B + k] * CHUNK
-            zbounds = None
-            if peel:
-                zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
+        def wait(slot):
+            pltpu.make_async_copy(
+                setup_ref.at[:, pl.ds(0, CHUNK)], buf.at[slot], sem.at[slot]
+            ).wait()
 
-            txy = (tx0, ty0)
-            if unroll:
-                for g in range(CHUNK // SUB):
-                    Pg = setup_t[g * SUB : (g + 1) * SUB]
-                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
-                                            zbounds, txy, attr_rows)
-            else:
-                def body(g, st):
-                    Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                    return _merge_subgroup(Pg, px, py, base + g * SUB, st,
-                                           zbounds, txy, attr_rows)
+        @pl.when(cnt > 0)
+        def _prefetch_first():
+            start(0, 0)
 
-                state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
+        zbounds = None
+        if peel:
+            zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
+        txy = (tx0, ty0)
 
-            for a, s in zip(accs, state):
-                a[:] = s
+        state0 = (
+            jnp.full((1, npx), 1.0, jnp.float32),    # depth clear, LESS
+            jnp.full((1, npx), -1, jnp.int32),       # tri_id
+        ) + tuple(jnp.zeros((1, npx), jnp.float32) for _ in range(n_planes - 2))
 
-        @pl.when(k == B - 1)
-        def _flush():
-            outs[0][:] = accs[1][:].reshape(TILE_H, TILE_W)
-            outs[1][:] = accs[0][:].reshape(TILE_H, TILE_W)
-            for o, a in zip(outs[2:], accs[2:]):
-                o[:] = a[:].reshape(TILE_H, TILE_W)
+        def body(b, state):
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < cnt)
+            def _prefetch_next():
+                start(b + 1, jax.lax.rem(b + 1, 2))
+
+            wait(slot)                               # always consume the DMA
+            chunk = bin_ref[t * B + b]
+
+            def do_merge(state):
+                setup_t = buf[slot].T                # (CHUNK, NSETUP)
+                base = chunk * CHUNK
+                if unroll:
+                    for g in range(CHUNK // SUB):
+                        Pg = setup_t[g * SUB : (g + 1) * SUB]
+                        state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
+                                                zbounds, txy, attr_rows)
+                else:
+                    def sub_body(g, st):
+                        Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
+                        return _merge_subgroup(Pg, px, py, base + g * SUB, st,
+                                               zbounds, txy, attr_rows)
+
+                    state = jax.lax.fori_loop(0, CHUNK // SUB, sub_body, state)
+                return state
+
+            # hi-Z: bins are z-min-ordered, so a chunk whose conservative
+            # z-min can't beat the tile's worst current depth is fully
+            # occluded (strict LESS test) and its merge is skipped.
+            zmax = jnp.max(state[0])
+            return jax.lax.cond(zmin_ref[chunk] < zmax, do_merge,
+                                lambda st: st, state)
+
+        state = jax.lax.fori_loop(0, cnt, body, state0)
+
+        # acc order: z, tid, attrs...; out order: tid, depth, attrs...
+        outs[0][:] = state[1].reshape(TILE_H, TILE_W)
+        outs[1][:] = state[0].reshape(TILE_H, TILE_W)
+        for o, s in zip(outs[2:], state[2:]):
+            o[:] = s.reshape(TILE_H, TILE_W)
 
     return _kernel
 
@@ -426,18 +474,15 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     assert T % CHUNK == 0
     n_ty, n_tx = height // TILE_H, width // TILE_W
     n_tiles = n_ty * n_tx
-    bins, counts, B = build_bins(setup, width=width, height=height, max_bins=max_bins)
-    npx = TILE_H * TILE_W
+    bins, counts, B, zmin = build_bins(setup, width=width, height=height,
+                                       max_bins=max_bins)
 
-    def setup_map(t, k, bin_ref, cnt_ref):
-        return (0, bin_ref[t * B + k])
-
-    def tile_map(t, k, bin_ref, cnt_ref):
+    def tile_map(t, bin_ref, cnt_ref, zmin_ref):
         return (t // n_tx, t % n_tx)
 
-    in_specs = [
-        pl.BlockSpec((NSETUP, CHUNK), setup_map, memory_space=pltpu.VMEM),
-    ]
+    # the whole setup pool stays in HBM; the kernel DMAs each tile's
+    # binned chunks itself (double-buffered)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [setup]
     if peel:
         in_specs += [
@@ -447,14 +492,17 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
         args += [zlo, zhi]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles, B),
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM)
             for _ in range(n_planes)
         ),
-        scratch_shapes=_scratch(npx, n_planes),
+        scratch_shapes=[
+            pltpu.VMEM((2, NSETUP, CHUNK), jnp.float32),   # DMA double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     outs = pl.pallas_call(
         _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B,
@@ -462,8 +510,15 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
         grid_spec=grid_spec,
         out_shape=_out_shapes(width, height, n_planes),
         interpret=interpret,
-    )(bins, counts, *args)
+    )(bins, counts, zmin, *args)
     return dict(zip(names, outs))
+
+
+def _chunk_zmin(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
+    """Conservative per-chunk minimum NDC z (n_chunks,) for hi-Z skipping."""
+    valid = setup[S_VALID].reshape(n_chunks, CHUNK) > 0.5
+    z = jnp.minimum(jnp.minimum(setup[S_Z0], setup[S_Z1]), setup[S_Z2])
+    return jnp.where(valid, z.reshape(n_chunks, CHUNK), _BIG).min(axis=1)
 
 
 def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:

@@ -136,9 +136,9 @@ def _material_table(ds):
 def _env_samplers(ds, solid_env: bool):
     """IBL/sky sample functions; constants when the environment is solid."""
     if solid_env:
-        irr_c = ds["irradiance"][0, 0, 0, :3]
-        pref_c = ds["prefiltered"][0, 0, 0, 0, :3]
-        sky_c = ds["skybox"][0, 0, 0, :3]
+        irr_c = ds["irradiance"][0, :3]
+        pref_c = ds["prefiltered"][0, 0, :3]
+        sky_c = ds["skybox"][0, :3]
         return (
             lambda d: jnp.broadcast_to(irr_c, (d.shape[0], 3)),
             lambda d, r: jnp.broadcast_to(pref_c, (d.shape[0], 3)),
@@ -426,7 +426,7 @@ def shade_surface(
 def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
     """Skybox color per pixel (compute.wgsl miss path)."""
     if solid_env:
-        return jnp.broadcast_to(ds["skybox"][0, 0, 0, :3], (P, 3))
+        return jnp.broadcast_to(ds["skybox"][0, :3], (P, 3))
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
     rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
     ys = 1.0 - (rows + 0.5) / H_full * 2.0

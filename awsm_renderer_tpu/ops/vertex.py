@@ -57,7 +57,10 @@ S_UV1 = 24                # 6 rows
 S_COLOR = 30              # r*3, g*3, b*3, a*3         (12 rows)
 S_NORMAL = 42             # nx*3, ny*3, nz*3           (9 rows)
 S_TANGENT = 51            # tx*3, ty*3, tz*3, tw*3     (12 rows)
-NSETUP = 64               # 63 used + 1 pad
+S_ORIG_ID = 63            # original setup-column id (f32, exact to 2^24) —
+                          # rides through the Morton sort so the raster can
+                          # emit original ids directly (no 2M-px remap gather)
+NSETUP = 64
 
 _Z_EPS = 1e-6
 
@@ -75,7 +78,8 @@ def onehot_gather(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
 
 
-def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height):
+def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height,
+                 id_offset: int = 0):
     """Screen-map one output triangle set → (NSETUP, T) setup rows.
 
     c*: (T,4) clip-space corners; q*: (T,NA) per-corner attribute bundles;
@@ -137,9 +141,10 @@ def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height):
     scalars = jnp.stack([valid.astype(jnp.float32), mat_row], axis=-1)
     # attribute columns: channel-major, 3 corner entries per channel
     attrs_cols = jnp.swapaxes(q_o, 1, 2).reshape(-1, 3 * NA)          # (T, 3*NA)
-    pad = jnp.zeros_like(area2)[:, None]
+    orig_id = (jnp.float32(id_offset)
+               + jnp.arange(area2.shape[0], dtype=jnp.float32))[:, None]
     setup_t = jnp.concatenate(
-        [xy_interleaved, z_o, iw_o, bbox, scalars, attrs_cols, pad], axis=1)
+        [xy_interleaved, z_o, iw_o, bbox, scalars, attrs_cols, orig_id], axis=1)
     return setup_t.T                                                   # (NSETUP, T)
 
 
@@ -303,5 +308,6 @@ def vertex_stage(
     setup_primary = finish_setup(p0, p1, p2, pa0, pa1, pa2, primary_active,
                                  mat_row, flags, width, height)
     setup_secondary = finish_setup(s0, s1, s2, sa0, sa1, sa2, secondary_active,
-                                   mat_row, flags, width, height)
+                                   mat_row, flags, width, height,
+                                   id_offset=clip.shape[0])
     return jnp.concatenate([setup_primary, setup_secondary], axis=1)  # (NSETUP, 2T)

@@ -93,11 +93,10 @@ def render_frame_sharded(
             skin_sets=skin_sets,
         )
         setup = pad_setup(_shift_setup_rows(setup, y0))
-        from ..passes.frame import _remap_tri_ids, _sort_triangles
+        from ..passes.frame import _sort_triangles
 
-        sorted_setup, perm = _sort_triangles(setup)
+        sorted_setup, _ = _sort_triangles(setup)
         vis = rasterize(sorted_setup, width=width, height=band_h, interpret=interpret)
-        vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
         hdr = shade_deferred(
             vis, ds_rep,
             width=width, height=band_h, height_full=height,

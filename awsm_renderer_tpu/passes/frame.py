@@ -156,10 +156,9 @@ def render_frame(
 
     # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
     setup = pad_setup(run_vertex(opaque_mask))
-    sorted_setup, perm = _sort_triangles(setup)
+    sorted_setup, _ = _sort_triangles(setup)
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
                     max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
-    vis["tri_id"] = _remap_tri_ids(vis["tri_id"], perm)
     if hooks and hooks.after_geometry:
         vis = hooks.after_geometry(vis, ds)
     hdr = shade_deferred(
@@ -178,13 +177,12 @@ def render_frame(
     # opaque with shared read-only depth) -------------------------------------
     if has_transparent and transparent_mask is not None:
         t_setup = pad_setup(run_vertex(transparent_mask))
-        t_sorted, t_perm = _sort_triangles(t_setup)
+        t_sorted, _ = _sort_triangles(t_setup)
         layers = rasterize_layers(
             t_sorted, depth, width=rw, height=rh,
             n_layers=n_transparent_layers, interpret=interpret,
             has_uv1=has_uv1, has_color=has_color,
         )
-        layers["tri_id"] = _remap_tri_ids(layers["tri_id"], t_perm)
         hdr = shade_transparent_layers(
             layers, hdr, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
@@ -198,10 +196,9 @@ def render_frame(
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
         h_setup = pad_setup(run_vertex(hud_mask))
-        h_sorted, h_perm = _sort_triangles(h_setup)
+        h_sorted, _ = _sort_triangles(h_setup)
         h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret,
                           max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
-        h_vis["tri_id"] = _remap_tri_ids(h_vis["tri_id"], h_perm)
         P = rw * rh
         h_planes = {k: v.reshape(P) for k, v in h_vis.items()}
         h_color, h_alpha, h_valid, _ = shade_surface(

@@ -189,9 +189,11 @@ class AwsmRendererTpu:
 
         e = self.environment
         if e.gpu_dirty:
-            d["skybox"] = jnp.asarray(e.skybox)
-            d["prefiltered"] = jnp.asarray(e.prefiltered)
-            d["irradiance"] = jnp.asarray(e.irradiance)
+            from .ops.cubemap import pack_cubemap
+
+            d["skybox"] = jnp.asarray(pack_cubemap(e.skybox))
+            d["prefiltered"] = jnp.asarray(pack_cubemap(e.prefiltered))
+            d["irradiance"] = jnp.asarray(pack_cubemap(e.irradiance))
             e.gpu_dirty = False
 
         if self.skins.gpu_dirty or "joint_matrices" not in d:

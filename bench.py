@@ -96,10 +96,16 @@ def main():
         _ = float(np.asarray(out[0, 0, 0]))
         return time.perf_counter() - t0
 
-    t1 = run(1)
+    # the relay occasionally stalls for seconds on one fetch; take the best
+    # of two singles and retry the batch if the differential comes out
+    # non-positive (a stalled t1 poisons it)
+    t1 = min(run(1), run(1))
     print(f"# 1 frame + fence: {t1*1000:.1f} ms", file=sys.stderr)
-    frames = max(4, min(40, int(10.0 / max(t1, 1e-3)) + 2))
+    frames = max(6, min(40, int(10.0 / max(t1, 1e-3)) + 2))
     tn = run(frames)
+    if tn <= t1:
+        t1 = min(t1, run(1))
+        tn = run(frames)
     dt = max((tn - t1) / (frames - 1), 1e-6)
     print(f"# {frames} frames + fence: {tn*1000:.1f} ms -> {dt*1000:.2f} ms/frame",
           file=sys.stderr)

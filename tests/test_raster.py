@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from awsm_renderer_tpu.ops.raster import CHUNK, pad_setup, rasterize
 from awsm_renderer_tpu.ops.vertex import (
     NSETUP, S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
-    S_IW0, S_IW1, S_IW2, S_UV0, S_VALID,
+    S_IW0, S_IW1, S_IW2, S_ORIG_ID, S_UV0, S_VALID,
     S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2, S_Z0, S_Z1, S_Z2,
 )
 
@@ -41,6 +41,8 @@ def make_setup(tris):
         # uv0_u/uv0_v planes then equal bary_u/bary_v of the raster corners
         s[S_UV0 + 1, t] = 1.0   # u at corner 1
         s[S_UV0 + 5, t] = 1.0   # v at corner 2
+    # the kernel emits ids from the S_ORIG_ID row (vertex stage fills it)
+    s[S_ORIG_ID, :] = np.arange(T, dtype=np.float32)
     return pad_setup(jnp.asarray(s))
 
 
