@@ -88,6 +88,57 @@ def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return _blend_quads(packed[idx], fx, fy)
 
 
+def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs):
+    """All of a pass's environment taps through ONE gather.
+
+    skybox_p (A,16) / irradiance_p (B,16) / prefiltered_p (n, C, 16) are
+    quad-packed; irr_dirs (P,3); pref_reqs: list of (dirs (P,3),
+    roughness (P,)). Returns (irr (P,4), [pref_i (P,4)...]). Separate
+    gathers fused into one XLA computation anti-fuse catastrophically on
+    TPU (see ops/texsample.py), so the three maps are concatenated (cheap
+    bandwidth) and every tap rides one gather."""
+    A = skybox_p.shape[0]
+    B = irradiance_p.shape[0]
+    n = prefiltered_p.shape[0]
+    C = prefiltered_p.shape[1]
+    S_irr = math.isqrt(B // 6)
+    S_pref = math.isqrt(C // 6)
+    env = jnp.concatenate([skybox_p, irradiance_p, prefiltered_p.reshape(n * C, 16)])
+
+    parts = []      # index arrays
+    plans = []      # per output: ('irr', part, fx, fy) or ('pref', p0, .., frac)
+
+    idx, fx, fy = _bilinear_setup(irr_dirs, S_irr)
+    plans.append(("irr", len(parts), fx, fy, None, None))
+    parts.append(idx + A)
+
+    for dirs, roughness in pref_reqs:
+        level = jnp.clip(roughness, 0.0, 1.0) * (n - 1)
+        l0 = jnp.floor(level).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n - 1)
+        frac = (level - l0.astype(jnp.float32))[:, None]
+        idx, fx, fy = _bilinear_setup(dirs, S_pref)
+        plans.append(("pref", len(parts), fx, fy, len(parts) + 1, frac))
+        parts.append(A + B + l0 * C + idx)
+        parts.append(A + B + l1 * C + idx)
+
+    P = irr_dirs.shape[0]
+    q_all = env[jnp.clip(jnp.concatenate(parts), 0, env.shape[0] - 1)]
+
+    def part(i):
+        return q_all[i * P : (i + 1) * P]
+
+    outs = []
+    for kind, p0, fx, fy, p1, frac in plans:
+        s0 = _blend_quads(part(p0), fx, fy)
+        if kind == "pref":
+            s1 = _blend_quads(part(p1), fx, fy)
+            outs.append(s0 * (1 - frac) + s1 * frac)
+        else:
+            outs.append(s0)
+    return outs[0], outs[1:]
+
+
 def sample_prefiltered(packed: jnp.ndarray, dirs: jnp.ndarray, roughness: jnp.ndarray):
     """packed (N_MIPS, 6*S*S, 16); roughness (P,) selects mip, lerped.
 

@@ -35,7 +35,7 @@ from ..core.lights import (
     L_COLOR, L_DIRECTION, L_INNER_COS, L_KIND, L_OUTER_COS, L_POSITION, L_RANGE,
 )
 from . import brdf
-from .cubemap import sample_cubemap, sample_prefiltered
+from .cubemap import sample_cubemap, sample_env_batch
 from .texsample import (
     apply_texture_transform,
     sample_texture_batch,
@@ -130,24 +130,6 @@ def _material_table(ds):
         ds["mat_tex"].reshape(cap, -1).astype(jnp.float32),
         ds["mat_flags"].astype(jnp.float32),
     ], axis=1)
-
-
-def _env_samplers(ds, solid_env: bool):
-    """IBL/sky sample functions; constants when the environment is solid."""
-    if solid_env:
-        irr_c = ds["irradiance"][0, :3]
-        pref_c = ds["prefiltered"][0, 0, :3]
-        sky_c = ds["skybox"][0, :3]
-        return (
-            lambda d: jnp.broadcast_to(irr_c, (d.shape[0], 3)),
-            lambda d, r: jnp.broadcast_to(pref_c, (d.shape[0], 3)),
-            lambda d: jnp.broadcast_to(sky_c, (d.shape[0], 3)),
-        )
-    return (
-        lambda d: sample_cubemap(ds["irradiance"], d)[:, :3],
-        lambda d, r: sample_prefiltered(ds["prefiltered"], d, r)[:, :3],
-        lambda d: sample_cubemap(ds["skybox"], d)[:, :3],
-    )
 
 
 def shade_surface(
@@ -309,7 +291,6 @@ def shade_surface(
     # ---- punctual + IBL -------------------------------------------------------
     direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0, alpha_rough)
 
-    irr_fn, pref_fn, _sky_fn = _env_samplers(ds, solid_env)
     n_dot_v = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
 
     # KHR_materials_anisotropy: bend the reflection lobe along the
@@ -331,8 +312,39 @@ def shade_surface(
         n_ibl = _normalize(n_final * (1.0 - mixw) + bent * mixw)
     n_dot_v_ibl = jnp.maximum(jnp.sum(n_ibl * v, axis=-1), _EPS)
     r = _normalize(2.0 * n_dot_v_ibl[:, None] * n_ibl - v)
-    irr = irr_fn(n_final)
-    pref = pref_fn(r, roughness)
+
+    # sheen / clearcoat parameters first (material taps are already
+    # batched), so every IBL cubemap tap can ride ONE gather below
+    if ext[EXT_SHEEN]:
+        sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
+        sheen_rough = jnp.clip(
+            mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
+    if ext[EXT_CLEARCOAT]:
+        cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
+        cc_rough = jnp.clip(
+            mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
+
+    if solid_env:
+        irr = jnp.broadcast_to(ds["irradiance"][0, :3], (P, 3))
+        pref_c = jnp.broadcast_to(ds["prefiltered"][0, 0, :3], (P, 3))
+        pref = pref_c
+        sheen_pref = pref_c
+        cc_pref = pref_c
+    else:
+        reqs = [(r, roughness)]
+        if ext[EXT_SHEEN]:
+            reqs.append((r, sheen_rough))
+        if ext[EXT_CLEARCOAT]:
+            reqs.append((r, cc_rough))
+        irr4, prefs = sample_env_batch(
+            ds["skybox"], ds["irradiance"], ds["prefiltered"], n_final, reqs)
+        irr = irr4[:, :3]
+        pref = prefs[0][:, :3]
+        if ext[EXT_SHEEN]:
+            sheen_pref = prefs[1][:, :3]
+        if ext[EXT_CLEARCOAT]:
+            cc_pref = prefs[2 if ext[EXT_SHEEN] else 1][:, :3]
+
     lut_a, lut_b = env_brdf_approx(n_dot_v, roughness)
     fresnel_scale = f0 * lut_a[:, None] + lut_b[:, None]
     ibl_spec = pref * fresnel_scale
@@ -341,21 +353,14 @@ def shade_surface(
 
     # ---- sheen (KHR_materials_sheen) ------------------------------------------
     if ext[EXT_SHEEN]:
-        sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
-        sheen_rough = jnp.clip(
-            mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
         sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)[:, None]
-        sheen_ibl = pref_fn(r, sheen_rough) * sheen_color
+        sheen_ibl = sheen_pref * sheen_color
     else:
         sheen_scale = 1.0
         sheen_ibl = 0.0
 
     # ---- clearcoat (KHR_materials_clearcoat) -----------------------------------
     if ext[EXT_CLEARCOAT]:
-        cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
-        cc_rough = jnp.clip(
-            mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
-        cc_pref = pref_fn(r, cc_rough)
         cc_a, cc_b = env_brdf_approx(n_dot_v, cc_rough)
         cc_spec = cc[:, None] * cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
         cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
