@@ -62,8 +62,18 @@ _BIG = 3.0e38
 # uv1 / vertex-color planes are statically elided when the scene never
 # uses them (shader-template-style specialization; shading substitutes
 # defaults).
-def plane_layout(has_uv1: bool = True, has_color: bool = True):
-    """→ (plane_names tuple, attr setup-row tuple)."""
+def plane_layout(has_uv1: bool = True, has_color: bool = True,
+                 slim: bool = False):
+    """→ (plane_names tuple, attr setup-row tuple).
+
+    slim=True emits only (tri_id, depth): the production frame resolves
+    every attribute plane AFTER rasterization with one batched setup-row
+    gather (ops/shade.py::resolve_gbuffer) — a lone 2M-row gather costs
+    ~2-8 ms while interpolating 17 attribute planes inside the merge
+    loop costs ~50 ms of VPU time at 1080p. The full layout remains for
+    direct unit tests of the kernel."""
+    if slim:
+        return ("tri_id", "depth"), ()
     names = ["tri_id", "depth", "mat_row", "uv0_u", "uv0_v"]
     rows = [S_UV0, S_UV0 + 3]
     if has_uv1:
@@ -163,6 +173,29 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
         cover = cover & (z > zlo) & (z < zhi)
     zc = jnp.where(cover, z, _BIG)           # (SUB, npx)
 
+    # resolve sub-group: nearest z, lowest index on ties (LESS + draw order)
+    zmin = jnp.min(zc, axis=0, keepdims=True)            # (1, npx)
+    local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
+    idx_m = jnp.where(zc == zmin, local, SUB)
+    win = jnp.min(idx_m, axis=0, keepdims=True)          # (1, npx)
+    one_hot = (local == win) & (zc < _BIG)
+    oh = one_hot.astype(jnp.float32)
+
+    def pick(vals):
+        return jnp.sum(vals * oh, axis=0, keepdims=True)
+
+    take = zmin < state[0]
+    # original ids ride in a setup row (f32 exact below 2^24); the pick is
+    # a one-hot sum, so the value is exact
+    tid = pick(col(S_ORIG_ID) * jnp.ones_like(zc)).astype(jnp.int32)
+    out = [
+        jnp.where(take, zmin, state[0]),                          # z
+        jnp.where(take, tid, state[1]),                           # tid
+    ]
+    if len(state) == 2:
+        # slim mode: attributes resolve post-raster (shade.resolve_gbuffer)
+        return tuple(out)
+
     # perspective-correct corner weights
     iw0, iw1, iw2 = col(S_IW0), col(S_IW1), col(S_IW2)
     pb0 = b0 * iw0
@@ -188,30 +221,11 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
     dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
     dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
 
-    # resolve sub-group: nearest z, lowest index on ties (LESS + draw order)
-    zmin = jnp.min(zc, axis=0, keepdims=True)            # (1, npx)
-    local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
-    idx_m = jnp.where(zc == zmin, local, SUB)
-    win = jnp.min(idx_m, axis=0, keepdims=True)          # (1, npx)
-    one_hot = (local == win) & (zc < _BIG)
-    oh = one_hot.astype(jnp.float32)
-
-    def pick(vals):
-        return jnp.sum(vals * oh, axis=0, keepdims=True)
-
     def interp(base_row):
         a0, a1, a2 = col(base_row), col(base_row + 1), col(base_row + 2)
         return pn0 * a0 + pn1 * a1 + pn2 * a2
 
-    take = zmin < state[0]
-    # original ids ride in a setup row (f32 exact below 2^24); the pick is
-    # a one-hot sum, so the value is exact
-    tid = pick(col(S_ORIG_ID) * jnp.ones_like(zc)).astype(jnp.int32)
-    out = [
-        jnp.where(take, zmin, state[0]),                          # z
-        jnp.where(take, tid, state[1]),                           # tid
-        jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]),
-    ]
+    out.append(jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]))
     i = 3
     for base_row in attr_rows:
         out.append(jnp.where(take, pick(interp(base_row)), state[i]))
@@ -454,11 +468,12 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "max_bins", "interpret",
-                              "has_uv1", "has_color")
+                              "has_uv1", "has_color", "slim")
 )
 def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
                      max_bins: int = 128, interpret: bool | None = None,
-                     has_uv1: bool = True, has_color: bool = True):
+                     has_uv1: bool = True, has_color: bool = True,
+                     slim: bool = False):
     """Binned rasterizer: grid = (tiles, B) over per-tile chunk lists.
 
     The scalar-prefetched bin table drives the setup BlockSpec index_map,
@@ -468,7 +483,7 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     if interpret is None:
         interpret = _interpret_default()
     peel = zlo is not None
-    names, attr_rows = plane_layout(has_uv1, has_color)
+    names, attr_rows = plane_layout(has_uv1, has_color, slim)
     n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
@@ -547,7 +562,8 @@ def _scratch(npx: int, n_planes: int = N_PLANES):
 
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
               binned: bool | None = None, max_bins: int = 64,
-              has_uv1: bool = True, has_color: bool = True):
+              has_uv1: bool = True, has_color: bool = True,
+              slim: bool = False):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
@@ -562,14 +578,19 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
     if binned:
         return rasterize_binned(setup, width=width, height=height,
                                 max_bins=max_bins, interpret=interpret,
-                                has_uv1=has_uv1, has_color=has_color)
-    return _rasterize_dense(setup, width=width, height=height, interpret=interpret)
+                                has_uv1=has_uv1, has_color=has_color, slim=slim)
+    return _rasterize_dense(setup, width=width, height=height,
+                            interpret=interpret, slim=slim)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
-def _rasterize_dense(setup, *, width: int, height: int, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret",
+                                              "slim"))
+def _rasterize_dense(setup, *, width: int, height: int,
+                     interpret: bool | None = None, slim: bool = False):
     if interpret is None:
         interpret = _interpret_default()
+    names, attr_rows = plane_layout(slim=slim)
+    n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0, f"triangle count {T} not a multiple of {CHUNK}"
     assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
@@ -585,7 +606,8 @@ def _rasterize_dense(setup, *, width: int, height: int, interpret: bool | None =
     outs = pl.pallas_call(
         # fori_loop body in interpret mode: grid programs are traced
         # individually there, so trace cost must stay small
-        _make_kernel(unroll=not interpret, peel=False),
+        _make_kernel(unroll=not interpret, peel=False,
+                     attr_rows=attr_rows, n_planes=n_planes),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -595,17 +617,18 @@ def _rasterize_dense(setup, *, width: int, height: int, interpret: bool | None =
                 (NSETUP, CHUNK), lambda i, j, k: (0, k), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(out_spec,) * N_PLANES,
-        out_shape=_out_shapes(width, height),
-        scratch_shapes=_scratch(npx),
+        out_specs=(out_spec,) * n_planes,
+        out_shape=_out_shapes(width, height, n_planes),
+        scratch_shapes=_scratch(npx, n_planes),
         interpret=interpret,
     )(chunk_bbox, setup)
-    return dict(zip(_PLANE_NAMES, outs))
+    return dict(zip(names, outs))
 
 
 def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
                    interpret: bool | None = None, binned: bool | None = None,
-                   has_uv1: bool = True, has_color: bool = True):
+                   has_uv1: bool = True, has_color: bool = True,
+                   slim: bool = False):
     """One depth-peel pass: nearest fragment with zlo < z < zhi per pixel.
 
     zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
@@ -618,16 +641,19 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
     if binned:
         return rasterize_binned(setup, zlo, zhi, width=width, height=height,
                                 interpret=interpret,
-                                has_uv1=has_uv1, has_color=has_color)
+                                has_uv1=has_uv1, has_color=has_color, slim=slim)
     return _rasterize_peel_dense(setup, zlo, zhi, width=width, height=height,
-                                 interpret=interpret)
+                                 interpret=interpret, slim=slim)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "interpret",
+                                              "slim"))
 def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None, slim: bool = False):
     if interpret is None:
         interpret = _interpret_default()
+    names, attr_rows = plane_layout(slim=slim)
+    n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
     n_chunks = T // CHUNK
@@ -639,7 +665,8 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
         (TILE_H, TILE_W), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
     )
     outs = pl.pallas_call(
-        _make_kernel(unroll=not interpret, peel=True),
+        _make_kernel(unroll=not interpret, peel=True,
+                     attr_rows=attr_rows, n_planes=n_planes),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -651,17 +678,18 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
             tile_spec,
             tile_spec,
         ],
-        out_specs=(tile_spec,) * N_PLANES,
-        out_shape=_out_shapes(width, height),
-        scratch_shapes=_scratch(npx),
+        out_specs=(tile_spec,) * n_planes,
+        out_shape=_out_shapes(width, height, n_planes),
+        scratch_shapes=_scratch(npx, n_planes),
         interpret=interpret,
     )(chunk_bbox, setup, zlo, zhi)
-    return dict(zip(_PLANE_NAMES, outs))
+    return dict(zip(names, outs))
 
 
 def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
                      n_layers: int, interpret: bool | None = None,
-                     has_uv1: bool = True, has_color: bool = True):
+                     has_uv1: bool = True, has_color: bool = True,
+                     slim: bool = False):
     """Depth-peel K transparent layers front-to-back.
 
     Returns dict of (K, H*W) flat arrays. Exact order-independent
@@ -671,7 +699,7 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
     def peel(zlo, _):
         layer = rasterize_peel(setup, zlo, opaque_depth,
                                width=width, height=height, interpret=interpret,
-                               has_uv1=has_uv1, has_color=has_color)
+                               has_uv1=has_uv1, has_color=has_color, slim=slim)
         zlo_next = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
         flat = {k: v.reshape(-1) for k, v in layer.items()}
         return zlo_next, flat

@@ -132,6 +132,89 @@ def _material_table(ds):
     ], axis=1)
 
 
+def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
+                    row_offset=0):
+    """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
+
+    setup_rows: (T2, NSETUP) — the UNSORTED vertex-stage output transposed
+    to row-major (ids in the slim buffer are original setup-column ids).
+    ONE gather fetches each pixel's whole triangle setup; barycentrics,
+    perspective-correct weights, attributes and uv0 screen derivatives are
+    then recomputed in pure ALU — the same math the fat-G-buffer merge ran
+    per-fragment inside the raster kernel (reference parallel: the
+    visibility buffer stores ids + the shade pass re-interpolates,
+    geometry_wgsl/fragment.wgsl + material_opaque compute.wgsl)."""
+    from .vertex import (
+        S_COLOR, S_IW0, S_MAT_ROW, S_NORMAL, S_TANGENT, S_UV0, S_UV1, S_Z0,
+    )
+
+    tid = planes["tri_id"]
+    P = tid.shape[0]
+    S = setup_rows[jnp.clip(tid, 0, setup_rows.shape[0] - 1)]   # (P, NSETUP)
+
+    px = (jnp.arange(P, dtype=jnp.float32) % width) + 0.5
+    py = (jnp.arange(P, dtype=jnp.float32) // width
+          + jnp.float32(row_offset)) + 0.5
+
+    # xy layout is interleaved: x0 y0 x1 y1 x2 y2 (finish_setup)
+    x0, y0, x1, y1, x2, y2 = (S[:, i] for i in range(6))
+    z0, z1, z2 = S[:, S_Z0], S[:, S_Z0 + 1], S[:, S_Z0 + 2]
+    iw0, iw1, iw2 = S[:, S_IW0], S[:, S_IW0 + 1], S[:, S_IW0 + 2]
+
+    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
+    b0 = e0 * inv_area
+    b1 = e1 * inv_area
+    b2 = 1.0 - b0 - b1
+
+    pb0 = b0 * iw0
+    pb1 = b1 * iw1
+    pb2 = b2 * iw2
+    denom = pb0 + pb1 + pb2
+    inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    pn0 = pb0 * inv_denom
+    pn1 = pb1 * inv_denom
+    pn2 = pb2 * inv_denom
+
+    def interp(row):
+        return pn0 * S[:, row] + pn1 * S[:, row + 1] + pn2 * S[:, row + 2]
+
+    out = dict(planes)
+    out["mat_row"] = S[:, S_MAT_ROW]
+    out["uv0_u"] = interp(S_UV0)
+    out["uv0_v"] = interp(S_UV0 + 3)
+    out["uv1_u"] = interp(S_UV1)
+    out["uv1_v"] = interp(S_UV1 + 3)
+    for i, name in enumerate(("color_r", "color_g", "color_b", "color_a")):
+        out[name] = interp(S_COLOR + 3 * i)
+    for i, name in enumerate(("normal_x", "normal_y", "normal_z")):
+        out[name] = interp(S_NORMAL + 3 * i)
+    for i, name in enumerate(("tangent_x", "tangent_y", "tangent_z", "tangent_w")):
+        out[name] = interp(S_TANGENT + 3 * i)
+
+    # uv0 screen derivatives (same formulas as the fat-G-buffer merge)
+    db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
+    db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
+    db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
+    dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
+    dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
+    dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
+    dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
+    dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
+    dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
+    dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
+    dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
+    u0a, u0b, u0c = S[:, S_UV0], S[:, S_UV0 + 1], S[:, S_UV0 + 2]
+    v0a, v0b, v0c = S[:, S_UV0 + 3], S[:, S_UV0 + 4], S[:, S_UV0 + 5]
+    out["du0_dx"] = dpn0_dx * u0a + dpn1_dx * u0b + dpn2_dx * u0c
+    out["dv0_dx"] = dpn0_dx * v0a + dpn1_dx * v0b + dpn2_dx * v0c
+    out["du0_dy"] = dpn0_dy * u0a + dpn1_dy * u0b + dpn2_dy * u0c
+    out["dv0_dy"] = dpn0_dy * v0a + dpn1_dy * v0b + dpn2_dy * v0c
+    return out
+
+
 def shade_surface(
     planes,            # dict of (P,) flat G-buffer planes (ops/raster.py)
     ds,
@@ -144,6 +227,7 @@ def shade_surface(
     debug_mode: str = "none",   # none | ibl | punctual (template.rs:46-65)
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
+    setup_rows: Optional[jnp.ndarray] = None,   # (T2, NSETUP) for slim planes
 ):
     """Shared fragment shading → (rgb (P,3), alpha (P,), valid, normal).
 
@@ -151,6 +235,11 @@ def shade_surface(
     pass (base alpha with KHR transmission mixing against `background`)."""
     P = width * height
     W, H, H_full = width, height, height_full
+    if setup_rows is not None and "uv0_u" not in planes:
+        # slim G-buffer: rebuild attribute planes from the setup pool
+        # (raster pixel coords are local to the planes, so row offset 0)
+        planes = resolve_gbuffer(planes, setup_rows, width=W,
+                                 height_full=H, row_offset=0)
     miss = planes["tri_id"] < 0
     depth = planes["depth"]
 
@@ -465,6 +554,7 @@ def shade_deferred(
     has_nearest: bool = True,
     ext: Tuple[bool, ...] = ALL_EXT,
     debug_mode: str = "none",   # none | normals | ibl | punctual
+    setup_rows=None,
 ):
     """Deferred opaque shading → HDR linear (height, width, 4) f32."""
     H, W = height, width
@@ -478,6 +568,7 @@ def shade_deferred(
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode if debug_mode in ("ibl", "punctual") else "none",
+        setup_rows=setup_rows,
     )
 
     sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
@@ -508,6 +599,7 @@ def shade_transparent_layers(
     has_nearest: bool = True,
     ext: Tuple[bool, ...] = ALL_EXT,
     n_layers: int = 4,
+    setup_rows=None,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
     back-to-front over the opaque result (reference: render.rs transparent
@@ -524,6 +616,7 @@ def shade_transparent_layers(
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
             has_nearest=has_nearest, ext=ext,
             transparent_pass=True, background=out,
+            setup_rows=setup_rows,
         )
         a = jnp.where(valid, alpha, 0.0)[:, None]
         return color * a + out * (1.0 - a), None

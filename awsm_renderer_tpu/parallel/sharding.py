@@ -96,7 +96,8 @@ def render_frame_sharded(
         from ..passes.frame import _sort_triangles
 
         sorted_setup, _ = _sort_triangles(setup)
-        vis = rasterize(sorted_setup, width=width, height=band_h, interpret=interpret)
+        vis = rasterize(sorted_setup, width=width, height=band_h,
+                        interpret=interpret)
         hdr = shade_deferred(
             vis, ds_rep,
             width=width, height=band_h, height_full=height,

@@ -155,6 +155,12 @@ def render_frame(
         )
 
     # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
+    # fat visibility buffer: the raster interpolates every attribute plane.
+    # (A slim (tri_id, depth) buffer + post-raster resolve_gbuffer gather
+    # was benched at 1080p and LOST ~50 ms: any second 2M-row gather in the
+    # same XLA computation costs ~25-45 ms even though a lone one costs
+    # ~2-8 ms — the shade pass already spends its one gather on the batched
+    # texture taps. The slim path stays available for sparse coverage.)
     setup = pad_setup(run_vertex(opaque_mask))
     sorted_setup, _ = _sort_triangles(setup)
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,

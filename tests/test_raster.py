@@ -238,3 +238,44 @@ def test_binned_peel_matches_dense():
     for k in dense:
         np.testing.assert_allclose(np.asarray(binned[k]), np.asarray(dense[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_slim_resolve_matches_fat_planes():
+    """slim raster + shade.resolve_gbuffer == fat-plane raster output.
+
+    The production frame uses the fat G-buffer (a second 2M-row gather in
+    one XLA computation costs ~25-45ms on TPU), but the slim path stays
+    available for sparse-coverage workloads; keep it correct."""
+    import jax.numpy as jnp
+    from awsm_renderer_tpu.ops.shade import resolve_gbuffer
+
+    rng = np.random.default_rng(7)
+    tris = []
+    for _ in range(12):
+        base = rng.uniform([5, 3], [100, 24]).astype(np.float32)
+        a = base
+        b = base + rng.uniform([4, -3], [24, 3]).astype(np.float32)
+        c = base + rng.uniform([-3, 4], [3, 20]).astype(np.float32)
+        area2 = (b[0]-a[0])*(c[1]-a[1]) - (c[0]-a[0])*(b[1]-a[1])
+        if area2 < 0:
+            b, c = c, b
+        tris.append({"xy": [a, b, c],
+                     "z": rng.uniform(0.1, 0.9, 3).astype(np.float32),
+                     "iw": rng.uniform(0.5, 2.0, 3).astype(np.float32)})
+    s = make_setup(tris)
+    fat = rasterize(s, width=W, height=H, binned=False)
+    slim = rasterize(s, width=W, height=H, binned=False, slim=True)
+    np.testing.assert_array_equal(np.asarray(slim["tri_id"]),
+                                  np.asarray(fat["tri_id"]))
+    np.testing.assert_allclose(np.asarray(slim["depth"]),
+                               np.asarray(fat["depth"]), atol=1e-6)
+    P = W * H
+    planes = {k: jnp.asarray(np.asarray(v).reshape(P)) for k, v in slim.items()}
+    resolved = resolve_gbuffer(planes, jnp.asarray(s).T, width=W, height_full=H)
+    covered = np.asarray(fat["tri_id"]).reshape(P) >= 0
+    for key in ("mat_row", "uv0_u", "uv0_v", "normal_x", "tangent_w",
+                "du0_dx", "dv0_dy"):
+        np.testing.assert_allclose(
+            np.asarray(resolved[key])[covered],
+            np.asarray(fat[key]).reshape(P)[covered],
+            atol=1e-4, err_msg=key)
