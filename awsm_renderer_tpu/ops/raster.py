@@ -561,7 +561,7 @@ def _scratch(npx: int, n_planes: int = N_PLANES):
 
 
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
-              binned: bool | None = None, max_bins: int = 64,
+              binned: bool | None = None, max_bins: int = 256,
               has_uv1: bool = True, has_color: bool = True,
               slim: bool = False):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.

@@ -128,7 +128,7 @@ def render_frame(
     smaa: bool = False,
     hooks: Optional[RenderHooks] = None,
     has_nearest: bool = True,
-    max_bins: int = 64,
+    max_bins: int = 256,
     needs_clip: bool = True,
     ext=None,
     has_uv1: bool = True,
