@@ -88,19 +88,22 @@ def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return _blend_quads(packed[idx], fx, fy)
 
 
-def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs):
+def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,
+                     sky_dirs=None):
     """All of a pass's environment taps through ONE gather.
 
     skybox_p (A,16) / irradiance_p (B,16) / prefiltered_p (n, C, 16) are
     quad-packed; irr_dirs (P,3); pref_reqs: list of (dirs (P,3),
-    roughness (P,)). Returns (irr (P,4), [pref_i (P,4)...]). Separate
-    gathers fused into one XLA computation anti-fuse catastrophically on
-    TPU (see ops/texsample.py), so the three maps are concatenated (cheap
-    bandwidth) and every tap rides one gather."""
+    roughness (P,)); sky_dirs optional (P,3) view rays for the miss-path
+    skybox color. Returns (irr (P,4), [pref_i (P,4)...], sky (P,4)|None).
+    Separate gathers fused into one XLA computation anti-fuse
+    catastrophically on TPU (see ops/texsample.py), so the three maps are
+    concatenated (cheap bandwidth) and every tap rides one gather."""
     A = skybox_p.shape[0]
     B = irradiance_p.shape[0]
     n = prefiltered_p.shape[0]
     C = prefiltered_p.shape[1]
+    S_sky = math.isqrt(A // 6)
     S_irr = math.isqrt(B // 6)
     S_pref = math.isqrt(C // 6)
     env = jnp.concatenate([skybox_p, irradiance_p, prefiltered_p.reshape(n * C, 16)])
@@ -111,6 +114,11 @@ def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs)
     idx, fx, fy = _bilinear_setup(irr_dirs, S_irr)
     plans.append(("irr", len(parts), fx, fy, None, None))
     parts.append(idx + A)
+
+    if sky_dirs is not None:
+        idx, fx, fy = _bilinear_setup(sky_dirs, S_sky)
+        plans.append(("sky", len(parts), fx, fy, None, None))
+        parts.append(idx)
 
     for dirs, roughness in pref_reqs:
         level = jnp.clip(roughness, 0.0, 1.0) * (n - 1)
@@ -128,15 +136,19 @@ def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs)
     def part(i):
         return q_all[i * P : (i + 1) * P]
 
-    outs = []
+    irr_out = None
+    sky_out = None
+    pref_outs = []
     for kind, p0, fx, fy, p1, frac in plans:
         s0 = _blend_quads(part(p0), fx, fy)
         if kind == "pref":
             s1 = _blend_quads(part(p1), fx, fy)
-            outs.append(s0 * (1 - frac) + s1 * frac)
+            pref_outs.append(s0 * (1 - frac) + s1 * frac)
+        elif kind == "sky":
+            sky_out = s0
         else:
-            outs.append(s0)
-    return outs[0], outs[1:]
+            irr_out = s0
+    return irr_out, pref_outs, sky_out
 
 
 def sample_prefiltered(packed: jnp.ndarray, dirs: jnp.ndarray, roughness: jnp.ndarray):

@@ -228,6 +228,7 @@ def shade_surface(
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
     setup_rows: Optional[jnp.ndarray] = None,   # (T2, NSETUP) for slim planes
+    want_sky: bool = False,     # also return the miss-path skybox color
 ):
     """Shared fragment shading → (rgb (P,3), alpha (P,), valid, normal).
 
@@ -413,6 +414,7 @@ def shade_surface(
         cc_rough = jnp.clip(
             mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
 
+    sky = None
     if solid_env:
         irr = jnp.broadcast_to(ds["irradiance"][0, :3], (P, 3))
         pref_c = jnp.broadcast_to(ds["prefiltered"][0, 0, :3], (P, 3))
@@ -425,14 +427,20 @@ def shade_surface(
             reqs.append((r, sheen_rough))
         if ext[EXT_CLEARCOAT]:
             reqs.append((r, cc_rough))
-        irr4, prefs = sample_env_batch(
-            ds["skybox"], ds["irradiance"], ds["prefiltered"], n_final, reqs)
+        # miss pixels reconstruct world_pos at the far plane, so -v is
+        # exactly the per-pixel view ray: the skybox miss color rides the
+        # same gather (want_sky gates it so transparent/HUD passes skip it)
+        irr4, prefs, sky4 = sample_env_batch(
+            ds["skybox"], ds["irradiance"], ds["prefiltered"], n_final, reqs,
+            sky_dirs=-v if want_sky else None)
         irr = irr4[:, :3]
         pref = prefs[0][:, :3]
         if ext[EXT_SHEEN]:
             sheen_pref = prefs[1][:, :3]
         if ext[EXT_CLEARCOAT]:
             cc_pref = prefs[2 if ext[EXT_SHEEN] else 1][:, :3]
+        if want_sky:
+            sky = sky4[:, :3]
 
     lut_a, lut_b = env_brdf_approx(n_dot_v, roughness)
     fresnel_scale = f0 * lut_a[:, None] + lut_b[:, None]
@@ -518,6 +526,8 @@ def shade_surface(
     if transparent_pass:
         color = jnp.where(is_grid[:, None], base[:, :3], color)
     valid = ~miss
+    if want_sky:
+        return color, alpha, valid, n_final, sky
     return color, alpha, valid, n_final
 
 
@@ -562,16 +572,17 @@ def shade_deferred(
     P = H * W
     planes = {k: v.reshape(P) for k, v in vis.items()}
 
-    color, _alpha, valid, n_final = shade_surface(
+    color, _alpha, valid, n_final, sky = shade_surface(
         planes, ds,
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode if debug_mode in ("ibl", "punctual") else "none",
-        setup_rows=setup_rows,
+        setup_rows=setup_rows, want_sky=True,
     )
 
-    sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
+    if sky is None:   # solid environment: a broadcast constant
+        sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
     out = jnp.where(valid[:, None], color, sky)
     if debug_mode == "normals":
         out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
