@@ -63,7 +63,7 @@ _BIG = 3.0e38
 # uses them (shader-template-style specialization; shading substitutes
 # defaults).
 def plane_layout(has_uv1: bool = True, has_color: bool = True,
-                 slim: bool = False):
+                 slim: bool = False, analytic_derivs: bool = True):
     """→ (plane_names tuple, attr setup-row tuple).
 
     slim=True emits only (tri_id, depth): the production frame resolves
@@ -71,7 +71,12 @@ def plane_layout(has_uv1: bool = True, has_color: bool = True,
     gather (ops/shade.py::resolve_gbuffer) — a lone 2M-row gather costs
     ~2-8 ms while interpolating 17 attribute planes inside the merge
     loop costs ~50 ms of VPU time at 1080p. The full layout remains for
-    direct unit tests of the kernel."""
+    direct unit tests of the kernel.
+
+    analytic_derivs=False omits the du0/dv0 planes: shading then derives
+    the uv gradients by screen-space differencing of the uv0 planes (the
+    GPU quad-derivative model, min-magnitude forward/backward picks) —
+    saving ~25% of the per-fragment merge ALU."""
     if slim:
         return ("tri_id", "depth"), ()
     names = ["tri_id", "depth", "mat_row", "uv0_u", "uv0_v"]
@@ -86,7 +91,8 @@ def plane_layout(has_uv1: bool = True, has_color: bool = True,
               "tangent_x", "tangent_y", "tangent_z", "tangent_w"]
     rows += [S_NORMAL + 3 * c for c in range(3)]
     rows += [S_TANGENT + 3 * c for c in range(4)]
-    names += ["du0_dx", "dv0_dx", "du0_dy", "dv0_dy"]
+    if analytic_derivs:
+        names += ["du0_dx", "dv0_dx", "du0_dy", "dv0_dy"]
     return tuple(names), tuple(rows)
 
 
@@ -230,6 +236,9 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
     for base_row in attr_rows:
         out.append(jnp.where(take, pick(interp(base_row)), state[i]))
         i += 1
+    if len(state) == 3 + len(attr_rows):
+        # screen-derivative mode: no analytic du0/dv0 accumulators
+        return tuple(out)
     # uv0 derivatives
     u0a, u0b, u0c = col(S_UV0), col(S_UV0 + 1), col(S_UV0 + 2)
     v0a, v0b, v0c = col(S_UV0 + 3), col(S_UV0 + 4), col(S_UV0 + 5)
@@ -468,12 +477,13 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "max_bins", "interpret",
-                              "has_uv1", "has_color", "slim")
+                              "has_uv1", "has_color", "slim",
+                              "analytic_derivs")
 )
 def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
                      max_bins: int = 128, interpret: bool | None = None,
                      has_uv1: bool = True, has_color: bool = True,
-                     slim: bool = False):
+                     slim: bool = False, analytic_derivs: bool = True):
     """Binned rasterizer: grid = (tiles, B) over per-tile chunk lists.
 
     The scalar-prefetched bin table drives the setup BlockSpec index_map,
@@ -483,7 +493,7 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     if interpret is None:
         interpret = _interpret_default()
     peel = zlo is not None
-    names, attr_rows = plane_layout(has_uv1, has_color, slim)
+    names, attr_rows = plane_layout(has_uv1, has_color, slim, analytic_derivs)
     n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
@@ -563,7 +573,7 @@ def _scratch(npx: int, n_planes: int = N_PLANES):
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
               binned: bool | None = None, max_bins: int = 256,
               has_uv1: bool = True, has_color: bool = True,
-              slim: bool = False):
+              slim: bool = False, analytic_derivs: bool = True):
     """Rasterize packed triangle setup (NSETUP, T) into visibility planes.
 
     T must be a multiple of CHUNK; width/height multiples of (TILE_W,
@@ -578,18 +588,21 @@ def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
     if binned:
         return rasterize_binned(setup, width=width, height=height,
                                 max_bins=max_bins, interpret=interpret,
-                                has_uv1=has_uv1, has_color=has_color, slim=slim)
+                                has_uv1=has_uv1, has_color=has_color, slim=slim,
+                                analytic_derivs=analytic_derivs)
     return _rasterize_dense(setup, width=width, height=height,
-                            interpret=interpret, slim=slim)
+                            interpret=interpret, slim=slim,
+                            analytic_derivs=analytic_derivs)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "interpret",
-                                              "slim"))
+                                              "slim", "analytic_derivs"))
 def _rasterize_dense(setup, *, width: int, height: int,
-                     interpret: bool | None = None, slim: bool = False):
+                     interpret: bool | None = None, slim: bool = False,
+                     analytic_derivs: bool = True):
     if interpret is None:
         interpret = _interpret_default()
-    names, attr_rows = plane_layout(slim=slim)
+    names, attr_rows = plane_layout(slim=slim, analytic_derivs=analytic_derivs)
     n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0, f"triangle count {T} not a multiple of {CHUNK}"
@@ -628,7 +641,7 @@ def _rasterize_dense(setup, *, width: int, height: int,
 def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
                    interpret: bool | None = None, binned: bool | None = None,
                    has_uv1: bool = True, has_color: bool = True,
-                   slim: bool = False):
+                   slim: bool = False, analytic_derivs: bool = True):
     """One depth-peel pass: nearest fragment with zlo < z < zhi per pixel.
 
     zlo = previous layer's depth (or -inf plane); zhi = the opaque depth
@@ -641,18 +654,21 @@ def rasterize_peel(setup, zlo, zhi, *, width: int, height: int,
     if binned:
         return rasterize_binned(setup, zlo, zhi, width=width, height=height,
                                 interpret=interpret,
-                                has_uv1=has_uv1, has_color=has_color, slim=slim)
+                                has_uv1=has_uv1, has_color=has_color, slim=slim,
+                                analytic_derivs=analytic_derivs)
     return _rasterize_peel_dense(setup, zlo, zhi, width=width, height=height,
-                                 interpret=interpret, slim=slim)
+                                 interpret=interpret, slim=slim,
+                                 analytic_derivs=analytic_derivs)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "interpret",
-                                              "slim"))
+                                              "slim", "analytic_derivs"))
 def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
-                          interpret: bool | None = None, slim: bool = False):
+                          interpret: bool | None = None, slim: bool = False,
+                          analytic_derivs: bool = True):
     if interpret is None:
         interpret = _interpret_default()
-    names, attr_rows = plane_layout(slim=slim)
+    names, attr_rows = plane_layout(slim=slim, analytic_derivs=analytic_derivs)
     n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
@@ -689,7 +705,7 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
 def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
                      n_layers: int, interpret: bool | None = None,
                      has_uv1: bool = True, has_color: bool = True,
-                     slim: bool = False):
+                     slim: bool = False, analytic_derivs: bool = True):
     """Depth-peel K transparent layers front-to-back.
 
     Returns dict of (K, H*W) flat arrays. Exact order-independent
@@ -699,7 +715,8 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
     def peel(zlo, _):
         layer = rasterize_peel(setup, zlo, opaque_depth,
                                width=width, height=height, interpret=interpret,
-                               has_uv1=has_uv1, has_color=has_color, slim=slim)
+                               has_uv1=has_uv1, has_color=has_color, slim=slim,
+                               analytic_derivs=analytic_derivs)
         zlo_next = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
         flat = {k: v.reshape(-1) for k, v in layer.items()}
         return zlo_next, flat

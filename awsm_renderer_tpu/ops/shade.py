@@ -132,6 +132,19 @@ def _material_table(ds):
     ], axis=1)
 
 
+def _screen_gradient(uv, W, H, vertical: bool = False):
+    """min-magnitude forward/backward screen difference of (P,2) uv planes."""
+    g = uv.reshape(H, W, 2)
+    axis = 0 if vertical else 1
+    d = jnp.diff(g, axis=axis)                           # size-1 along axis
+    last = jnp.take(d, jnp.array([-1]), axis=axis)
+    first = jnp.take(d, jnp.array([0]), axis=axis)
+    fwd = jnp.concatenate([d, last], axis=axis)          # edge-replicated
+    bwd = jnp.concatenate([first, d], axis=axis)
+    pick = jnp.where(jnp.abs(fwd) <= jnp.abs(bwd), fwd, bwd)
+    return pick.reshape(-1, 2)
+
+
 def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
                     row_offset=0):
     """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
@@ -259,8 +272,15 @@ def shade_surface(
         [planes["normal_x"], planes["normal_y"], planes["normal_z"]], axis=-1))
     tang4 = jnp.stack([planes["tangent_x"], planes["tangent_y"],
                        planes["tangent_z"], planes["tangent_w"]], axis=-1)
-    duv_dx = jnp.stack([planes["du0_dx"], planes["dv0_dx"]], axis=-1)
-    duv_dy = jnp.stack([planes["du0_dy"], planes["dv0_dy"]], axis=-1)
+    if "du0_dx" in planes:
+        duv_dx = jnp.stack([planes["du0_dx"], planes["dv0_dx"]], axis=-1)
+        duv_dy = jnp.stack([planes["du0_dy"], planes["dv0_dy"]], axis=-1)
+    else:
+        # screen-space uv gradients (GPU quad-derivative model): forward /
+        # backward differences of the interpolated uv0 planes; the
+        # min-|magnitude| pick stays on the surface at silhouettes
+        duv_dx = _screen_gradient(uv0, W, H)
+        duv_dy = _screen_gradient(uv0, W, H, vertical=True)
 
     # ---- world position + view ray ------------------------------------------
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0

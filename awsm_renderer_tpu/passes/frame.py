@@ -164,7 +164,8 @@ def render_frame(
     setup = pad_setup(run_vertex(opaque_mask))
     sorted_setup, _ = _sort_triangles(setup)
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
-                    max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
+                    max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
+                    analytic_derivs=False)
     if hooks and hooks.after_geometry:
         vis = hooks.after_geometry(vis, ds)
     hdr = shade_deferred(
@@ -187,7 +188,7 @@ def render_frame(
         layers = rasterize_layers(
             t_sorted, depth, width=rw, height=rh,
             n_layers=n_transparent_layers, interpret=interpret,
-            has_uv1=has_uv1, has_color=has_color,
+            has_uv1=has_uv1, has_color=has_color, analytic_derivs=False,
         )
         hdr = shade_transparent_layers(
             layers, hdr, ds,
@@ -204,7 +205,8 @@ def render_frame(
         h_setup = pad_setup(run_vertex(hud_mask))
         h_sorted, _ = _sort_triangles(h_setup)
         h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret,
-                          max_bins=max_bins, has_uv1=has_uv1, has_color=has_color)
+                          max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
+                          analytic_derivs=False)
         P = rw * rh
         h_planes = {k: v.reshape(P) for k, v in h_vis.items()}
         h_color, h_alpha, h_valid, _ = shade_surface(
