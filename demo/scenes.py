@@ -152,6 +152,29 @@ def scene_alpha_blend(r: AwsmRendererTpu):
     return {"camera": ([0, 0.6, 3.5], [0, 0, 0])}
 
 
+def scene_env_ibl(r: AwsmRendererTpu):
+    """Extensions/EnvironmentTest-style: metal/rough spheres under an
+    image environment (equirect -> cubemap -> prefiltered IBL + skybox)."""
+    eq = np.zeros((32, 64, 3), F)
+    v = np.linspace(0, 1, 32)[:, None]
+    eq[..., 0] = 0.2 + 0.8 * v
+    eq[..., 1] = 0.3 + 0.25 * v
+    eq[..., 2] = 1.0 - 0.8 * v
+    r.environment.set_environment_from_equirect(eq, size=32)
+    mirror = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], F),
+        metallic_factor=1.0, roughness_factor=0.08))
+    rough = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.9, 0.9, 0.9, 1], F),
+        metallic_factor=1.0, roughness_factor=0.7))
+    r.add_mesh(uv_sphere(0.55), mirror, transform=Transform(
+        translation=np.array([-0.75, 0, 0], F)))
+    r.add_mesh(uv_sphere(0.55), rough, transform=Transform(
+        translation=np.array([0.75, 0, 0], F)))
+    _default_light(r)
+    return {"camera": ([0, 0.3, 3.0], [0, 0, 0])}
+
+
 def scene_instanced(r: AwsmRendererTpu):
     """Extensions/SimpleInstancing: one box resource, a ring of instances."""
     mat = r.materials.insert(PbrMaterial(
@@ -175,4 +198,5 @@ SCENES = {
     "rigged-simple": scene_rigged_simple,
     "alpha-blend": scene_alpha_blend,
     "instanced": scene_instanced,
+    "env-ibl": scene_env_ibl,
 }

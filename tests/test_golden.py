@@ -59,6 +59,7 @@ def _check(name, img):
 @pytest.mark.parametrize("scene", [
     "triangle", "box", "box-textured", "metal-rough-spheres",
     "morph-cube", "rigged-simple", "alpha-blend", "instanced",
+    "env-ibl",
 ])
 def test_golden_scene(scene):
     _check(scene, _render_scene(scene))
