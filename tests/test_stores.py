@@ -333,3 +333,43 @@ def test_add_instanced_mesh():
     res_keys = {r.meshes.get(k).resource_key for k in keys}
     assert len(res_keys) == 1
     assert r.meshes._resources[res_keys.pop()].refcount == 5
+
+
+class TestBatchedSampling:
+    def test_batch_matches_single_taps(self):
+        """sample_texture_batch == per-tap sample_texture for a mix of
+        sizes, wrap modes, filters, and mip levels."""
+        import jax.numpy as jnp
+        from awsm_renderer_tpu.core.textures import Sampler, Textures, WRAP_CLAMP, WRAP_MIRROR
+        from awsm_renderer_tpu.ops.texsample import sample_texture, sample_texture_batch
+
+        rng = np.random.default_rng(3)
+        t = Textures()
+        keys = [
+            t.add_image((rng.random((32, 64, 4)) * 255).astype(np.uint8), srgb=False),
+            t.add_image((rng.random((16, 16, 4)) * 255).astype(np.uint8), srgb=False,
+                        sampler=Sampler(wrap_s=WRAP_CLAMP, wrap_t=WRAP_MIRROR)),
+            t.add_image((rng.random((8, 8, 4)) * 255).astype(np.uint8), srgb=False,
+                        sampler=Sampler(filter_linear=False, mip_filter_linear=False)),
+        ]
+        texq = jnp.asarray(t.texels_packed)
+        desc = jnp.asarray(t.descriptors)
+        P = 257
+        uv = jnp.asarray(rng.uniform(-1.5, 2.5, (P, 2)).astype(np.float32))
+        duv = (jnp.asarray(rng.uniform(-0.1, 0.1, (P, 2)).astype(np.float32)),
+               jnp.asarray(rng.uniform(-0.1, 0.1, (P, 2)).astype(np.float32)))
+        ids = [jnp.full((P,), t.row_of(k), jnp.int32) for k in keys]
+        ids[2] = ids[2].at[::7].set(-1)  # unbound slots -> white
+        taps = [(ids[0], uv, duv), (ids[1], uv * 3.0, None), (ids[2], uv, duv)]
+        outs = sample_texture_batch(texq, desc, taps, has_nearest=True)
+        from awsm_renderer_tpu.ops.texsample import mip_level_from_grads
+        lvl0 = mip_level_from_grads(desc, ids[0], *duv)
+        singles = [
+            sample_texture(texq, desc, ids[0], uv, lvl0),
+            sample_texture(texq, desc, ids[1], uv * 3.0, None),
+            sample_texture(texq, desc, ids[2], uv,
+                           mip_level_from_grads(desc, ids[2], *duv)),
+        ]
+        for got, want in zip(outs, singles):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
