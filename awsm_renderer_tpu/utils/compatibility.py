@@ -40,6 +40,9 @@ def check_compatibility(renderer) -> CompatibilityReport:
                  "tri_mesh", "mesh_info", "morph_weights"):
         scene += getattr(m, name).nbytes
     scene += renderer.textures.texels_packed.nbytes
+    # environment maps upload quad-packed (16 f32/texel; ops/cubemap.py)
+    e = renderer.environment
+    scene += 4 * (e.skybox.nbytes + e.irradiance.nbytes + e.prefiltered.nbytes)
     scene += renderer.transforms.world.nbytes + renderer.transforms.normal.nbytes
 
     cfg = renderer.config
