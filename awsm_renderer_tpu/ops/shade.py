@@ -35,7 +35,7 @@ from ..core.lights import (
     L_COLOR, L_DIRECTION, L_INNER_COS, L_KIND, L_OUTER_COS, L_POSITION, L_RANGE,
 )
 from . import brdf
-from .cubemap import sample_cubemap, sample_env_batch
+from .cubemap import sample_env_batch
 from .texsample import (
     apply_texture_transform,
     sample_texture_batch,
@@ -551,20 +551,6 @@ def shade_surface(
     return color, alpha, valid, n_final
 
 
-def _sky_color(ds, P, W, H_full, row_offset, solid_env: bool):
-    """Skybox color per pixel (compute.wgsl miss path)."""
-    if solid_env:
-        return jnp.broadcast_to(ds["skybox"][0, :3], (P, 3))
-    xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
-    rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
-    ys = 1.0 - (rows + 0.5) / H_full * 2.0
-    ndc = jnp.stack([xs, ys, jnp.ones_like(xs), jnp.ones_like(xs)], axis=-1)
-    wp = ndc @ ds["camera"]["inv_view_proj"].T
-    far_pos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > _EPS, wp[:, 3:4], _EPS)
-    view_dir = _normalize(far_pos - ds["camera"]["position"][None, :])
-    return sample_cubemap(ds["skybox"], view_dir)[:, :3]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
@@ -602,7 +588,7 @@ def shade_deferred(
     )
 
     if sky is None:   # solid environment: a broadcast constant
-        sky = _sky_color(ds, P, W, H_full, row_offset, solid_env)
+        sky = jnp.broadcast_to(ds["skybox"][0, :3], (P, 3))
     out = jnp.where(valid[:, None], color, sky)
     if debug_mode == "normals":
         out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
