@@ -132,10 +132,14 @@ def _material_table(ds):
     ], axis=1)
 
 
-def _screen_gradient(uv, W, H, vertical: bool = False):
-    """min-magnitude forward/backward screen difference of (P,2) uv planes."""
-    g = uv.reshape(H, W, 2)
-    axis = 0 if vertical else 1
+def _screen_gradient(uv, W, H, vertical: bool = False, layers: int = 1):
+    """min-magnitude forward/backward screen difference of (P,2) uv planes.
+
+    layers > 1: uv holds `layers` stacked images of H//layers rows each
+    (the batched transparent-layer shade); differences never cross a
+    layer boundary."""
+    g = uv.reshape(layers, H // layers, W, 2)
+    axis = 1 if vertical else 2
     d = jnp.diff(g, axis=axis)                           # size-1 along axis
     last = jnp.take(d, jnp.array([-1]), axis=axis)
     first = jnp.take(d, jnp.array([0]), axis=axis)
@@ -242,16 +246,26 @@ def shade_surface(
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
     setup_rows: Optional[jnp.ndarray] = None,   # (T2, NSETUP) for slim planes
     want_sky: bool = False,     # also return the miss-path skybox color
+    want_transmission_factor: bool = False,  # return the background factor
+    n_layer_tiles: int = 1,     # planes hold this many stacked layer images
 ):
     """Shared fragment shading → (rgb (P,3), alpha (P,), valid, normal).
 
     alpha: coverage for the opaque pass; blend alpha for the transparent
-    pass (base alpha with KHR transmission mixing against `background`)."""
+    pass (base alpha with KHR transmission mixing against `background`).
+
+    want_transmission_factor: instead of mixing `background` into the
+    color, return the per-pixel (P,3) factor the compositor should apply
+    to whatever ends up behind this fragment — lets K transparent layers
+    shade in ONE batched call (one tap gather) and composite later in
+    pure ALU. n_layer_tiles > 1 marks the planes as that many stacked
+    layer images (screen coordinates wrap per layer)."""
     P = width * height
     W, H, H_full = width, height, height_full
     if setup_rows is not None and "uv0_u" not in planes:
         # slim G-buffer: rebuild attribute planes from the setup pool
         # (raster pixel coords are local to the planes, so row offset 0)
+        assert n_layer_tiles == 1, "slim planes not supported layer-batched"
         planes = resolve_gbuffer(planes, setup_rows, width=W,
                                  height_full=H, row_offset=0)
     miss = planes["tri_id"] < 0
@@ -279,12 +293,16 @@ def shade_surface(
         # screen-space uv gradients (GPU quad-derivative model): forward /
         # backward differences of the interpolated uv0 planes; the
         # min-|magnitude| pick stays on the surface at silhouettes
-        duv_dx = _screen_gradient(uv0, W, H)
-        duv_dy = _screen_gradient(uv0, W, H, vertical=True)
+        duv_dx = _screen_gradient(uv0, W, H, layers=n_layer_tiles)
+        duv_dy = _screen_gradient(uv0, W, H, vertical=True,
+                                  layers=n_layer_tiles)
 
     # ---- world position + view ray ------------------------------------------
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
-    rows = jnp.arange(P, dtype=jnp.float32) // W + jnp.float32(row_offset)
+    rows = jnp.arange(P, dtype=jnp.float32) // W
+    if n_layer_tiles > 1:   # stacked layers: screen rows wrap per layer
+        rows = rows % jnp.float32(H // n_layer_tiles)
+    rows = rows + jnp.float32(row_offset)
     ys = 1.0 - (rows + 0.5) / H_full * 2.0
     ndc = jnp.stack([xs, ys, depth, jnp.ones_like(xs)], axis=-1)
     wp = ndc @ ds["camera"]["inv_view_proj"].T
@@ -529,7 +547,8 @@ def shade_surface(
         alpha = jnp.where(is_grid, grid_a * base[:, 3], alpha)
 
     # ---- transmission of the background (transparent pass only) ---------------
-    if transparent_pass and background is not None:
+    trans_factor = None
+    if transparent_pass and (background is not None or want_transmission_factor):
         att_dist = mf[:, M.MF_ATTENUATION_DISTANCE : M.MF_ATTENUATION_DISTANCE + 1]
         att_color = mf[:, M.MF_ATTENUATION_COLOR : M.MF_ATTENUATION_COLOR + 3]
         thickness = mf[:, M.MF_THICKNESS : M.MF_THICKNESS + 1]
@@ -539,13 +558,21 @@ def shade_surface(
                     / jnp.maximum(att_dist, 1e-4)),
             1.0,
         )
-        transmitted = background * base[:, :3] * att * (1.0 - fresnel_scale)
-        pbr_color = pbr_color + transmitted * transmission[:, None]
+        trans_factor = (base[:, :3] * att * (1.0 - fresnel_scale)
+                        * transmission[:, None])
+        # transmission only applies to the PBR branch; zero it elsewhere so
+        # the deferred compositor can apply it unconditionally
+        trans_factor = jnp.where((is_unlit | is_grid)[:, None], 0.0,
+                                 trans_factor)
+        if background is not None and not want_transmission_factor:
+            pbr_color = pbr_color + background * trans_factor
 
     color = jnp.where(is_unlit[:, None], base[:, :3], pbr_color)
     if transparent_pass:
         color = jnp.where(is_grid[:, None], base[:, :3], color)
     valid = ~miss
+    if want_transmission_factor:
+        return color, alpha, valid, n_final, trans_factor
     if want_sky:
         return color, alpha, valid, n_final, sky
     return color, alpha, valid, n_final
@@ -620,28 +647,39 @@ def shade_transparent_layers(
 ):
     """Forward-shade K depth-peeled transparent layers and composite
     back-to-front over the opaque result (reference: render.rs transparent
-    pass + blend state). lax.scan over layers compiles the fragment-shading
-    graph once, not K times."""
+    pass + blend state).
+
+    All K layers shade in ONE batched call on (K*P,) stacked planes — so
+    the frame pays ONE texture-tap gather and ONE environment gather for
+    the whole transparent pass instead of one of each per layer (a second
+    gather in the same XLA computation costs ~25-45 ms at 1080p; the old
+    per-layer lax.scan measured ~91 ms/layer). The back-to-front KHR
+    transmission dependency (each layer tints what's behind it) survives
+    because shading returns a per-layer transmission *factor* and the
+    composite is a cheap sequential ALU loop."""
     H, W = height, width
     H_full = height_full if height_full is not None else height
     P = H * W
+    K = n_layers
 
-    def blend(out, layer):
-        color, alpha, valid, _ = shade_surface(
-            layer, ds,
-            width=W, height=H, height_full=H_full, row_offset=row_offset,
-            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            has_nearest=has_nearest, ext=ext,
-            transparent_pass=True, background=out,
-            setup_rows=setup_rows,
-        )
-        a = jnp.where(valid, alpha, 0.0)[:, None]
-        return color * a + out * (1.0 - a), None
+    flat = {k: v.reshape(K * P) for k, v in layers.items()}
+    color, alpha, valid, _n, trans = shade_surface(
+        flat, ds,
+        width=W, height=K * H, height_full=H_full, row_offset=row_offset,
+        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+        has_nearest=has_nearest, ext=ext,
+        transparent_pass=True, want_transmission_factor=True,
+        setup_rows=setup_rows, n_layer_tiles=K,
+    )
+    color = color.reshape(K, P, 3)
+    a = jnp.where(valid, alpha, 0.0).reshape(K, P, 1)
+    trans = None if trans is None else trans.reshape(K, P, 3)
 
-    # back-to-front: layer n_layers-1 is the farthest peel
-    reversed_layers = {k: v[::-1] for k, v in layers.items()}
-    out0 = opaque_hdr.reshape(P, 4)[:, :3]
-    out, _ = jax.lax.scan(blend, out0, reversed_layers)
+    # back-to-front: layer K-1 is the farthest peel
+    out = opaque_hdr.reshape(P, 4)[:, :3]
+    for k in range(K - 1, -1, -1):
+        c = color[k] if trans is None else color[k] + out * trans[k]
+        out = c * a[k] + out * (1.0 - a[k])
 
     alpha_plane = opaque_hdr.reshape(P, 4)[:, 3:4]
     return jnp.concatenate([out, alpha_plane], axis=-1).reshape(H, W, 4)
