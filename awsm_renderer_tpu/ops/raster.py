@@ -104,16 +104,18 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
-                    attr_rows=_ATTR_ROWS):
+def _merge_subgroup(P, px, py, state, zbounds=None, tile_xy=None,
+                    slim=False):
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
-    tri_base: unused (ids come from the S_ORIG_ID setup row — this keeps
-    the raster output in ORIGINAL triangle-pool ids with no per-pixel
-    remap gather after the Morton sort);
-    state: tuple of N_PLANES (1, npx) accumulators
-           (z, tid, mat_row, 15 interpolated attrs, 4 uv0 derivatives);
+    state: (z (1,npx) f32, fields (NSETUP,npx) f32) — or (z, tid (1,npx)
+           i32) in slim mode. `fields` holds the winning triangle's RAW
+           setup row per pixel, fetched with ONE small MXU matmul
+           (NSETUP,SUB)@(SUB,npx one-hot); attribute interpolation happens
+           once per PIXEL at tile flush (_flush_planes), not once per
+           covered fragment — that cut the dominant per-merge VPU cost
+           (~100 vector ops on (8,1024)) roughly in half at 1080p.
     zbounds: optional (zlo, zhi) per-pixel planes — fragments must satisfy
     zlo < z < zhi (depth peeling against the previous layer + opaque depth);
     tile_xy: optional (tx0, ty0) scalars — when given, the whole subgroup
@@ -133,8 +135,7 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
         )
         return jax.lax.cond(
             hit,
-            lambda st: _merge_subgroup(P, px, py, tri_base, st, zbounds,
-                                       attr_rows=attr_rows),
+            lambda st: _merge_subgroup(P, px, py, st, zbounds, slim=slim),
             lambda st: st,
             state,
         )
@@ -184,26 +185,62 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
     local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
     idx_m = jnp.where(zc == zmin, local, SUB)
     win = jnp.min(idx_m, axis=0, keepdims=True)          # (1, npx)
-    one_hot = (local == win) & (zc < _BIG)
-    oh = one_hot.astype(jnp.float32)
-
-    def pick(vals):
-        return jnp.sum(vals * oh, axis=0, keepdims=True)
 
     take = zmin < state[0]
-    # original ids ride in a setup row (f32 exact below 2^24); the pick is
-    # a one-hot sum, so the value is exact
-    tid = pick(col(S_ORIG_ID) * jnp.ones_like(zc)).astype(jnp.int32)
-    out = [
-        jnp.where(take, zmin, state[0]),                          # z
-        jnp.where(take, tid, state[1]),                           # tid
-    ]
-    if len(state) == 2:
-        # slim mode: attributes resolve post-raster (shade.resolve_gbuffer)
-        return tuple(out)
+    new_z = jnp.where(take, zmin, state[0])
 
-    # perspective-correct corner weights
-    iw0, iw1, iw2 = col(S_IW0), col(S_IW1), col(S_IW2)
+    if slim:
+        # slim mode: attributes resolve post-raster (shade.resolve_gbuffer).
+        # original ids ride in a setup row (f32 exact below 2^24); the pick
+        # is a one-hot sum, so the value is exact
+        oh = ((local == win) & (zc < _BIG)).astype(jnp.float32)
+        tid = jnp.sum(col(S_ORIG_ID) * oh, axis=0, keepdims=True).astype(jnp.int32)
+        return (new_z, jnp.where(take, tid, state[1]))
+
+    # winner's full setup row per pixel: an exact per-pixel select tree
+    # over the SUB candidate rows (selects copy exact f32 — an MXU one-hot
+    # matmul needs 3-6 bf16 passes for exactness and measured slower).
+    nsetup = P.shape[1]
+    picked = jnp.broadcast_to(P[0][:, None], (nsetup, npx))
+    for s in range(1, SUB):
+        picked = jnp.where(win == s, P[s][:, None], picked)
+    return (new_z, jnp.where(take, picked, state[1]))
+
+
+def _init_fields(npx):
+    """Initial per-pixel winner-fields state: zeros except the original-id
+    row, which is -1 (miss marker read back by the flush)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NSETUP, npx), 0)
+    return jnp.where(rows == S_ORIG_ID, -1.0, 0.0)
+
+
+def _flush_planes(z, fields, px, py, attr_rows, analytic_derivs: bool):
+    """Interpolate the final G-buffer planes from the winning triangle's
+    raw setup fields — once per pixel, after all merges.
+
+    z: (1, npx); fields: (NSETUP, npx). Returns the planes in output order
+    (tid i32, depth, mat_row, attrs..., [du0/dv0 derivatives]) as (1, npx)
+    arrays. The math matches the reference's shade-time re-interpolation
+    (material_opaque compute.wgsl) and shade.resolve_gbuffer exactly; miss
+    pixels (all-zero fields) come out as attr 0 / mat_row 0 / tid -1, the
+    same values the old per-merge accumulators produced."""
+
+    def row(r):
+        return fields[r : r + 1, :]
+
+    x0, y0 = row(S_X0), row(S_Y0)
+    x1, y1 = row(S_X1), row(S_Y1)
+    x2, y2 = row(S_X2), row(S_Y2)
+
+    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
+    b0 = e0 * inv_area
+    b1 = e1 * inv_area
+    b2 = 1.0 - b0 - b1
+
+    iw0, iw1, iw2 = row(S_IW0), row(S_IW1), row(S_IW2)
     pb0 = b0 * iw0
     pb1 = b1 * iw1
     pb2 = b2 * iw2
@@ -213,67 +250,58 @@ def _merge_subgroup(P, px, py, tri_base, state, zbounds=None, tile_xy=None,
     pn1 = pb1 * inv_denom
     pn2 = pb2 * inv_denom
 
-    # derivative weights for uv0 (mip selection):
-    # d(pn_i)/d = invD * (db_i/d * iw_i - pn_i * dD/d)
-    db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
-    db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
-    db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
-    dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
-    dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
-    dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
-    dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
-    dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
-    dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
-    dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
-    dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
+    outs = [row(S_ORIG_ID).astype(jnp.int32), z, row(S_MAT_ROW)]
+    for base in attr_rows:
+        outs.append(pn0 * row(base) + pn1 * row(base + 1) + pn2 * row(base + 2))
 
-    def interp(base_row):
-        a0, a1, a2 = col(base_row), col(base_row + 1), col(base_row + 2)
-        return pn0 * a0 + pn1 * a1 + pn2 * a2
-
-    out.append(jnp.where(take, pick(col(S_MAT_ROW) * jnp.ones_like(zc)), state[2]))
-    i = 3
-    for base_row in attr_rows:
-        out.append(jnp.where(take, pick(interp(base_row)), state[i]))
-        i += 1
-    if len(state) == 3 + len(attr_rows):
-        # screen-derivative mode: no analytic du0/dv0 accumulators
-        return tuple(out)
-    # uv0 derivatives
-    u0a, u0b, u0c = col(S_UV0), col(S_UV0 + 1), col(S_UV0 + 2)
-    v0a, v0b, v0c = col(S_UV0 + 3), col(S_UV0 + 4), col(S_UV0 + 5)
-    for (da0, da1, da2) in ((dpn0_dx, dpn1_dx, dpn2_dx), (dpn0_dy, dpn1_dy, dpn2_dy)):
-        du = da0 * u0a + da1 * u0b + da2 * u0c
-        dv = da0 * v0a + da1 * v0b + da2 * v0c
-        out.append(jnp.where(take, pick(du), state[i])); i += 1
-        out.append(jnp.where(take, pick(dv), state[i])); i += 1
-    return tuple(out)
+    if analytic_derivs:
+        db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
+        db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
+        db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
+        dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
+        dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
+        dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
+        dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
+        dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
+        dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
+        dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
+        dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
+        u0a, u0b, u0c = row(S_UV0), row(S_UV0 + 1), row(S_UV0 + 2)
+        v0a, v0b, v0c = row(S_UV0 + 3), row(S_UV0 + 4), row(S_UV0 + 5)
+        for (da0, da1, da2) in ((dpn0_dx, dpn1_dx, dpn2_dx),
+                                (dpn0_dy, dpn1_dy, dpn2_dy)):
+            outs.append(da0 * u0a + da1 * u0b + da2 * u0c)
+            outs.append(da0 * v0a + da1 * v0b + da2 * v0c)
+    return outs
 
 
 def _make_kernel(unroll: bool, peel: bool, attr_rows=_ATTR_ROWS,
-                 n_planes=N_PLANES):
+                 n_planes=N_PLANES, slim: bool = False,
+                 analytic_derivs: bool = True):
     def _raster_kernel(
         chunk_bbox_ref,   # SMEM (4, n_chunks) f32
         setup_ref,        # VMEM (NSETUP, CHUNK) f32
-        *refs,            # [zlo, zhi when peel] + 8 outs + 8 scratch
+        *refs,            # [zlo, zhi when peel] + n_planes outs + 2 scratch
     ):
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
         outs = refs[:n_planes]
-        accs = refs[n_planes:]
+        z_acc, f_acc = refs[n_planes], refs[n_planes + 1]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
         k = pl.program_id(2)
         n_chunks = pl.num_programs(2)
+        npx = TILE_H * TILE_W
 
         @pl.when(k == 0)
         def _init():
-            accs[0][:] = jnp.full_like(accs[0], 1.0)   # depth clear, LESS
-            accs[1][:] = jnp.full_like(accs[1], -1)
-            for a in accs[2:]:
-                a[:] = jnp.zeros_like(a)
+            z_acc[:] = jnp.full_like(z_acc, 1.0)   # depth clear, LESS
+            if slim:
+                f_acc[:] = jnp.full_like(f_acc, -1)
+            else:
+                f_acc[:] = _init_fields(npx)
 
         ty0 = (i * TILE_H).astype(jnp.float32)
         tx0 = (j * TILE_W).astype(jnp.float32)
@@ -285,16 +313,14 @@ def _make_kernel(unroll: bool, peel: bool, attr_rows=_ATTR_ROWS,
             & (chunk_bbox_ref[3, k] > ty0)
         )
 
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
+        py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
+
         @pl.when(overlaps)
         def _process():
-            npx = TILE_H * TILE_W
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-            px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
-            py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
-
             setup_t = setup_ref[:].T                 # (CHUNK, NSETUP)
-            state = tuple(a[:] for a in accs)
-            base = k * CHUNK
+            state = (z_acc[:], f_acc[:])
             zbounds = None
             if peel:
                 zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
@@ -303,27 +329,29 @@ def _make_kernel(unroll: bool, peel: bool, attr_rows=_ATTR_ROWS,
             if unroll:
                 for g in range(CHUNK // SUB):
                     Pg = setup_t[g * SUB : (g + 1) * SUB]
-                    state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
-                                            zbounds, txy, attr_rows)
+                    state = _merge_subgroup(Pg, px, py, state,
+                                            zbounds, txy, slim=slim)
             else:
                 def body(g, st):
                     Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                    return _merge_subgroup(Pg, px, py, base + g * SUB, st,
-                                           zbounds, txy, attr_rows)
+                    return _merge_subgroup(Pg, px, py, st,
+                                           zbounds, txy, slim=slim)
 
                 state = jax.lax.fori_loop(0, CHUNK // SUB, body, state)
 
-            for a, s in zip(accs, state):
-                a[:] = s
+            z_acc[:] = state[0]
+            f_acc[:] = state[1]
 
         @pl.when(k == n_chunks - 1)
         def _flush():
-            # acc order: z, tid, bu, bv, dux, duy, dvx, dvy
-            # out order: tid, depth, bu, bv, dux, duy, dvx, dvy
-            outs[0][:] = accs[1][:].reshape(TILE_H, TILE_W)
-            outs[1][:] = accs[0][:].reshape(TILE_H, TILE_W)
-            for o, a in zip(outs[2:], accs[2:]):
-                o[:] = a[:].reshape(TILE_H, TILE_W)
+            if slim:
+                outs[0][:] = f_acc[:].reshape(TILE_H, TILE_W)
+                outs[1][:] = z_acc[:].reshape(TILE_H, TILE_W)
+            else:
+                planes = _flush_planes(z_acc[:], f_acc[:], px, py,
+                                       attr_rows, analytic_derivs)
+                for o, p in zip(outs, planes):
+                    o[:] = p.reshape(TILE_H, TILE_W)
 
     return _raster_kernel
 
@@ -377,7 +405,8 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
 
 
 def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
-                        attr_rows=_ATTR_ROWS, n_planes=N_PLANES):
+                        attr_rows=_ATTR_ROWS, n_planes=N_PLANES,
+                        slim: bool = False, analytic_derivs: bool = True):
     """Streamed binned kernel: grid = (n_tiles,), ONE step per tile.
 
     Each step walks the tile's bin list with a dynamic fori_loop and
@@ -425,10 +454,11 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
             zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
         txy = (tx0, ty0)
 
-        state0 = (
-            jnp.full((1, npx), 1.0, jnp.float32),    # depth clear, LESS
-            jnp.full((1, npx), -1, jnp.int32),       # tri_id
-        ) + tuple(jnp.zeros((1, npx), jnp.float32) for _ in range(n_planes - 2))
+        z0 = jnp.full((1, npx), 1.0, jnp.float32)    # depth clear, LESS
+        if slim:
+            state0 = (z0, jnp.full((1, npx), -1, jnp.int32))
+        else:
+            state0 = (z0, _init_fields(npx))
 
         def body(b, state):
             slot = jax.lax.rem(b, 2)
@@ -442,17 +472,16 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 
             def do_merge(state):
                 setup_t = buf[slot].T                # (CHUNK, NSETUP)
-                base = chunk * CHUNK
                 if unroll:
                     for g in range(CHUNK // SUB):
                         Pg = setup_t[g * SUB : (g + 1) * SUB]
-                        state = _merge_subgroup(Pg, px, py, base + g * SUB, state,
-                                                zbounds, txy, attr_rows)
+                        state = _merge_subgroup(Pg, px, py, state,
+                                                zbounds, txy, slim=slim)
                 else:
                     def sub_body(g, st):
                         Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
-                        return _merge_subgroup(Pg, px, py, base + g * SUB, st,
-                                               zbounds, txy, attr_rows)
+                        return _merge_subgroup(Pg, px, py, st,
+                                               zbounds, txy, slim=slim)
 
                     state = jax.lax.fori_loop(0, CHUNK // SUB, sub_body, state)
                 return state
@@ -466,11 +495,14 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 
         state = jax.lax.fori_loop(0, cnt, body, state0)
 
-        # acc order: z, tid, attrs...; out order: tid, depth, attrs...
-        outs[0][:] = state[1].reshape(TILE_H, TILE_W)
-        outs[1][:] = state[0].reshape(TILE_H, TILE_W)
-        for o, s in zip(outs[2:], state[2:]):
-            o[:] = s.reshape(TILE_H, TILE_W)
+        if slim:
+            outs[0][:] = state[1].reshape(TILE_H, TILE_W)
+            outs[1][:] = state[0].reshape(TILE_H, TILE_W)
+        else:
+            planes = _flush_planes(state[0], state[1], px, py,
+                                   attr_rows, analytic_derivs)
+            for o, p in zip(outs, planes):
+                o[:] = p.reshape(TILE_H, TILE_W)
 
     return _kernel
 
@@ -531,7 +563,8 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     )
     outs = pl.pallas_call(
         _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B,
-                            attr_rows=attr_rows, n_planes=n_planes),
+                            attr_rows=attr_rows, n_planes=n_planes, slim=slim,
+                            analytic_derivs=analytic_derivs),
         grid_spec=grid_spec,
         out_shape=_out_shapes(width, height, n_planes),
         interpret=interpret,
@@ -563,11 +596,16 @@ def _out_shapes(width: int, height: int, n_planes: int = N_PLANES):
     return tuple(shapes)
 
 
-def _scratch(npx: int, n_planes: int = N_PLANES):
+def _scratch(npx: int, slim: bool = False):
+    if slim:
+        return [
+            pltpu.VMEM((1, npx), jnp.float32),        # z
+            pltpu.VMEM((1, npx), jnp.int32),          # tid
+        ]
     return [
-        pltpu.VMEM((1, npx), jnp.float32),   # z
-        pltpu.VMEM((1, npx), jnp.int32),     # tid
-    ] + [pltpu.VMEM((1, npx), jnp.float32)] * (n_planes - 2)
+        pltpu.VMEM((1, npx), jnp.float32),            # z
+        pltpu.VMEM((NSETUP, npx), jnp.float32),       # winner fields
+    ]
 
 
 def rasterize(setup, *, width: int, height: int, interpret: bool | None = None,
@@ -620,7 +658,8 @@ def _rasterize_dense(setup, *, width: int, height: int,
         # fori_loop body in interpret mode: grid programs are traced
         # individually there, so trace cost must stay small
         _make_kernel(unroll=not interpret, peel=False,
-                     attr_rows=attr_rows, n_planes=n_planes),
+                     attr_rows=attr_rows, n_planes=n_planes, slim=slim,
+                     analytic_derivs=analytic_derivs),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -632,7 +671,7 @@ def _rasterize_dense(setup, *, width: int, height: int,
         ],
         out_specs=(out_spec,) * n_planes,
         out_shape=_out_shapes(width, height, n_planes),
-        scratch_shapes=_scratch(npx, n_planes),
+        scratch_shapes=_scratch(npx, slim),
         interpret=interpret,
     )(chunk_bbox, setup)
     return dict(zip(names, outs))
@@ -682,7 +721,8 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
     )
     outs = pl.pallas_call(
         _make_kernel(unroll=not interpret, peel=True,
-                     attr_rows=attr_rows, n_planes=n_planes),
+                     attr_rows=attr_rows, n_planes=n_planes, slim=slim,
+                     analytic_derivs=analytic_derivs),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -696,7 +736,7 @@ def _rasterize_peel_dense(setup, zlo, zhi, *, width: int, height: int,
         ],
         out_specs=(tile_spec,) * n_planes,
         out_shape=_out_shapes(width, height, n_planes),
-        scratch_shapes=_scratch(npx, n_planes),
+        scratch_shapes=_scratch(npx, slim),
         interpret=interpret,
     )(chunk_bbox, setup, zlo, zhi)
     return dict(zip(names, outs))

@@ -58,10 +58,10 @@ def _prep_coord(u: jnp.ndarray, n_f: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndar
     return jnp.where(mode == WRAP_REPEAT, x, jnp.clip(x, 0.0, n_f - 1.0))
 
 
-def _level_idx(desc, uv, level, with_nearest: bool):
+def _level_idx(desc, uv, level):
     """Footprint math for one mip level: texel-row indices + weights.
 
-    Returns (idx (P,), fx, fy, idx_nearest or None). The actual texel
+    Returns (idx (P,), fx, fy). The actual texel
     fetch is deferred so a whole pass's taps can ride ONE gather —
     XLA's TPU lowering runs a lone 2M-row gather ~30x faster than two
     gathers fused into the same computation (measured: 1 gather of 4M
@@ -92,13 +92,7 @@ def _level_idx(desc, uv, level, with_nearest: bool):
     x0i = _wrap_coord(x0.astype(jnp.int32), wm, wrap_s)
     y0i = _wrap_coord(y0.astype(jnp.int32), hm, wrap_t)
     idx = offset + y0i * wm + x0i
-
-    idxn = None
-    if with_nearest:
-        xn = _wrap_coord(jnp.floor(x + 0.5).astype(jnp.int32), wm, wrap_s)
-        yn = _wrap_coord(jnp.floor(y + 0.5).astype(jnp.int32), hm, wrap_t)
-        idxn = offset + yn * wm + xn
-    return idx, fx, fy, idxn
+    return idx, fx, fy
 
 
 def _blend_bilinear(q, fx, fy):
@@ -109,6 +103,20 @@ def _blend_bilinear(q, fx, fy):
         + q[:, 8:12] * (1 - fx) * fy
         + q[:, 12:16] * fx * fy
     )
+
+
+def _pick_nearest(q, fx, fy):
+    """Nearest-filter texel from a quad-packed row — no extra gather.
+
+    The nearest texel floor(u*n) is always one of the quad's 4 corners:
+    the continuous coord is x = u*n - 0.5 with x0 = floor(x), so
+    floor(x + 0.5) is x0 when the fraction is < 0.5 and x0+1 otherwise
+    (quad neighbors are pre-wrapped, core/textures.py::_pack_quads)."""
+    right = fx >= 0.5
+    down = fy >= 0.5
+    top = jnp.where(right, q[:, 4:8], q[:, 0:4])
+    bot = jnp.where(right, q[:, 12:16], q[:, 8:12])
+    return jnp.where(down, bot, top)
 
 
 def _mip_level(desc, duv_dx, duv_dy):
@@ -164,12 +172,9 @@ def sample_texture_batch(texq, descriptors, taps, has_nearest: bool = True):
         for lv in (l0, l1):
             if lv is None:
                 continue
-            idx, fx, fy, idxn = _level_idx(desc, uv, lv, has_nearest)
+            idx, fx, fy = _level_idx(desc, uv, lv)
             sub.append((len(idx_parts), fx, fy))
             idx_parts.append(idx)
-            if idxn is not None:
-                sub[-1] = sub[-1] + (len(idx_parts),)
-                idx_parts.append(idxn)
         plans.append((tex_id, desc, frac, sub))
 
     # THE gather: every tap, level, and nearest probe in one op
@@ -183,11 +188,12 @@ def sample_texture_batch(texq, descriptors, taps, has_nearest: bool = True):
     for (tex_id, desc, frac, sub) in plans:
         linear = desc[:, TD_FILTER_LINEAR] > 0
         levels = []
-        for entry in sub:
-            bil = _blend_bilinear(part(entry[0]), entry[1], entry[2])
+        for (part_i, fx, fy) in sub:
+            q = part(part_i)
+            bil = _blend_bilinear(q, fx, fy)
             if has_nearest:
-                nearest = part(entry[3])[:, 0:4]
-                bil = jnp.where(linear[:, None], bil, nearest)
+                # nearest filtering selects a quad corner — same gather
+                bil = jnp.where(linear[:, None], bil, _pick_nearest(q, fx, fy))
             levels.append(bil)
         if frac is not None and len(levels) == 2:
             tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
@@ -205,15 +211,14 @@ def _sample_level(texq, desc, uv, level, has_nearest: bool = True):
     texq is the quad-packed texel buffer (N, 16): each row carries the
     texel plus its pre-wrapped right/down/diag neighbors
     (core/textures.py::_pack_quads), so one bilinear tap = ONE gather.
-    has_nearest=False compiles out the nearest-filter tap."""
-    idx, fx, fy, idxn = _level_idx(desc, uv, level, has_nearest)
+    has_nearest=False compiles out the nearest-filter select."""
+    idx, fx, fy = _level_idx(desc, uv, level)
     q = texq[jnp.clip(idx, 0, texq.shape[0] - 1)]
     bil = _blend_bilinear(q, fx, fy)
     if not has_nearest:
         return bil
     linear = desc[:, TD_FILTER_LINEAR] > 0
-    nearest = texq[jnp.clip(idxn, 0, texq.shape[0] - 1), 0:4]
-    return jnp.where(linear[:, None], bil, nearest)
+    return jnp.where(linear[:, None], bil, _pick_nearest(q, fx, fy))
 
 
 def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,

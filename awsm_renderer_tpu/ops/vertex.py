@@ -78,6 +78,36 @@ def onehot_gather(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
 
 
+def _mat_corners(m, v, homogeneous: bool = False):
+    """Per-triangle(/corner) matrix times corner vectors, elementwise.
+
+    m: (T, 1|3, J, K) matrices (dim 1 broadcasts over corners);
+    v: (T, 3, C) with C == K (or K-1 with homogeneous=True: implicit w=1).
+    Returns (T, 3, J). Written as scalar-broadcast madds because XLA's TPU
+    lowering of batched tiny dots (einsum "tcjk,tck->tcj") is ~20x slower.
+    """
+    J, K = m.shape[-2], m.shape[-1]
+    C = v.shape[-1]
+    comps = [v[..., k] for k in range(C)]
+    outs = []
+    for j in range(J):
+        o = m[..., j, 0] * comps[0]
+        for k in range(1, C):
+            o = o + m[..., j, k] * comps[k]
+        if homogeneous and C == K - 1:
+            o = o + m[..., j, K - 1]
+        outs.append(o)
+    return jnp.stack(outs, axis=-1)
+
+
+def _const_mat(m, v):
+    """Constant (J,K) matrix times (..., K) vectors, elementwise madds."""
+    J, K = m.shape
+    comps = [v[..., k] for k in range(K)]
+    return jnp.stack(
+        [sum(m[j, k] * comps[k] for k in range(K)) for j in range(J)], axis=-1)
+
+
 def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height,
                  id_offset: int = 0):
     """Screen-map one output triangle set → (NSETUP, T) setup rows.
@@ -234,14 +264,14 @@ def vertex_stage(
         nmat = node_nmat[:, None]
 
     # ---- transform corners -------------------------------------------------
-    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
-    model_b = jnp.broadcast_to(model, (T, 3, 4, 4))
-    world_pos = jnp.einsum("tcjk,tck->tcj", model_b, pos_h)
-    clip = jnp.einsum("jk,tck->tcj", view_proj, world_pos)             # (T,3,4)
+    # explicit scalar-broadcast madds, NOT einsum: XLA lowers batched tiny
+    # (4,4)@(4,) dots catastrophically on TPU (measured ~10 ms at 524k
+    # triangles; this form is ~0.5 ms — pure VPU elementwise work)
+    world_pos = _mat_corners(model, pos, homogeneous=True)             # (T,3,4)
+    clip = _const_mat(view_proj, world_pos)                            # (T,3,4)
 
-    nmat_b = jnp.broadcast_to(nmat, (T, 3, 3, 3))
-    world_nrm = jnp.einsum("tcjk,tck->tcj", nmat_b, nrm)               # (T,3,3)
-    world_tan_xyz = jnp.einsum("tcjk,tck->tcj", model_b[..., :3, :3], tan[..., :3])
+    world_nrm = _mat_corners(nmat, nrm)                                # (T,3,3)
+    world_tan_xyz = _mat_corners(model[..., :3, :3], tan[..., :3])
     world_tan = jnp.concatenate([world_tan_xyz, tan[..., 3:4]], axis=-1)
 
     # per-corner attribute bundle, lerped through clipping: (T, 3, A)

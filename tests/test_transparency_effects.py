@@ -63,10 +63,11 @@ def test_two_transparent_layers_composite():
     img = r.render()
     c = img[H // 2, W // 2, :3]
     lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
-    # back-to-front over sky: green(0.5) over sky, then blue(0.5) over that:
-    # blue contributes 0.5, green 0.25
-    assert abs(lin[2] - 0.5) < 0.03
-    assert abs(lin[1] - 0.25) < 0.03
+    # back-to-front over the default sky (0.1, 0.1, 0.12): green(0.5) over
+    # sky, then blue(0.5) over that — blue contributes 0.5, green 0.25,
+    # and the sky transmits through both layers at 0.25
+    np.testing.assert_allclose(lin, [0.25 * 0.1, 0.25 + 0.25 * 0.1,
+                                     0.5 + 0.25 * 0.12], atol=0.005)
 
 
 def test_transmission_routes_and_renders():
