@@ -5,7 +5,7 @@ TPU-native replacement for the reference's geometry-pass vertex shader
 morphs → skins → instancing → model → view-proj) plus the fixed-function
 triangle setup AND near-plane clipping the GPU rasterizer does in hardware.
 
-TPU-first data flow (v2, gather-free):
+TPU-first data flow (v3, fully component-SoA):
 - geometry arrives CORNER-MAJOR (3T, k) — exploded at asset insert like the
   reference's 52-byte visibility vertices (gltf/buffers/mesh/visibility.rs),
   because XLA gathers are the slowest primitive on TPU while reshapes are
@@ -14,6 +14,13 @@ TPU-first data flow (v2, gather-free):
   through ONE-HOT MATMULS on the MXU instead of gathers: onehot(T, cap) @
   table(cap, k) runs at matmul speed, ~100x the gather path for the table
   sizes a scene uses.
+- ALL per-corner math runs on flat (T,) component vectors. Any tensor with
+  a tiny minor dimension ((T,3,4) corners, (T,4,4) matrices) pads that
+  minor dim to the 128-lane width in VMEM, so elementwise work runs at
+  ~2-10% lane utilization — the einsum/stacked-corner form of this stage
+  measured ~27 ms at 524k triangles where the (T,)-component form is a
+  few ms. Matrices stay as (T,16)/(T,9) column tables; corners become
+  [corner][component] lists of (T,) vectors.
 - per-corner vertex ATTRIBUTES (uv/color/normal/tangent) ride in the setup
   rows; the rasterizer interpolates them per pixel (fat G-buffer), so the
   shading pass needs no per-triangle gathers at all. Near-plane-clipped
@@ -62,6 +69,11 @@ S_ORIG_ID = 63            # original setup-column id (f32, exact to 2^24) —
                           # emit original ids directly (no 2M-px remap gather)
 NSETUP = 64
 
+# attribute channel order inside the per-corner bundle (matches the
+# S_UV0..S_TANGENT row layout): uv0.uv, uv1.uv, color.rgba, normal.xyz,
+# tangent.xyzw
+NA = 15
+
 _Z_EPS = 1e-6
 
 
@@ -77,84 +89,114 @@ def onehot_gather(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(oh, table, preferred_element_type=jnp.float32)
 
 
+def _corner_comps(arr, C):
+    """(3C, T) component-major array → [corner][component] lists of (T,).
 
-def _mat_corners(m, v, homogeneous: bool = False):
-    """Per-triangle(/corner) matrix times corner vectors, elementwise.
-
-    m: (T, 1|3, J, K) matrices (dim 1 broadcasts over corners);
-    v: (T, 3, C) with C == K (or K-1 with homogeneous=True: implicit w=1).
-    Returns (T, 3, J). Written as scalar-broadcast madds because XLA's TPU
-    lowering of batched tiny dots (einsum "tcjk,tck->tcj") is ~20x slower.
-    """
-    J, K = m.shape[-2], m.shape[-1]
-    C = v.shape[-1]
-    comps = [v[..., k] for k in range(C)]
-    outs = []
-    for j in range(J):
-        o = m[..., j, 0] * comps[0]
-        for k in range(1, C):
-            o = o + m[..., j, k] * comps[k]
-        if homogeneous and C == K - 1:
-            o = o + m[..., j, K - 1]
-        outs.append(o)
-    return jnp.stack(outs, axis=-1)
+    Row c*C + k holds component k of corner c for every triangle — a
+    contiguous (T,) slice. (The corner-major (3T, C) layout needed a
+    stride-3C slice per component, which measured 30 ms/frame on TPU.)"""
+    return [[arr[c * C + k] for k in range(C)] for c in range(3)]
 
 
-def _const_mat(m, v):
-    """Constant (J,K) matrix times (..., K) vectors, elementwise madds."""
-    J, K = m.shape
-    comps = [v[..., k] for k in range(K)]
-    return jnp.stack(
-        [sum(m[j, k] * comps[k] for k in range(K)) for j in range(J)], axis=-1)
+def _mat4_point(m, p):
+    """Row-major flat 4x4 columns m (list/(T,16)) times point (x,y,z,1).
+
+    p: [x, y, z] of (T,); returns [x', y', z', w'] of (T,). Pure (T,)
+    madds — XLA's batched tiny-dot lowering is ~20x slower."""
+    x, y, z = p
+    return [
+        m[:, 4 * j + 0] * x + m[:, 4 * j + 1] * y + m[:, 4 * j + 2] * z
+        + m[:, 4 * j + 3]
+        for j in range(4)
+    ]
 
 
-def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height,
+def _mat3_vec(m, v, stride=3, rows=3):
+    """Flat row-major matrix columns (T, >=stride*rows) times (x,y,z)."""
+    x, y, z = v
+    return [
+        m[:, stride * j + 0] * x + m[:, stride * j + 1] * y
+        + m[:, stride * j + 2] * z
+        for j in range(rows)
+    ]
+
+
+def _const_mat4(vp, p):
+    """Constant (4,4) matrix times per-corner [x,y,z,w] of (T,)."""
+    return [
+        vp[j, 0] * p[0] + vp[j, 1] * p[1] + vp[j, 2] * p[2] + vp[j, 3] * p[3]
+        for j in range(4)
+    ]
+
+
+def _morton(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Interleave 16-bit x/y into a Z-order key (i32)."""
+
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def finish_setup(corners, attrs, act, mat_row, flags, width, height,
                  id_offset: int = 0):
-    """Screen-map one output triangle set → (NSETUP, T) setup rows.
+    """Screen-map one output triangle set → ((T, NSETUP) setup rows,
+    (T,) Morton sort key).
 
-    c*: (T,4) clip-space corners; q*: (T,NA) per-corner attribute bundles;
-    act: (T,) active mask; flags: per-triangle mesh flags (double-sided).
-    """
+    corners: [c][x,y,z,w] clip-space (T,) components; attrs: [c][ch] of NA
+    (T,) channels; act: (T,) active mask; flags: per-triangle mesh flags
+    (double-sided). All math on (T,) vectors — see module docstring.
+
+    The Z-order key (screen bbox center, invalid → MAX so padding sorts
+    last) is computed here while the bboxes are live (T,) values: reading
+    them back out of the assembled block is a strided slice, the exact
+    layout hazard this stage avoids. The caller sorts ROWS of the
+    row-major block (an HBM-friendly 256-B-row gather) and transposes
+    once — permuting the transposed (NSETUP, T) block columns measured
+    6 ms/frame at 524k triangles."""
     double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
-    cc = jnp.stack([c0, c1, c2], axis=1)       # (T,3,4)
-    qq = jnp.stack([q0, q1, q2], axis=1)       # (T,3,NA)
-    NA = qq.shape[-1]
-    w = cc[..., 3]
-    safe_w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
-    inv_w = 1.0 / safe_w
-    ndc = cc[..., :3] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (0.5 - ndc[..., 1] * 0.5) * height    # y-down screen
-    z = ndc[..., 2]
+    w = [corners[c][3] for c in range(3)]
+    iw = [1.0 / jnp.where(jnp.abs(wc) > 1e-20, wc, 1e-20) for wc in w]
+    sx = [(corners[c][0] * iw[c] * 0.5 + 0.5) * width for c in range(3)]
+    sy = [(0.5 - corners[c][1] * iw[c] * 0.5) * height for c in range(3)]
+    z = [corners[c][2] * iw[c] for c in range(3)]
 
     # orientation: front faces are CW in y-down screen coords (negative
     # area here); swap corners 1<->2 so the rasterizer always sees
     # positive orientation (attributes swap along)
-    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
-        sx[:, 2] - sx[:, 0]
-    ) * (sy[:, 1] - sy[:, 0])
+    area2 = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sx[2] - sx[0]) * (sy[1] - sy[0])
     front = area2 < 0.0
     keep = (front | double_sided) & act & (jnp.abs(area2) > 1e-12)
 
-    def swp(arr):
-        return jnp.where(front[:, None], arr[:, jnp.array([0, 2, 1])], arr)
+    def swp(a1, a2):
+        return jnp.where(front, a2, a1), jnp.where(front, a1, a2)
 
-    sx_o = swp(sx)
-    sy_o = swp(sy)
-    z_o = swp(z)
-    iw_o = swp(inv_w)
-    q_o = jnp.where(front[:, None, None], qq[:, jnp.array([0, 2, 1])], qq)
+    sx[1], sx[2] = swp(sx[1], sx[2])
+    sy[1], sy[2] = swp(sy[1], sy[2])
+    z[1], z[2] = swp(z[1], z[2])
+    iw[1], iw[2] = swp(iw[1], iw[2])
+    a1, a2 = [], []
+    for ch in range(NA):
+        v1, v2 = swp(attrs[1][ch], attrs[2][ch])
+        a1.append(v1)
+        a2.append(v2)
+    attrs = [attrs[0], a1, a2]
 
-    bb_minx = jnp.clip(jnp.min(sx_o, axis=1), 0.0, float(width))
-    bb_maxx = jnp.clip(jnp.max(sx_o, axis=1), 0.0, float(width))
-    bb_miny = jnp.clip(jnp.min(sy_o, axis=1), 0.0, float(height))
-    bb_maxy = jnp.clip(jnp.max(sy_o, axis=1), 0.0, float(height))
+    bb_minx = jnp.clip(jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2]), 0.0, float(width))
+    bb_maxx = jnp.clip(jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2]), 0.0, float(width))
+    bb_miny = jnp.clip(jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2]), 0.0, float(height))
+    bb_maxy = jnp.clip(jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2]), 0.0, float(height))
     on_screen = (bb_maxx > bb_minx) & (bb_maxy > bb_miny)
-    zmin = jnp.min(z_o, axis=1)
-    zmax = jnp.max(z_o, axis=1)
+    zmin = jnp.minimum(jnp.minimum(z[0], z[1]), z[2])
+    zmax = jnp.maximum(jnp.maximum(z[0], z[1]), z[2])
     # triangles with any corner behind the near plane must have been
     # clipped before this point; reject any stragglers (w <= 0)
-    w_ok = jnp.all(w > 0.0, axis=1)
+    w_ok = (w[0] > 0.0) & (w[1] > 0.0) & (w[2] > 0.0)
     valid = keep & on_screen & w_ok & (zmax >= 0.0) & (zmin <= 1.0)
     big = jnp.float32(3.0e38)
     bb_minx = jnp.where(valid, bb_minx, big)
@@ -162,20 +204,21 @@ def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height,
     bb_maxx = jnp.where(valid, bb_maxx, -big)
     bb_maxy = jnp.where(valid, bb_maxy, -big)
 
-    # Assemble (T, NSETUP) from 2D blocks, then ONE transpose. Stacking 64
-    # separate (T,) rows makes XLA materialize each as a (1, T) buffer in a
-    # column-major layout padded 128x on the unit dim (256 MB apiece at
-    # Sponza scale — a 15 GB compile-time OOM).
-    xy_interleaved = jnp.stack([sx_o, sy_o], axis=-1).reshape(-1, 6)  # x0 y0 x1 y1 x2 y2
-    bbox = jnp.stack([bb_minx, bb_miny, bb_maxx, bb_maxy], axis=-1)   # (T, 4)
-    scalars = jnp.stack([valid.astype(jnp.float32), mat_row], axis=-1)
-    # attribute columns: channel-major, 3 corner entries per channel
-    attrs_cols = jnp.swapaxes(q_o, 1, 2).reshape(-1, 3 * NA)          # (T, 3*NA)
-    orig_id = (jnp.float32(id_offset)
-               + jnp.arange(area2.shape[0], dtype=jnp.float32))[:, None]
-    setup_t = jnp.concatenate(
-        [xy_interleaved, z_o, iw_o, bbox, scalars, attrs_cols, orig_id], axis=1)
-    return setup_t.T                                                   # (NSETUP, T)
+    T = area2.shape[0]
+    orig_id = jnp.float32(id_offset) + jnp.arange(T, dtype=jnp.float32)
+    rows = [sx[0], sy[0], sx[1], sy[1], sx[2], sy[2],
+            z[0], z[1], z[2], iw[0], iw[1], iw[2],
+            bb_minx, bb_miny, bb_maxx, bb_maxy,
+            valid.astype(jnp.float32), mat_row]
+    for ch in range(NA):
+        rows += [attrs[0][ch], attrs[1][ch], attrs[2][ch]]
+    rows.append(orig_id)
+
+    cx = ((bb_minx + bb_maxx) * 0.5 / 8.0).astype(jnp.int32)
+    cy = ((bb_miny + bb_maxy) * 0.5 / 8.0).astype(jnp.int32)
+    key = _morton(jnp.clip(cx, 0, 0xFFFF), jnp.clip(cy, 0, 0xFFFF))
+    key = jnp.where(valid, key, jnp.int32(0x7FFFFFFF))
+    return jnp.stack(rows, axis=-1), key                    # (T, NSETUP)
 
 
 @partial(
@@ -184,15 +227,15 @@ def finish_setup(c0, c1, c2, q0, q1, q2, act, mat_row, flags, width, height,
                      "needs_clip"),
 )
 def vertex_stage(
-    c_pos,            # (3T, 3) f32 corner positions (corner-major)
-    c_norm,           # (3T, 3) f32
-    c_tang,           # (3T, 4) f32
-    c_uv0,            # (3T, 2) f32
-    c_uv1,            # (3T, 2) f32
-    c_color,          # (3T, 4) f32
-    c_joints,         # (3T, 4*MAX_SKIN_SETS) i32 (global joint rows)
-    c_weights,        # (3T, 4*MAX_SKIN_SETS) f32
-    c_morph_base,     # (3T,) i32 row into morph_deltas, -1 none
+    c_pos,            # (9, T) f32 corner positions (component-major)
+    c_norm,           # (9, T) f32
+    c_tang,           # (12, T) f32
+    c_uv0,            # (6, T) f32
+    c_uv1,            # (6, T) f32
+    c_color,          # (12, T) f32
+    c_joints,         # (3*4*MAX_SKIN_SETS, T) i32 (global joint rows)
+    c_weights,        # (3*4*MAX_SKIN_SETS, T) f32
+    c_morph_base,     # (3, T) i32 row into morph_deltas, -1 none
     morph_deltas,     # (MD, 10) f32
     tri_mesh,         # (T,) i32
     mesh_info,        # (M, MESH_INFO_I32) i32
@@ -209,10 +252,13 @@ def vertex_stage(
     skin_sets: int,
     needs_clip: bool = True,
 ):
-    """Returns setup (NSETUP, 2T) f32 — or (NSETUP, T) when needs_clip is
-    False (host proved every visible AABB sits fully in front of the near
-    plane, so the clipping machinery and the secondary output slots
-    compile away; toggling the flag is a retrace, like any variant)."""
+    """Returns (setup_rows (2T, NSETUP) f32, sort_key (2T,) i32) — or
+    (T, NSETUP)/(T,) when needs_clip is False (host proved every visible
+    AABB sits fully in front of the near plane, so the clipping machinery
+    and the secondary output slots compile away; toggling the flag is a
+    retrace, like any variant). The caller Morton-sorts the rows and
+    transposes to the rasterizer's (NSETUP, T') layout (frame.py
+    prep_setup)."""
     T = tri_mesh.shape[0]
     mesh = jnp.clip(tri_mesh, 0, mesh_info.shape[0] - 1)
 
@@ -223,111 +269,131 @@ def vertex_stage(
     flags = minfo_f[:, MI_FLAGS].astype(jnp.int32)
     active = mesh_mask[mesh] & (tri_mesh >= 0)
 
-    pos = c_pos.reshape(T, 3, 3)
-    nrm = c_norm.reshape(T, 3, 3)
-    tan = c_tang.reshape(T, 3, 4)
+    pos = _corner_comps(c_pos, 3)      # [c][k] (T,)
+    nrm = _corner_comps(c_norm, 3)
+    tan = _corner_comps(c_tang, 4)
+    uv0 = _corner_comps(c_uv0, 2)
+    uv1 = _corner_comps(c_uv1, 2)
+    vcol = _corner_comps(c_color, 4)
 
     # ---- morphs (reference: shared_wgsl/vertex/morph.wgsl:22-55) ----------
     if has_morphs:
-        mbase = c_morph_base.reshape(T, 3)
-        n_targets = minfo_f[:, MI_N_MORPH_TARGETS].astype(jnp.int32)[:, None]
-        stride = minfo_f[:, 4].astype(jnp.int32)[:, None]  # MI_MORPH_STRIDE
-        w = onehot_gather(mesh, morph_weights)             # (T, MAXT)
-        pos_f = pos
-        nrm_f = nrm
-        tan_f = tan
-        for m in range(MAX_MORPH_TARGETS):
-            rows = jnp.clip(mbase + m * stride, 0, morph_deltas.shape[0] - 1)
-            delta = morph_deltas[rows]                     # (T,3,10) gather
-            mmask = ((m < n_targets) & (mbase >= 0)).astype(pos.dtype)[..., None]
-            wm = w[:, m][:, None, None] * mmask
-            pos_f = pos_f + wm * delta[..., 0:3]
-            nrm_f = nrm_f + wm * delta[..., 3:6]
-            tan_f = tan_f.at[..., 0:3].add(wm * delta[..., 6:9])
-        pos, nrm, tan = pos_f, nrm_f, tan_f
+        n_targets = minfo_f[:, MI_N_MORPH_TARGETS].astype(jnp.int32)
+        stride = minfo_f[:, 4].astype(jnp.int32)  # MI_MORPH_STRIDE
+        wts = onehot_gather(mesh, morph_weights)             # (T, MAXT)
+        for c in range(3):
+            base_c = c_morph_base[c]
+            for m in range(MAX_MORPH_TARGETS):
+                rows = jnp.clip(base_c + m * stride, 0, morph_deltas.shape[0] - 1)
+                delta = morph_deltas[rows]                   # (T,10) gather
+                mmask = ((m < n_targets) & (base_c >= 0)).astype(jnp.float32)
+                wm = wts[:, m] * mmask
+                for k in range(3):
+                    pos[c][k] = pos[c][k] + wm * delta[:, k]
+                    nrm[c][k] = nrm[c][k] + wm * delta[:, 3 + k]
+                    tan[c][k] = tan[c][k] + wm * delta[:, 6 + k]
+        # (tangent w is never morphed: deltas carry xyz only)
 
     # ---- model matrix: skin or node world (skin.wgsl:1-60 semantics) ------
-    node_world = onehot_gather(tf_row, world.reshape(-1, 16)).reshape(T, 4, 4)
-    node_nmat = onehot_gather(tf_row, normal_mat.reshape(-1, 9)).reshape(T, 3, 3)
+    node_world = onehot_gather(tf_row, world.reshape(-1, 16))        # (T,16)
+    node_nmat = onehot_gather(tf_row, normal_mat.reshape(-1, 9))     # (T,9)
 
     if skin_sets > 0:
         n_influences = 4 * skin_sets
-        j = c_joints.reshape(T, 3, -1)[..., :n_influences]
-        jw = c_weights.reshape(T, 3, -1)[..., :n_influences]
-        jm = joint_matrices[jnp.clip(j, 0, joint_matrices.shape[0] - 1)]
-        skin_mat = jnp.einsum("tci,tcijk->tcjk", jw, jm)   # (T,3,4,4)
-        is_skinned = (minfo_f[:, MI_SKIN_SETS] > 0)[:, None, None, None]
-        model = jnp.where(is_skinned, skin_mat, node_world[:, None])
-        nmat = jnp.where(is_skinned, skin_mat[..., :3, :3], node_nmat[:, None])
+        i_stride = c_joints.shape[0] // 3     # 4*MAX_SKIN_SETS rows/corner
+        jm_flat = joint_matrices.reshape(-1, 16)
+        is_skinned = minfo_f[:, MI_SKIN_SETS] > 0
+        models = []
+        for c in range(3):
+            acc = None
+            for i in range(n_influences):
+                ji = jnp.clip(c_joints[c * i_stride + i], 0, jm_flat.shape[0] - 1)
+                jm = jm_flat[ji]                              # (T,16) gather
+                wi = c_weights[c * i_stride + i]
+                term = jm * wi[:, None]
+                acc = term if acc is None else acc + term
+            models.append(jnp.where(is_skinned[:, None], acc, node_world))
     else:
-        model = node_world[:, None]
-        nmat = node_nmat[:, None]
+        models = [node_world] * 3
 
-    # ---- transform corners -------------------------------------------------
-    # explicit scalar-broadcast madds, NOT einsum: XLA lowers batched tiny
-    # (4,4)@(4,) dots catastrophically on TPU (measured ~10 ms at 524k
-    # triangles; this form is ~0.5 ms — pure VPU elementwise work)
-    world_pos = _mat_corners(model, pos, homogeneous=True)             # (T,3,4)
-    clip = _const_mat(view_proj, world_pos)                            # (T,3,4)
-
-    world_nrm = _mat_corners(nmat, nrm)                                # (T,3,3)
-    world_tan_xyz = _mat_corners(model[..., :3, :3], tan[..., :3])
-    world_tan = jnp.concatenate([world_tan_xyz, tan[..., 3:4]], axis=-1)
-
-    # per-corner attribute bundle, lerped through clipping: (T, 3, A)
-    attrs = jnp.concatenate(
-        [c_uv0.reshape(T, 3, 2), c_uv1.reshape(T, 3, 2),
-         c_color.reshape(T, 3, 4), world_nrm, world_tan], axis=-1)
-    NA = attrs.shape[-1]   # 15
+    # ---- transform corners (pure (T,) madds) -------------------------------
+    clip_c = []
+    attrs = []
+    for c in range(3):
+        wp = _mat4_point(models[c], pos[c])
+        clip_c.append(_const_mat4(view_proj, wp))
+        if skin_sets > 0:
+            nm = jnp.where((minfo_f[:, MI_SKIN_SETS] > 0)[:, None],
+                           # skinned normal matrix = upper-left 3x3 of the
+                           # skin matrix (reference uses the same shortcut)
+                           jnp.concatenate([models[c][:, 0:3], models[c][:, 4:7],
+                                            models[c][:, 8:11]], axis=1),
+                           node_nmat)
+        else:
+            nm = node_nmat
+        wn = _mat3_vec(nm, nrm[c])
+        wt = _mat3_vec(
+            jnp.concatenate([models[c][:, 0:3], models[c][:, 4:7],
+                             models[c][:, 8:11]], axis=1),
+            tan[c][:3])
+        attrs.append([uv0[c][0], uv0[c][1], uv1[c][0], uv1[c][1],
+                      vcol[c][0], vcol[c][1], vcol[c][2], vcol[c][3],
+                      wn[0], wn[1], wn[2], wt[0], wt[1], wt[2], tan[c][3]])
 
     # ---- near-plane clipping (z_clip >= eps; [0,1] depth convention) -------
     if not needs_clip:
-        return finish_setup(
-            clip[:, 0], clip[:, 1], clip[:, 2],
-            attrs[:, 0], attrs[:, 1], attrs[:, 2], active,
-            mat_row, flags, width, height)
+        return finish_setup(clip_c, attrs, active, mat_row, flags,
+                            width, height)
 
-    zc = clip[..., 2]
-    inside = zc > _Z_EPS
-    n_in = jnp.sum(inside.astype(jnp.int32), axis=1)
+    inside = [clip_c[c][2] > _Z_EPS for c in range(3)]
+    n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
+            + inside[2].astype(jnp.int32))
+    first_in = jnp.where(inside[0], 0, jnp.where(inside[1], 1, 2))
+    first_out = jnp.where(~inside[0], 0, jnp.where(~inside[1], 1, 2))
+    rot = jnp.where(n_in == 1, first_in,
+                    jnp.where(n_in == 2, first_out + 1, 0)) % 3
 
-    first_in = jnp.argmax(inside, axis=1).astype(jnp.int32)
-    first_out = jnp.argmax(~inside, axis=1).astype(jnp.int32)
-    rot = jnp.where(n_in == 1, first_in, jnp.where(n_in == 2, first_out + 1, 0)) % 3
+    def rotate3(per_corner):
+        """Rotate corner lists by `rot` via selects (gathers are TPU-slow)."""
+        cond1 = rot == 1
+        cond2 = rot == 2
+        out = []
+        for c in range(3):
+            comps = []
+            for k in range(len(per_corner[0])):
+                comps.append(jnp.where(
+                    cond2, per_corner[(c + 2) % 3][k],
+                    jnp.where(cond1, per_corner[(c + 1) % 3][k],
+                              per_corner[c][k])))
+            out.append(comps)
+        return out
 
-    def rotate3(arr):
-        """Rotate corners by `rot` via selects (gathers are TPU-slow)."""
-        r1 = arr[:, jnp.array([1, 2, 0])]
-        r2 = arr[:, jnp.array([2, 0, 1])]
-        cond1 = (rot == 1)[:, None, None]
-        cond2 = (rot == 2)[:, None, None]
-        return jnp.where(cond2, r2, jnp.where(cond1, r1, arr))
-
-    corners = rotate3(clip)
-    cattrs = rotate3(attrs)
-
-    a, b, c = corners[:, 0], corners[:, 1], corners[:, 2]
-    aa_, ab_, ac_ = cattrs[:, 0], cattrs[:, 1], cattrs[:, 2]
-    za, zb, zcc = a[:, 2], b[:, 2], c[:, 2]
+    a, b, c_ = rotate3(clip_c)
+    aa_, ab_, ac_ = rotate3(attrs)
+    za, zb, zcc = a[2], b[2], c_[2]
 
     def lerp_at(p, q, ap, aq, zp, zq):
-        t = ((_Z_EPS - zp) / jnp.where(jnp.abs(zq - zp) > 1e-20, zq - zp, 1.0))[:, None]
-        t = jnp.clip(t, 0.0, 1.0)
-        return p + t * (q - p), ap + t * (aq - ap)
+        t = jnp.clip((_Z_EPS - zp)
+                     / jnp.where(jnp.abs(zq - zp) > 1e-20, zq - zp, 1.0),
+                     0.0, 1.0)
+        pi = [pp + t * (qq - pp) for pp, qq in zip(p, q)]
+        ai = [pp + t * (qq - pp) for pp, qq in zip(ap, aq)]
+        return pi, ai
 
     i_ab, t_ab = lerp_at(a, b, aa_, ab_, za, zb)
-    i_ac, t_ac = lerp_at(a, c, aa_, ac_, za, zcc)
-    i_bc, t_bc = lerp_at(b, c, ab_, ac_, zb, zcc)
-
-    def sel(cond, x, y):
-        return jnp.where(cond[:, None], x, y)
+    i_ac, t_ac = lerp_at(a, c_, aa_, ac_, za, zcc)
+    i_bc, t_bc = lerp_at(b, c_, ab_, ac_, zb, zcc)
 
     one_in = n_in == 1
     two_in = n_in == 2
+
+    def sel(cond, xs, ys):
+        return [jnp.where(cond, x, y) for x, y in zip(xs, ys)]
+
     p0, pa0 = a, aa_
     p1 = sel(one_in, i_ab, b)
     pa1 = sel(one_in, t_ab, ab_)
-    p2 = sel(one_in, i_ac, sel(two_in, i_bc, c))
+    p2 = sel(one_in, i_ac, sel(two_in, i_bc, c_))
     pa2 = sel(one_in, t_ac, sel(two_in, t_bc, ac_))
     primary_active = active & (n_in > 0)
     s0, sa0 = a, aa_
@@ -335,9 +401,10 @@ def vertex_stage(
     s2, sa2 = i_ac, t_ac
     secondary_active = active & two_in
 
-    setup_primary = finish_setup(p0, p1, p2, pa0, pa1, pa2, primary_active,
-                                 mat_row, flags, width, height)
-    setup_secondary = finish_setup(s0, s1, s2, sa0, sa1, sa2, secondary_active,
-                                   mat_row, flags, width, height,
-                                   id_offset=clip.shape[0])
-    return jnp.concatenate([setup_primary, setup_secondary], axis=1)  # (NSETUP, 2T)
+    rows_p, key_p = finish_setup([p0, p1, p2], [pa0, pa1, pa2],
+                                 primary_active, mat_row, flags, width, height)
+    rows_s, key_s = finish_setup([s0, s1, s2], [sa0, sa1, sa2],
+                                 secondary_active, mat_row, flags,
+                                 width, height, id_offset=T)
+    return (jnp.concatenate([rows_p, rows_s], axis=0),      # (2T, NSETUP)
+            jnp.concatenate([key_p, key_s], axis=0))

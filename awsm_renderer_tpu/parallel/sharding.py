@@ -82,7 +82,7 @@ def render_frame_sharded(
         idx = jax.lax.axis_index(axis)
         y0 = idx * band_h
 
-        setup = vertex_stage(
+        rows, _key = vertex_stage(
             ds_rep["c_pos"], ds_rep["c_norm"], ds_rep["c_tang"],
             ds_rep["c_uv0"], ds_rep["c_uv1"], ds_rep["c_color"],
             ds_rep["c_joints"], ds_rep["c_weights"], ds_rep["c_morph_base"],
@@ -92,7 +92,9 @@ def render_frame_sharded(
             width=width, height=height, has_morphs=has_morphs,
             skin_sets=skin_sets,
         )
-        setup = pad_setup(_shift_setup_rows(setup, y0))
+        # band-local Morton order differs from the global key: re-sort on
+        # the (NSETUP, T) block after shifting y into band coordinates
+        setup = pad_setup(_shift_setup_rows(rows.T, y0))
         from ..passes.frame import _sort_triangles
 
         sorted_setup, _ = _sort_triangles(setup)

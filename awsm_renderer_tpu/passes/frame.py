@@ -52,32 +52,14 @@ class RenderHooks:
     last_pass: Optional[Callable] = None
 
 
-def _morton(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Interleave 16-bit x/y into a Z-order key (i32)."""
-
-    def spread(v):
-        v = v & 0xFFFF
-        v = (v | (v << 8)) & 0x00FF00FF
-        v = (v | (v << 4)) & 0x0F0F0F0F
-        v = (v | (v << 2)) & 0x33333333
-        v = (v | (v << 1)) & 0x55555555
-        return v
-
-    return spread(x) | (spread(y) << 1)
-
-
 def _sort_triangles(setup: jnp.ndarray):
-    """Sort triangle columns by Z-order of their screen bbox center.
-
-    The raster kernel culls whole 128-triangle chunks by a conservative
-    bbox (ops/raster.py); spatial sorting makes those bboxes tight, which
-    is the difference between O(covered tiles) and O(all tiles) work —
-    the TPU analog of the reference's draw sorting (renderable.rs:101
-    geometry_sort_renderable minimizes pipeline switches; here we minimize
-    chunk-tile overlap instead). Returns (sorted_setup, perm) where
-    perm[i] = original id of sorted triangle i.
-    """
-    from ..ops.vertex import S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY, S_VALID
+    """Sort triangle columns of an (NSETUP, T) block by Z-order of their
+    screen bbox center (legacy layout — used by the sharded path; the
+    main frame sorts row-major blocks in prep_setup before transposing,
+    which is ~6 ms cheaper at 524k triangles)."""
+    from ..ops.vertex import (
+        S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY, S_VALID, _morton,
+    )
 
     cx = ((setup[S_BB_MINX] + setup[S_BB_MAXX]) * 0.5 / 8.0).astype(jnp.int32)
     cy = ((setup[S_BB_MINY] + setup[S_BB_MAXY]) * 0.5 / 8.0).astype(jnp.int32)
@@ -88,10 +70,18 @@ def _sort_triangles(setup: jnp.ndarray):
     return setup[:, perm], perm
 
 
-def _remap_tri_ids(tri_id: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
-    """Map sorted raster ids back to original triangle-pool ids."""
-    safe = jnp.clip(tri_id, 0, perm.shape[0] - 1)
-    return jnp.where(tri_id >= 0, perm[safe].astype(jnp.int32), tri_id)
+def prep_setup(rows: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """(T, NSETUP) vertex-stage rows + Morton key → sorted, padded
+    (NSETUP, T') raster input.
+
+    Spatial sorting makes the raster's per-chunk bboxes tight, which is
+    the difference between O(covered tiles) and O(all tiles) work — the
+    TPU analog of the reference's draw sorting (renderable.rs:101
+    geometry_sort_renderable minimizes pipeline switches; here we
+    minimize chunk-tile overlap instead). Sorting happens on the
+    row-major block (one 256-B-row gather) before the transpose."""
+    perm = jnp.argsort(key)
+    return pad_setup(rows[perm].T)
 
 
 @functools.partial(
@@ -161,8 +151,7 @@ def render_frame(
     # same XLA computation costs ~25-45 ms even though a lone one costs
     # ~2-8 ms — the shade pass already spends its one gather on the batched
     # texture taps. The slim path stays available for sparse coverage.)
-    setup = pad_setup(run_vertex(opaque_mask))
-    sorted_setup, _ = _sort_triangles(setup)
+    sorted_setup = prep_setup(*run_vertex(opaque_mask))
     vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
                     max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
                     analytic_derivs=False)
@@ -183,8 +172,7 @@ def render_frame(
     # ---- transparent forward pass (render.rs step 9: back-to-front over
     # opaque with shared read-only depth) -------------------------------------
     if has_transparent and transparent_mask is not None:
-        t_setup = pad_setup(run_vertex(transparent_mask))
-        t_sorted, _ = _sort_triangles(t_setup)
+        t_sorted = prep_setup(*run_vertex(transparent_mask))
         layers = rasterize_layers(
             t_sorted, depth, width=rw, height=rh,
             n_layers=n_transparent_layers, interpret=interpret,
@@ -202,8 +190,7 @@ def render_frame(
 
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
-        h_setup = pad_setup(run_vertex(hud_mask))
-        h_sorted, _ = _sort_triangles(h_setup)
+        h_sorted = prep_setup(*run_vertex(hud_mask))
         h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret,
                           max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
                           analytic_derivs=False)

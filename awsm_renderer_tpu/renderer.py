@@ -158,11 +158,24 @@ class AwsmRendererTpu:
 
         m = self.meshes
         if m.gpu_dirty:
-            for name in (
-                "c_pos", "c_norm", "c_tang", "c_uv0", "c_uv1", "c_color",
-                "c_joints", "c_weights", "c_morph_base", "morph_deltas",
-                "tri_mesh", "mesh_info", "morph_weights",
+            # corner pools upload COMPONENT-MAJOR (3*C, T): the vertex
+            # stage does all math on flat (T,) component rows (a strided
+            # (3T,C)[:, c, k] slice measured 30 ms/frame at 524k tris;
+            # a contiguous row is free). Host pools stay corner-major for
+            # O(1) inserts; the transpose happens once per dirty upload.
+            for name, comps in (
+                ("c_pos", 3), ("c_norm", 3), ("c_tang", 4), ("c_uv0", 2),
+                ("c_uv1", 2), ("c_color", 4),
+                ("c_joints", None), ("c_weights", None),
             ):
+                arr = getattr(m, name)
+                c = comps if comps is not None else arr.shape[1]
+                d[name] = jnp.asarray(np.ascontiguousarray(
+                    arr.reshape(-1, 3, c).transpose(1, 2, 0).reshape(3 * c, -1)))
+            d["c_morph_base"] = jnp.asarray(
+                np.ascontiguousarray(m.c_morph_base.reshape(-1, 3).T))
+            for name in ("morph_deltas", "tri_mesh", "mesh_info",
+                         "morph_weights"):
                 d[name] = jnp.asarray(getattr(m, name))
             m.gpu_dirty = False
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
