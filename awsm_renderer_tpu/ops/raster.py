@@ -51,6 +51,13 @@ from .vertex import (
 
 TILE_H = 8
 TILE_W = 128
+# Binned-kernel LOGICAL tile: the 1024 lanes of a vector op are mapped to a
+# 32x32 pixel block instead of the native 8x128 — small triangles overlap
+# ~1.5x fewer square tiles than short-wide ones, which directly scales the
+# dominant merge-ALU cost. Outputs leave the kernel tile-swizzled
+# (n_tiles, 1024) and are de-swizzled by one cheap XLA transpose.
+BT_H = 32
+BT_W = 32
 CHUNK = 128          # triangles DMA'd per grid step
 SUB = 8              # triangles merged per vector op
 _BIG = 3.0e38
@@ -104,8 +111,26 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _split_bf16x3(x):
+    """Exact 3-way bf16 split of f32: hi + mid + lo == x bitwise.
+
+    Truncation splits (mask low mantissa bits) leave each residual with
+    <= 8 significand bits, so every part converts to bf16 exactly. Used
+    by the winner-resolve one-hot matmul: 3 bf16 MXU passes reproduce the
+    f32 setup values exactly (the one-hot operand is exact 0/1 and the
+    accumulation is f32)."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(xi & jnp.int32(-65536), jnp.float32)
+    r = x - hi
+    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
+    mid = jax.lax.bitcast_convert_type(ri & jnp.int32(-65536), jnp.float32)
+    lo = r - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
 def _merge_subgroup(P, px, py, state, zbounds=None, tile_xy=None,
-                    slim=False):
+                    slim=False, col_base=None, tile_wh=(TILE_W, TILE_H)):
     """Merge SUB triangles into the tile's best-fragment state.
 
     P: (SUB, NSETUP) triangle setup values; px/py: (1, npx) pixel centers;
@@ -122,20 +147,28 @@ def _merge_subgroup(P, px, py, state, zbounds=None, tile_xy=None,
     is skipped via lax.cond if its combined bbox misses the tile (Morton-
     sorted input makes subgroups spatially tight, so most partial-chunk
     subgroups skip).
+    col_base: when given (an i32 scalar, the global setup-column id of
+    this subgroup's first triangle), state is (z, col (1,npx) i32) and the
+    merge records only the winning COLUMN id — the binned kernel resolves
+    the winner's full setup row once per tile afterwards with an exact
+    one-hot MXU matmul (_split_bf16x3), which replaces the 7-deep
+    (NSETUP, npx) select tree that dominated the per-merge cost.
     Pure jnp — shared between the unrolled TPU kernel and the fori_loop
     interpret path, and unit-testable directly.
     """
     if tile_xy is not None:
         tx0, ty0 = tile_xy
+        tw, th = tile_wh
         hit = (
-            (jnp.min(P[:, S_BB_MINX]) < tx0 + TILE_W)
+            (jnp.min(P[:, S_BB_MINX]) < tx0 + tw)
             & (jnp.max(P[:, S_BB_MAXX]) > tx0)
-            & (jnp.min(P[:, S_BB_MINY]) < ty0 + TILE_H)
+            & (jnp.min(P[:, S_BB_MINY]) < ty0 + th)
             & (jnp.max(P[:, S_BB_MAXY]) > ty0)
         )
         return jax.lax.cond(
             hit,
-            lambda st: _merge_subgroup(P, px, py, st, zbounds, slim=slim),
+            lambda st: _merge_subgroup(P, px, py, st, zbounds, slim=slim,
+                                       col_base=col_base),
             lambda st: st,
             state,
         )
@@ -188,6 +221,12 @@ def _merge_subgroup(P, px, py, state, zbounds=None, tile_xy=None,
 
     take = zmin < state[0]
     new_z = jnp.where(take, zmin, state[0])
+
+    if col_base is not None:
+        # zmin == _BIG ⇒ take is false (state z <= 1), so `win` is a real
+        # covering triangle whenever it is recorded
+        newcol = col_base + win
+        return (new_z, jnp.where(take, newcol, state[1]))
 
     if slim:
         # slim mode: attributes resolve post-raster (shade.resolve_gbuffer).
@@ -356,7 +395,8 @@ def _make_kernel(unroll: bool, peel: bool, attr_rows=_ATTR_ROWS,
     return _raster_kernel
 
 
-def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
+def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int,
+               tile_w: int = TILE_W, tile_h: int = TILE_H):
     """Per-tile chunk lists: for each (8,128) screen tile, the indices of
     the triangle chunks whose conservative bbox overlaps it.
 
@@ -369,7 +409,7 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     """
     T = setup.shape[1]
     n_chunks = T // CHUNK
-    n_ty, n_tx = height // TILE_H, width // TILE_W
+    n_ty, n_tx = height // tile_h, width // tile_w
     # the bin table is a scalar-prefetch array in SMEM (1 MiB total);
     # budget ~0.85 MiB for it and clamp B accordingly
     smem_budget_entries = (850_000 // 4)
@@ -378,10 +418,10 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     bbox = _chunk_bboxes(setup, n_chunks)                  # (4, Nc)
     zmin = _chunk_zmin(setup, n_chunks)                    # (Nc,)
 
-    tx0 = jnp.arange(n_tx, dtype=jnp.float32) * TILE_W     # (n_tx,)
-    ty0 = jnp.arange(n_ty, dtype=jnp.float32) * TILE_H
-    ox = (bbox[0][None, :] < (tx0 + TILE_W)[:, None]) & (bbox[2][None, :] > tx0[:, None])
-    oy = (bbox[1][None, :] < (ty0 + TILE_H)[:, None]) & (bbox[3][None, :] > ty0[:, None])
+    tx0 = jnp.arange(n_tx, dtype=jnp.float32) * tile_w     # (n_tx,)
+    ty0 = jnp.arange(n_ty, dtype=jnp.float32) * tile_h
+    ox = (bbox[0][None, :] < (tx0 + tile_w)[:, None]) & (bbox[2][None, :] > tx0[:, None])
+    oy = (bbox[1][None, :] < (ty0 + tile_h)[:, None]) & (bbox[3][None, :] > ty0[:, None])
     overlap = oy[:, None, :] & ox[None, :, :]              # (n_ty, n_tx, Nc)
     overlap = overlap.reshape(n_ty * n_tx, n_chunks)
 
@@ -404,9 +444,26 @@ def build_bins(setup: jnp.ndarray, *, width: int, height: int, max_bins: int):
     return bins.reshape(-1), counts, B, zmin
 
 
+def _swizzle(img: jnp.ndarray, tile_h: int, tile_w: int) -> jnp.ndarray:
+    """(H, W) image → (n_tiles, tile_h*tile_w) tile-major layout."""
+    H, W = img.shape
+    n_ty, n_tx = H // tile_h, W // tile_w
+    return (img.reshape(n_ty, tile_h, n_tx, tile_w)
+            .swapaxes(1, 2).reshape(n_ty * n_tx, tile_h * tile_w))
+
+
+def _deswizzle(tiles: jnp.ndarray, H: int, W: int,
+               tile_h: int, tile_w: int) -> jnp.ndarray:
+    """(n_tiles, tile_h*tile_w) tile-major → (H, W) image."""
+    n_ty, n_tx = H // tile_h, W // tile_w
+    return (tiles.reshape(n_ty, n_tx, tile_h, tile_w)
+            .swapaxes(1, 2).reshape(H, W))
+
+
 def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
                         attr_rows=_ATTR_ROWS, n_planes=N_PLANES,
-                        slim: bool = False, analytic_derivs: bool = True):
+                        slim: bool = False, analytic_derivs: bool = True,
+                        tile_h: int = BT_H, tile_w: int = BT_W):
     """Streamed binned kernel: grid = (n_tiles,), ONE step per tile.
 
     Each step walks the tile's bin list with a dynamic fori_loop and
@@ -415,7 +472,15 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
     per PADDED slot (~60 ms/frame at B=64 on the 1080p stress scene);
     here the loop runs exactly counts[t] iterations and the grid shrinks
     ~64x. DMA of bin b+1 is kicked off before waiting on bin b, so the
-    fetch rides under the merge math."""
+    fetch rides under the merge math.
+
+    Non-slim mode is TWO-PHASE: the merge loop tracks only (z, winner
+    column id) per pixel — no (NSETUP, npx) field select per subgroup —
+    then a second walk over the same bins resolves the winners' full
+    setup rows with one exact bf16x3 one-hot MXU matmul per chunk that
+    actually holds a winner (typically 1-3 per tile vs 16 select trees
+    per merged chunk). Attribute interpolation still happens once per
+    pixel at flush (_flush_planes)."""
 
     def _kernel(bin_ref, cnt_ref, zmin_ref, setup_ref, *refs):
         if peel:
@@ -426,12 +491,12 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 
         t = pl.program_id(0)
         cnt = cnt_ref[t]
-        ty0 = ((t // n_tx) * TILE_H).astype(jnp.float32)
-        tx0 = ((t % n_tx) * TILE_W).astype(jnp.float32)
-        npx = TILE_H * TILE_W
+        ty0 = ((t // n_tx) * tile_h).astype(jnp.float32)
+        tx0 = ((t % n_tx) * tile_w).astype(jnp.float32)
+        npx = tile_h * tile_w
         flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-        px = tx0 + (flat % TILE_W).astype(jnp.float32) + 0.5
-        py = ty0 + (flat // TILE_W).astype(jnp.float32) + 0.5
+        px = tx0 + (flat % tile_w).astype(jnp.float32) + 0.5
+        py = ty0 + (flat // tile_w).astype(jnp.float32) + 0.5
 
         def start(b, slot):
             chunk = bin_ref[t * B + b]
@@ -453,12 +518,11 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
         if peel:
             zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
         txy = (tx0, ty0)
+        twh = (tile_w, tile_h)
 
         z0 = jnp.full((1, npx), 1.0, jnp.float32)    # depth clear, LESS
-        if slim:
-            state0 = (z0, jnp.full((1, npx), -1, jnp.int32))
-        else:
-            state0 = (z0, _init_fields(npx))
+        colmode = not slim
+        state0 = (z0, jnp.full((1, npx), -1, jnp.int32))
 
         def body(b, state):
             slot = jax.lax.rem(b, 2)
@@ -475,13 +539,17 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
                 if unroll:
                     for g in range(CHUNK // SUB):
                         Pg = setup_t[g * SUB : (g + 1) * SUB]
+                        cb = chunk * CHUNK + g * SUB if colmode else None
                         state = _merge_subgroup(Pg, px, py, state,
-                                                zbounds, txy, slim=slim)
+                                                zbounds, txy, slim=slim,
+                                                col_base=cb, tile_wh=twh)
                 else:
                     def sub_body(g, st):
                         Pg = jax.lax.dynamic_slice_in_dim(setup_t, g * SUB, SUB, axis=0)
+                        cb = chunk * CHUNK + g * SUB if colmode else None
                         return _merge_subgroup(Pg, px, py, st,
-                                               zbounds, txy, slim=slim)
+                                               zbounds, txy, slim=slim,
+                                               col_base=cb, tile_wh=twh)
 
                     state = jax.lax.fori_loop(0, CHUNK // SUB, sub_body, state)
                 return state
@@ -496,13 +564,54 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
         state = jax.lax.fori_loop(0, cnt, body, state0)
 
         if slim:
-            outs[0][:] = state[1].reshape(TILE_H, TILE_W)
-            outs[1][:] = state[0].reshape(TILE_H, TILE_W)
+            outs[0][:] = state[1].reshape(1, 8, npx // 8)
+            outs[1][:] = state[0].reshape(1, 8, npx // 8)
         else:
-            planes = _flush_planes(state[0], state[1], px, py,
+            # ---- phase 2: resolve winners' setup rows ----------------------
+            # Re-walk the bins (double-buffered DMA again — ~3 extra 32 KB
+            # fetches per tile is trivial bandwidth) and, for each chunk
+            # that holds at least one pixel's winning column, accumulate
+            # fields += setup_chunk @ onehot(col) on the MXU. The bf16x3
+            # split makes the matmul exact, so this path is bit-identical
+            # to the old per-subgroup select tree.
+            col = state[1]
+
+            @pl.when(cnt > 0)
+            def _prefetch_resolve():
+                start(0, 0)
+
+            def rbody(b, acc):
+                slot = jax.lax.rem(b, 2)
+
+                @pl.when(b + 1 < cnt)
+                def _prefetch_next():
+                    start(b + 1, jax.lax.rem(b + 1, 2))
+
+                wait(slot)
+                chunk = bin_ref[t * B + b]
+                base = chunk * CHUNK
+                hit = jnp.any((col >= base) & (col < base + CHUNK))
+
+                def do_resolve(acc):
+                    hi, mid, lo = _split_bf16x3(buf[slot])   # (NSETUP, CHUNK)
+                    oh = ((col - base) == jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, npx), 0))
+                    ohb = oh.astype(jnp.float32).astype(jnp.bfloat16)
+                    for part in (hi, mid, lo):
+                        acc = acc + jnp.dot(part, ohb,
+                                            preferred_element_type=jnp.float32)
+                    return acc
+
+                return jax.lax.cond(hit, do_resolve, lambda a: a, acc)
+
+            fields = jax.lax.fori_loop(
+                0, cnt, rbody, jnp.zeros((NSETUP, npx), jnp.float32))
+            planes = _flush_planes(state[0], fields, px, py,
                                    attr_rows, analytic_derivs)
+            # miss pixels resolve to all-zero fields; restore the -1 marker
+            planes[0] = jnp.where(col >= 0, planes[0], -1)
             for o, p in zip(outs, planes):
-                o[:] = p.reshape(TILE_H, TILE_W)
+                o[:] = p.reshape(1, 8, npx // 8)
 
     return _kernel
 
@@ -516,12 +625,14 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
                      max_bins: int = 128, interpret: bool | None = None,
                      has_uv1: bool = True, has_color: bool = True,
                      slim: bool = False, analytic_derivs: bool = True):
-    """Binned rasterizer: grid = (tiles, B) over per-tile chunk lists.
+    """Binned rasterizer: per-tile chunk lists, square swizzled tiles.
 
-    The scalar-prefetched bin table drives the setup BlockSpec index_map,
-    so a tile only ever DMAs chunks that overlap it — the production path
-    for large scenes (the dense grid does O(tiles x chunks) DMA). Pass
-    zlo/zhi planes for a depth-peel pass."""
+    The scalar-prefetched bin table tells each (BT_H, BT_W) logical tile
+    which triangle chunks overlap it, so a tile only ever DMAs those
+    chunks — the production path for large scenes (the dense grid does
+    O(tiles x chunks) DMA). Pass zlo/zhi planes for a depth-peel pass.
+    Planes come out in true (height, width) layout; the tile swizzle is
+    internal."""
     if interpret is None:
         interpret = _interpret_default()
     peel = zlo is not None
@@ -529,31 +640,40 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     n_planes = len(names)
     T = setup.shape[1]
     assert T % CHUNK == 0
-    n_ty, n_tx = height // TILE_H, width // TILE_W
+    # pad the viewport to square-tile multiples; de-swizzle crops back
+    W32 = -(-width // BT_W) * BT_W
+    H32 = -(-height // BT_H) * BT_H
+    n_ty, n_tx = H32 // BT_H, W32 // BT_W
     n_tiles = n_ty * n_tx
-    bins, counts, B, zmin = build_bins(setup, width=width, height=height,
-                                       max_bins=max_bins)
+    npx = BT_H * BT_W
+    bins, counts, B, zmin = build_bins(setup, width=W32, height=H32,
+                                       max_bins=max_bins,
+                                       tile_w=BT_W, tile_h=BT_H)
 
     def tile_map(t, bin_ref, cnt_ref, zmin_ref):
-        return (t // n_tx, t % n_tx)
+        return (t, 0, 0)
 
     # the whole setup pool stays in HBM; the kernel DMAs each tile's
     # binned chunks itself (double-buffered)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [setup]
     if peel:
+        pad = ((0, H32 - zlo.shape[0]), (0, W32 - zlo.shape[1]))
         in_specs += [
-            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM),
         ]
-        args += [zlo, zhi]
+        args += [
+            _swizzle(jnp.pad(zlo, pad), BT_H, BT_W).reshape(-1, 8, npx // 8),
+            _swizzle(jnp.pad(zhi, pad), BT_H, BT_W).reshape(-1, 8, npx // 8),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=tuple(
-            pl.BlockSpec((TILE_H, TILE_W), tile_map, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM)
             for _ in range(n_planes)
         ),
         scratch_shapes=[
@@ -561,14 +681,20 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n_tiles, 8, npx // 8),
+                             jnp.int32 if i == 0 else jnp.float32)
+        for i in range(n_planes))
     outs = pl.pallas_call(
         _make_binned_kernel(unroll=not interpret, peel=peel, n_tx=n_tx, B=B,
                             attr_rows=attr_rows, n_planes=n_planes, slim=slim,
                             analytic_derivs=analytic_derivs),
         grid_spec=grid_spec,
-        out_shape=_out_shapes(width, height, n_planes),
+        out_shape=out_shape,
         interpret=interpret,
     )(bins, counts, zmin, *args)
+    outs = [_deswizzle(o.reshape(n_tiles, npx), H32, W32,
+                       BT_H, BT_W)[:height, :width] for o in outs]
     return dict(zip(names, outs))
 
 

@@ -42,7 +42,7 @@ def main():
     from awsm_renderer_tpu.ops.shade import shade_deferred
     from awsm_renderer_tpu.ops.tonemap import display_pass
     from awsm_renderer_tpu.ops.vertex import vertex_stage
-    from awsm_renderer_tpu.passes.frame import _pad_to, _sort_triangles
+    from awsm_renderer_tpu.passes.frame import _pad_to, prep_setup
     from awsm_renderer_tpu.config import ToneMapping
 
     r, tris = build_stress_scene(1920, 1080)
@@ -54,7 +54,7 @@ def main():
 
     @jax.jit
     def vtx(ds, mask):
-        s = vertex_stage(
+        rows, key = vertex_stage(
             ds["c_pos"], ds["c_norm"], ds["c_tang"], ds["c_uv0"], ds["c_uv1"],
             ds["c_color"], ds["c_joints"], ds["c_weights"], ds["c_morph_base"],
             ds["morph_deltas"], ds["tri_mesh"], ds["mesh_info"],
@@ -62,8 +62,7 @@ def main():
             ds["joint_matrices"], ds["camera"]["view_proj"], mask,
             width=rw, height=rh, has_morphs=False, skin_sets=0, needs_clip=False,
         )
-        s, _ = _sort_triangles(pad_setup(s))
-        return s
+        return prep_setup(rows, key)
 
     mask = jnp.asarray(masks["opaque"])
     print(f"vertex+sort: {timed(vtx, ds, mask, fetch=lambda s: s[0,0])*1000:6.1f} ms")
