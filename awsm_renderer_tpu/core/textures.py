@@ -32,6 +32,19 @@ import numpy as np
 from ..utils.allocator import BuddyAllocator, SlotAllocator
 
 F = np.float32
+import ml_dtypes
+
+BF = ml_dtypes.bfloat16
+# texel row layout (TPU gather economics: cost is per ROW and flat up to
+# ~128 B/row, so pack everything a trilinear tap needs into one 128-B row):
+#   [0:16]  bilinear quad at this texel's mip: self/right/down/diag x RGBA
+#   [16:52] the NEXT mip's 3x3 neighborhood around this texel's parent
+#           anchor (row-major dy,dx x RGBA) — the parent bilinear 2x2 for
+#           any sample point landing in this texel is inside it
+#   [52:64] pad to 64 bf16 = 128 B
+# One gather row = one EXACT trilinear tap (the old two-level layout paid
+# two gather rows; ops/texsample.py holds the matching sample math).
+TEXEL_COLS = 64
 
 # descriptor i32 layout
 TD_WIDTH = 0
@@ -119,6 +132,38 @@ def _pack_quads(mip: np.ndarray, wrap_s: int, wrap_t: int) -> np.ndarray:
     return np.concatenate([mip, mip[:, xn], down, down[:, xn]], axis=-1)
 
 
+def _pack_rows(mip: np.ndarray, parent: np.ndarray, wrap_s: int,
+               wrap_t: int) -> np.ndarray:
+    """One (h*w, TEXEL_COLS) bf16 row block for a mip level (see header).
+
+    parent: the next mip level (h1, w1, 4); pass zeros for the last level
+    (its parent block is never read — the lod clamp forces frac = 0 there).
+    The parent anchor baked per texel is base = (x-1)>>1 wrapped into the
+    parent dims; the device recomputes the same base from the wrapped L
+    anchor and selects its bilinear 2x2 out of the 3x3 (ops/texsample.py
+    _parent_blend)."""
+    h, w = mip.shape[:2]
+    quad = _pack_quads(mip, wrap_s, wrap_t)
+    h1, w1 = parent.shape[:2]
+
+    def wrapv(i, n, mode):
+        if mode == WRAP_REPEAT:
+            return i % n
+        return np.clip(i, 0, n - 1)
+
+    bx = (np.arange(w) - 1) >> 1
+    by = (np.arange(h) - 1) >> 1
+    cells = []
+    for dy in range(3):
+        prow = parent[wrapv(by + dy, h1, wrap_t)]          # (h, w1, 4)
+        for dx in range(3):
+            cells.append(prow[:, wrapv(bx + dx, w1, wrap_s)])
+    out = np.zeros((h, w, TEXEL_COLS), dtype=F)
+    out[..., :16] = quad
+    out[..., 16:52] = np.concatenate(cells, axis=-1)
+    return out.reshape(-1, TEXEL_COLS).astype(BF)
+
+
 def generate_mip_chain(img: np.ndarray, kind: MipmapKind) -> List[np.ndarray]:
     """Full chain [level0, level1, ...] with semantic filtering per kind."""
     img = np.asarray(img, dtype=F)
@@ -154,8 +199,9 @@ class Textures:
 
     def __init__(self, initial_texels: int = 1 << 16, initial_descriptors: int = 32):
         self._texel_alloc = BuddyAllocator(initial_texels, min_block=256)
-        # quad-packed texels: [self, right, down, diag] per row (_pack_quads)
-        self.texels_packed = np.zeros((self._texel_alloc.capacity, 16), dtype=F)
+        # packed texel rows: bilinear quad + parent-mip 3x3 (_pack_rows)
+        self.texels_packed = np.zeros((self._texel_alloc.capacity, TEXEL_COLS),
+                                      dtype=BF)
         self._desc_alloc = SlotAllocator(initial_descriptors)
         self.descriptors = np.zeros((self._desc_alloc.capacity, DESC_I32), dtype=np.int32)
         self._tex_offset: Dict[int, int] = {}  # key -> texel buffer offset
@@ -205,7 +251,8 @@ class Textures:
         offset = self._texel_alloc.alloc(total)
         if self._texel_alloc.take_needs_resize():
             old = self.texels_packed
-            self.texels_packed = np.zeros((self._texel_alloc.capacity, 16), dtype=F)
+            self.texels_packed = np.zeros(
+                (self._texel_alloc.capacity, TEXEL_COLS), dtype=BF)
             self.texels_packed[: old.shape[0]] = old
 
         key = self._desc_alloc.insert()
@@ -227,8 +274,10 @@ class Textures:
         off = offset
         for i, mip in enumerate(chain):
             d[TD_MIP_OFFSETS + i] = off
-            packed = _pack_quads(mip, sampler.wrap_s, sampler.wrap_t)
-            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed.reshape(-1, 16)
+            parent = (chain[i + 1] if i + 1 < len(chain)
+                      else np.zeros((1, 1, 4), F))
+            packed = _pack_rows(mip, parent, sampler.wrap_s, sampler.wrap_t)
+            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed
             off += mip.shape[0] * mip.shape[1]
         # clamp remaining mip offsets to the last mip (simplifies device clamping)
         for i in range(len(chain), MAX_MIPS):

@@ -45,6 +45,12 @@ def f_schlick(v_dot_h, f0, f90=1.0):
     return f0 + (f90 - f0) * w
 
 
+def f_schlick3(v_dot_h, f0_3, f90=1.0):
+    """Fresnel-Schlick over an [r,g,b] channel list (see ops/cvec.py)."""
+    w = jnp.power(saturate(1.0 - v_dot_h), 5.0)
+    return [f0 + (f90 - f0) * w for f0 in f0_3]
+
+
 def specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough):
     """Specular lobe without Fresnel: D * V (P,)."""
     return d_ggx(n_dot_h, alpha_rough) * v_smith_ggx_correlated(n_dot_v, n_dot_l, alpha_rough)
@@ -79,6 +85,14 @@ def sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough):
     uses the same max-component approximation)."""
     max_c = jnp.max(sheen_color, axis=-1)
     # Cheap fit of the directional albedo of the Charlie lobe
+    e = 0.65 * (1.0 - jnp.power(1.0 - n_dot_v, 3.0)) * jnp.sqrt(jnp.maximum(sheen_rough, 1e-3))
+    return 1.0 - max_c * saturate(e)
+
+
+def sheen_albedo_scaling_c(n_dot_v, sheen_color3, sheen_rough):
+    """Channel-list form of sheen_albedo_scaling."""
+    max_c = jnp.maximum(jnp.maximum(sheen_color3[0], sheen_color3[1]),
+                        sheen_color3[2])
     e = 0.65 * (1.0 - jnp.power(1.0 - n_dot_v, 3.0)) * jnp.sqrt(jnp.maximum(sheen_rough, 1e-3))
     return 1.0 - max_c * saturate(e)
 
@@ -122,6 +136,30 @@ def iridescent_fresnel(outside_ior, iridescence_ior, base_f0, thickness, cos_the
     r_phi = r12 + t121 * t121 * r23 / jnp.maximum(1.0 - r12 * r23, _EPS)
     cos_term = jnp.cos(phi)
     return saturate(r_phi * (1.0 + cos_term) * 0.5 + base_f0 * (1.0 - cos_term) * 0.5)
+
+
+def iridescent_fresnel_c(outside_ior, iridescence_ior, base_f0_3, thickness,
+                         cos_theta1):
+    """Channel-list thin-film Fresnel (same math as iridescent_fresnel,
+    all (P,)-shaped ops — see ops/cvec.py for why)."""
+    eta1 = outside_ior / iridescence_ior
+    sin2 = eta1 * eta1 * (1.0 - cos_theta1 * cos_theta1)
+    cos_theta2 = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    opd = 2.0 * iridescence_ior * thickness * cos_theta2
+    r12 = _fresnel_dielectric(cos_theta1, iridescence_ior / outside_ior)
+    t121 = 1.0 - r12
+    out = []
+    for c, wl in enumerate((612.0, 549.0, 465.0)):
+        phi = 2.0 * jnp.pi * opd / wl
+        f0 = jnp.clip(base_f0_3[c], 0.0, 0.9999)
+        f0s = jnp.sqrt(f0)
+        base_ior = (1.0 + f0s) / jnp.maximum(1.0 - f0s, _EPS)
+        r23 = _fresnel_dielectric(cos_theta2, base_ior / iridescence_ior)
+        r_phi = r12 + t121 * t121 * r23 / jnp.maximum(1.0 - r12 * r23, _EPS)
+        cos_term = jnp.cos(phi)
+        out.append(saturate(r_phi * (1.0 + cos_term) * 0.5
+                            + base_f0_3[c] * (1.0 - cos_term) * 0.5))
+    return out
 
 
 # ---- anisotropy (KHR_materials_anisotropy) ----------------------------------

@@ -36,7 +36,13 @@ def pack_cubemap(faces: np.ndarray) -> np.ndarray:
 
 def cubemap_face_uv(dirs: jnp.ndarray):
     """dirs (P,3) → (face (P,) i32, uv (P,2) in [0,1])."""
-    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    face, u, v = cubemap_face_uv_c((dirs[:, 0], dirs[:, 1], dirs[:, 2]))
+    return face, jnp.stack([u, v], axis=-1)
+
+
+def cubemap_face_uv_c(d3):
+    """Channel form: (x, y, z) (P,) → (face (P,) i32, u (P,), v (P,))."""
+    x, y, z = d3
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
     is_x = (ax >= ay) & (ax >= az)
@@ -56,20 +62,26 @@ def cubemap_face_uv(dirs: jnp.ndarray):
     tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
     u = (sc / ma + 1.0) * 0.5
     v = (tc / ma + 1.0) * 0.5
-    return face, jnp.stack([u, v], axis=-1)
+    return face, u, v
+
+
+def _bilinear_setup_c(d3, S: int):
+    """Shared footprint math: flat base index within one cubemap + (P,)
+    fractional weights (channel-column form — see ops/cvec.py)."""
+    face, u, v = cubemap_face_uv_c(d3)
+    x = jnp.clip(u * S - 0.5, 0.0, S - 1.0)
+    y = jnp.clip(v * S - 0.5, 0.0, S - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    idx = face * (S * S) + y0.astype(jnp.int32) * S + x0.astype(jnp.int32)
+    return idx, fx, fy
 
 
 def _bilinear_setup(dirs: jnp.ndarray, S: int):
-    """Shared footprint math: flat base index within one cubemap + weights."""
-    face, uv = cubemap_face_uv(dirs)
-    x = jnp.clip(uv[:, 0] * S - 0.5, 0.0, S - 1.0)
-    y = jnp.clip(uv[:, 1] * S - 0.5, 0.0, S - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
-    idx = face * (S * S) + y0.astype(jnp.int32) * S + x0.astype(jnp.int32)
-    return idx, fx, fy
+    idx, fx, fy = _bilinear_setup_c((dirs[:, 0], dirs[:, 1], dirs[:, 2]), S)
+    return idx, fx[:, None], fy[:, None]
 
 
 def _blend_quads(q: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarray:
@@ -81,6 +93,16 @@ def _blend_quads(q: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray) -> jnp.ndarra
     )
 
 
+def _blend_quads_c(cols, fx, fy):
+    """16 (P,) texel columns + (P,) weights → [r,g,b,a] channels."""
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    return [cols[c] * w00 + cols[4 + c] * w10 + cols[8 + c] * w01
+            + cols[12 + c] * w11 for c in range(4)]
+
+
 def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """packed (6*S*S,16) quad rows, dirs (P,3) → (P,4), bilinear, clamped."""
     S = math.isqrt(packed.shape[0] // 6)
@@ -88,17 +110,18 @@ def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return _blend_quads(packed[idx], fx, fy)
 
 
-def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,
-                     sky_dirs=None):
-    """All of a pass's environment taps through ONE gather.
+def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
+                       pref_reqs, sky_dirs=None):
+    """All of a pass's environment taps through ONE gather (channel form).
 
     skybox_p (A,16) / irradiance_p (B,16) / prefiltered_p (n, C, 16) are
-    quad-packed; irr_dirs (P,3); pref_reqs: list of (dirs (P,3),
-    roughness (P,)); sky_dirs optional (P,3) view rays for the miss-path
-    skybox color. Returns (irr (P,4), [pref_i (P,4)...], sky (P,4)|None).
-    Separate gathers fused into one XLA computation anti-fuse
-    catastrophically on TPU (see ops/texsample.py), so the three maps are
-    concatenated (cheap bandwidth) and every tap rides one gather."""
+    quad-packed; irr_dirs: (x,y,z) channel triple; pref_reqs: list of
+    (dir-triple, roughness (P,)); sky_dirs: optional view-ray triple for
+    the miss-path skybox color. Returns (irr [r,g,b,a], [pref_i ...],
+    sky|None) as channel lists. Separate gathers fused into one XLA
+    computation anti-fuse catastrophically on TPU (see ops/texsample.py),
+    so the three maps are concatenated (cheap bandwidth) and every tap
+    rides one gather."""
     A = skybox_p.shape[0]
     B = irradiance_p.shape[0]
     n = prefiltered_p.shape[0]
@@ -109,14 +132,14 @@ def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,
     env = jnp.concatenate([skybox_p, irradiance_p, prefiltered_p.reshape(n * C, 16)])
 
     parts = []      # index arrays
-    plans = []      # per output: ('irr', part, fx, fy) or ('pref', p0, .., frac)
+    plans = []      # per output: (kind, part0, fx, fy, part1, frac)
 
-    idx, fx, fy = _bilinear_setup(irr_dirs, S_irr)
+    idx, fx, fy = _bilinear_setup_c(irr_dirs, S_irr)
     plans.append(("irr", len(parts), fx, fy, None, None))
     parts.append(idx + A)
 
     if sky_dirs is not None:
-        idx, fx, fy = _bilinear_setup(sky_dirs, S_sky)
+        idx, fx, fy = _bilinear_setup_c(sky_dirs, S_sky)
         plans.append(("sky", len(parts), fx, fy, None, None))
         parts.append(idx)
 
@@ -124,31 +147,48 @@ def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,
         level = jnp.clip(roughness, 0.0, 1.0) * (n - 1)
         l0 = jnp.floor(level).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, n - 1)
-        frac = (level - l0.astype(jnp.float32))[:, None]
-        idx, fx, fy = _bilinear_setup(dirs, S_pref)
+        frac = level - l0.astype(jnp.float32)
+        idx, fx, fy = _bilinear_setup_c(dirs, S_pref)
         plans.append(("pref", len(parts), fx, fy, len(parts) + 1, frac))
         parts.append(A + B + l0 * C + idx)
         parts.append(A + B + l1 * C + idx)
 
-    P = irr_dirs.shape[0]
+    P = irr_dirs[0].shape[0]
     q_all = env[jnp.clip(jnp.concatenate(parts), 0, env.shape[0] - 1)]
+    cols_all = [q_all[:, c] for c in range(16)]
 
-    def part(i):
-        return q_all[i * P : (i + 1) * P]
+    def cols(i):
+        return [c[i * P : (i + 1) * P] for c in cols_all]
 
     irr_out = None
     sky_out = None
     pref_outs = []
     for kind, p0, fx, fy, p1, frac in plans:
-        s0 = _blend_quads(part(p0), fx, fy)
+        s0 = _blend_quads_c(cols(p0), fx, fy)
         if kind == "pref":
-            s1 = _blend_quads(part(p1), fx, fy)
-            pref_outs.append(s0 * (1 - frac) + s1 * frac)
+            s1 = _blend_quads_c(cols(p1), fx, fy)
+            pref_outs.append([a * (1 - frac) + b * frac
+                              for a, b in zip(s0, s1)])
         elif kind == "sky":
             sky_out = s0
         else:
             irr_out = s0
     return irr_out, pref_outs, sky_out
+
+
+def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,
+                     sky_dirs=None):
+    """AoS-compat wrapper over sample_env_batch_c ((P,3) dirs, (P,4) outs)."""
+
+    def c3(d):
+        return (d[:, 0], d[:, 1], d[:, 2])
+
+    irr, prefs, sky = sample_env_batch_c(
+        skybox_p, irradiance_p, prefiltered_p, c3(irr_dirs),
+        [(c3(d), r) for d, r in pref_reqs],
+        None if sky_dirs is None else c3(sky_dirs))
+    st = lambda ch: None if ch is None else jnp.stack(ch, axis=-1)
+    return st(irr), [st(p) for p in prefs], st(sky)
 
 
 def sample_prefiltered(packed: jnp.ndarray, dirs: jnp.ndarray, roughness: jnp.ndarray):

@@ -35,10 +35,10 @@ from ..core.lights import (
     L_COLOR, L_DIRECTION, L_INNER_COS, L_KIND, L_OUTER_COS, L_POSITION, L_RANGE,
 )
 from . import brdf
-from .cubemap import sample_env_batch
+from .cubemap import sample_env_batch_c
 from .texsample import (
-    apply_texture_transform,
-    sample_texture_batch,
+    apply_texture_transform_c,
+    sample_texture_batch_c,
 )
 from .vertex import onehot_gather
 
@@ -53,6 +53,16 @@ ALL_EXT = (True, True, True, True, True)
 
 def _normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), _EPS)
+
+
+# channel-column vector helpers: ALL shading math runs on flat (P,)
+# channel arrays — a (P,4)-shaped elementwise op on TPU runs at 4/128
+# lane efficiency (~0.26 ms each at 1080p; the AoS form of this pass
+# measured ~16 ms of pure ALU before any texture work). See ops/cvec.py.
+from .cvec import (  # noqa: E402
+    add as v_add, cross3, dot3, lerp as v_lerp, mul as v_mul, norm3,
+    scale as v_scale, where as v_where,
+)
 
 
 def env_brdf_approx(n_dot_v, roughness):
@@ -71,26 +81,26 @@ def env_brdf_approx(n_dot_v, roughness):
 def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
     """Accumulate punctual lighting (reference: lighting/lights.wgsl loop).
 
+    Channel-column form: n_pos/n/v/base_diffuse/f0 are channel lists.
     Loops the static light capacity; rows >= n_lights are masked."""
     lights = ds["lights"]
     n_lights = ds["n_lights"]
-    n_dot_v = jnp.maximum(jnp.sum(n * v, axis=-1), _EPS)
+    n_dot_v = jnp.maximum(dot3(n, v), _EPS)
 
-    total = jnp.zeros_like(base_diffuse)
+    total = [jnp.zeros_like(alpha_rough) for _ in range(3)]
     for li in range(lights.shape[0]):
         row = lights[li]
-        active = (li < n_lights)
+        active = li < n_lights
         kind = row[L_KIND]
-        color = row[L_COLOR : L_COLOR + 3]
         intensity = row[4]
-        pos = row[L_POSITION : L_POSITION + 3]
-        ldir = row[L_DIRECTION : L_DIRECTION + 3]
         lrange = row[L_RANGE]
-
         is_dir = kind == 0.0
-        to_light_vec = jnp.where(is_dir, -ldir[None, :], pos[None, :] - n_pos)
-        dist = jnp.linalg.norm(to_light_vec, axis=-1)
-        l = to_light_vec / jnp.maximum(dist, _EPS)[:, None]
+
+        tl = [jnp.where(is_dir, -row[L_DIRECTION + k],
+                        row[L_POSITION + k] - n_pos[k]) for k in range(3)]
+        dist = jnp.sqrt(dot3(tl, tl))
+        inv_d = 1.0 / jnp.maximum(dist, _EPS)
+        l = v_scale(tl, inv_d)
 
         atten = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, _EPS))
         window = jnp.where(
@@ -98,7 +108,8 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
             jnp.clip(1.0 - (dist / jnp.maximum(lrange, _EPS)) ** 4, 0.0, 1.0) ** 2,
             1.0,
         )
-        cd = jnp.sum(-l * ldir[None, :], axis=-1)
+        cd = -(l[0] * row[L_DIRECTION] + l[1] * row[L_DIRECTION + 1]
+               + l[2] * row[L_DIRECTION + 2])
         spot = jnp.where(
             kind == 2.0,
             jnp.clip(
@@ -108,16 +119,19 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
             1.0,
         )
 
-        n_dot_l = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
-        h = _normalize(l + v)
-        n_dot_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
-        v_dot_h = jnp.maximum(jnp.sum(v * h, axis=-1), 0.0)
+        n_dot_l = jnp.maximum(dot3(n, l), 0.0)
+        h = norm3(v_add(l, v))
+        n_dot_h = jnp.maximum(dot3(n, h), 0.0)
+        v_dot_h = jnp.maximum(dot3(v, h), 0.0)
 
-        f = brdf.f_schlick(v_dot_h, f0)
-        spec = brdf.specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough)[:, None] * f
-        diff = brdf.diffuse_lambert(base_diffuse) * (1.0 - f)
-        radiance = (color * intensity)[None, :] * (atten * window * spot * n_dot_l)[:, None]
-        total = total + jnp.where(active, radiance * (diff + spec), 0.0)
+        f = brdf.f_schlick3(v_dot_h, f0)
+        spec_s = brdf.specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough)
+        rad = atten * window * spot * n_dot_l * intensity
+        gated = jnp.where(active, rad, 0.0)
+        inv_pi = 1.0 / jnp.pi
+        for c in range(3):
+            lobe = base_diffuse[c] * inv_pi * (1.0 - f[c]) + spec_s * f[c]
+            total[c] = total[c] + (row[L_COLOR + c] * gated) * lobe
     return total
 
 
@@ -132,13 +146,13 @@ def _material_table(ds):
     ], axis=1)
 
 
-def _screen_gradient(uv, W, H, vertical: bool = False, layers: int = 1):
-    """min-magnitude forward/backward screen difference of (P,2) uv planes.
+def _screen_gradient(ch, W, H, vertical: bool = False, layers: int = 1):
+    """min-magnitude forward/backward screen difference of one (P,) plane.
 
-    layers > 1: uv holds `layers` stacked images of H//layers rows each
+    layers > 1: ch holds `layers` stacked images of H//layers rows each
     (the batched transparent-layer shade); differences never cross a
     layer boundary."""
-    g = uv.reshape(layers, H // layers, W, 2)
+    g = ch.reshape(layers, H // layers, W)
     axis = 1 if vertical else 2
     d = jnp.diff(g, axis=axis)                           # size-1 along axis
     last = jnp.take(d, jnp.array([-1]), axis=axis)
@@ -146,7 +160,7 @@ def _screen_gradient(uv, W, H, vertical: bool = False, layers: int = 1):
     fwd = jnp.concatenate([d, last], axis=axis)          # edge-replicated
     bwd = jnp.concatenate([first, d], axis=axis)
     pick = jnp.where(jnp.abs(fwd) <= jnp.abs(bwd), fwd, bwd)
-    return pick.reshape(-1, 2)
+    return pick.reshape(-1)
 
 
 def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
@@ -271,31 +285,30 @@ def shade_surface(
     miss = planes["tri_id"] < 0
     depth = planes["depth"]
 
-    uv0 = jnp.stack([planes["uv0_u"], planes["uv0_v"]], axis=-1)
+    uv0 = (planes["uv0_u"], planes["uv0_v"])
     # slimmed G-buffers omit uv1 / vertex-color planes (raster plane_layout)
-    if "uv1_u" in planes:
-        uv1 = jnp.stack([planes["uv1_u"], planes["uv1_v"]], axis=-1)
-    else:
-        uv1 = uv0
+    uv1 = (planes["uv1_u"], planes["uv1_v"]) if "uv1_u" in planes else uv0
     if "color_r" in planes:
-        vcolor = jnp.stack([planes["color_r"], planes["color_g"],
-                            planes["color_b"], planes["color_a"]], axis=-1)
+        vcolor = [planes["color_r"], planes["color_g"],
+                  planes["color_b"], planes["color_a"]]
     else:
-        vcolor = jnp.ones((P, 4), jnp.float32)
-    n = _normalize(jnp.stack(
-        [planes["normal_x"], planes["normal_y"], planes["normal_z"]], axis=-1))
-    tang4 = jnp.stack([planes["tangent_x"], planes["tangent_y"],
-                       planes["tangent_z"], planes["tangent_w"]], axis=-1)
+        vcolor = [1.0, 1.0, 1.0, 1.0]
+    n = norm3([planes["normal_x"], planes["normal_y"], planes["normal_z"]])
+    tang = [planes["tangent_x"], planes["tangent_y"], planes["tangent_z"]]
+    tang_w = planes["tangent_w"]
     if "du0_dx" in planes:
-        duv_dx = jnp.stack([planes["du0_dx"], planes["dv0_dx"]], axis=-1)
-        duv_dy = jnp.stack([planes["du0_dy"], planes["dv0_dy"]], axis=-1)
+        duv = (planes["du0_dx"], planes["dv0_dx"],
+               planes["du0_dy"], planes["dv0_dy"])
     else:
         # screen-space uv gradients (GPU quad-derivative model): forward /
         # backward differences of the interpolated uv0 planes; the
         # min-|magnitude| pick stays on the surface at silhouettes
-        duv_dx = _screen_gradient(uv0, W, H, layers=n_layer_tiles)
-        duv_dy = _screen_gradient(uv0, W, H, vertical=True,
-                                  layers=n_layer_tiles)
+        duv = (_screen_gradient(uv0[0], W, H, layers=n_layer_tiles),
+               _screen_gradient(uv0[1], W, H, layers=n_layer_tiles),
+               _screen_gradient(uv0[0], W, H, vertical=True,
+                                layers=n_layer_tiles),
+               _screen_gradient(uv0[1], W, H, vertical=True,
+                                layers=n_layer_tiles))
 
     # ---- world position + view ray ------------------------------------------
     xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
@@ -304,158 +317,168 @@ def shade_surface(
         rows = rows % jnp.float32(H // n_layer_tiles)
     rows = rows + jnp.float32(row_offset)
     ys = 1.0 - (rows + 0.5) / H_full * 2.0
-    ndc = jnp.stack([xs, ys, depth, jnp.ones_like(xs)], axis=-1)
-    wp = ndc @ ds["camera"]["inv_view_proj"].T
-    world_pos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) > _EPS, wp[:, 3:4], _EPS)
+    ivp = ds["camera"]["inv_view_proj"]
+    wp = [xs * ivp[j, 0] + ys * ivp[j, 1] + depth * ivp[j, 2] + ivp[j, 3]
+          for j in range(4)]
+    inv_w = 1.0 / jnp.where(jnp.abs(wp[3]) > _EPS, wp[3], _EPS)
+    world_pos = [wp[0] * inv_w, wp[1] * inv_w, wp[2] * inv_w]
     cam_pos = ds["camera"]["position"]
-    v = _normalize(cam_pos[None, :] - world_pos)
+    v = norm3([cam_pos[k] - world_pos[k] for k in range(3)])
 
     # ---- material fetch: ONE one-hot matmul ----------------------------------
     mat_row = jnp.clip(planes["mat_row"].astype(jnp.int32), 0,
                        ds["mat_float"].shape[0] - 1)
     table = _material_table(ds)
     fused = onehot_gather(mat_row, table)                   # (P, 116)
-    mf = fused[:, : M.NUM_F32]
-    slots = fused[:, M.NUM_F32 : M.NUM_F32 + M.NUM_TEX_SLOTS * 3].reshape(
-        P, M.NUM_TEX_SLOTS, 3)
-    mflags = fused[:, M.NUM_F32 + M.NUM_TEX_SLOTS * 3 :]
-    is_unlit = mflags[:, M.MI_KIND] == float(M.KIND_UNLIT)
-    is_grid = mflags[:, M.MI_KIND] == float(M.KIND_GRID)
 
-    white = jnp.ones((P, 4), jnp.float32)
+    def mf(i, k=1):
+        return (fused[:, i] if k == 1
+                else [fused[:, i + c] for c in range(k)])
+
+    def slot_col(slot, c):
+        return fused[:, M.NUM_F32 + slot * 3 + c]
+
+    def mflag(i):
+        return fused[:, M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + i]
+
+    is_unlit = mflag(M.MI_KIND) == float(M.KIND_UNLIT)
+    is_grid = mflag(M.MI_KIND) == float(M.KIND_GRID)
 
     # ---- texture taps: ALL slots sample through ONE gather -------------------
     # (a lone TPU gather is ~30x faster than several fused into the same
-    # computation — see sample_texture_batch)
+    # computation — see sample_texture_batch_c)
     active_slots = [s for s in range(M.NUM_TEX_SLOTS) if slot_mask[s]]
     taps = []
     for slot in active_slots:
-        tex_id = slots[:, slot, 0].astype(jnp.int32)
-        uv_set = slots[:, slot, 1]
-        tform = slots[:, slot, 2].astype(jnp.int32)
-        uv = jnp.where((uv_set == 1.0)[:, None], uv1, uv0)
-        uv = apply_texture_transform(ds["tex_transforms"], tform, uv)
-        taps.append((tex_id, uv, (duv_dx, duv_dy) if use_mips else None))
-    tex_cache = dict(zip(active_slots, sample_texture_batch(
+        tex_id = slot_col(slot, 0).astype(jnp.int32)
+        uv_set = slot_col(slot, 1)
+        tform = slot_col(slot, 2).astype(jnp.int32)
+        use1 = uv_set == 1.0
+        u = jnp.where(use1, uv1[0], uv0[0])
+        vv = jnp.where(use1, uv1[1], uv0[1])
+        u, vv = apply_texture_transform_c(ds["tex_transforms"], tform, u, vv)
+        taps.append((tex_id, (u, vv), duv if use_mips else None))
+    tex_cache = dict(zip(active_slots, sample_texture_batch_c(
         ds["texels"], ds["tex_desc"], taps, has_nearest=has_nearest)))
 
     def tex(slot):
         """Batched sample of a material texture slot; compiles to a constant
         when no scene material binds it (template-variable specialization)."""
-        return tex_cache.get(slot, white)
+        return tex_cache.get(slot, [1.0, 1.0, 1.0, 1.0])
 
     base_tex = tex(M.TS_BASE_COLOR)
-    base = mf[:, M.MF_BASE_COLOR : M.MF_BASE_COLOR + 4] * base_tex * vcolor
+    base_f = mf(M.MF_BASE_COLOR, 4)
+    base = [base_f[c] * base_tex[c] * vcolor[c] for c in range(4)]
 
     mr = tex(M.TS_METALLIC_ROUGHNESS)
-    metallic = jnp.clip(mf[:, M.MF_METALLIC] * mr[:, 2], 0.0, 1.0)
-    roughness = jnp.clip(mf[:, M.MF_ROUGHNESS] * mr[:, 1], 0.04, 1.0)
+    metallic = jnp.clip(mf(M.MF_METALLIC) * mr[2], 0.0, 1.0)
+    roughness = jnp.clip(mf(M.MF_ROUGHNESS) * mr[1], 0.04, 1.0)
     alpha_rough = roughness * roughness
 
-    occ_tex = tex(M.TS_OCCLUSION)
-    occlusion = 1.0 + mf[:, M.MF_OCCLUSION_STRENGTH] * (occ_tex[:, 0] - 1.0)
+    occlusion = 1.0 + mf(M.MF_OCCLUSION_STRENGTH) * (tex(M.TS_OCCLUSION)[0] - 1.0)
 
     emis_tex = tex(M.TS_EMISSIVE)
-    emissive = (
-        mf[:, M.MF_EMISSIVE : M.MF_EMISSIVE + 3]
-        * emis_tex[:, :3]
-        * mf[:, M.MF_EMISSIVE_STRENGTH : M.MF_EMISSIVE_STRENGTH + 1]
-    )
+    emis_f = mf(M.MF_EMISSIVE, 3)
+    emis_s = mf(M.MF_EMISSIVE_STRENGTH)
+    emissive = [emis_f[c] * emis_tex[c] * emis_s for c in range(3)]
 
     # ---- normal mapping ------------------------------------------------------
-    t_w = _normalize(tang4[:, :3] - n * jnp.sum(n * tang4[:, :3], axis=-1, keepdims=True))
-    b_w = jnp.cross(n, t_w) * tang4[:, 3:4]
+    n_dot_t = dot3(n, tang)
+    t_w = norm3([tang[k] - n[k] * n_dot_t for k in range(3)])
+    b_w = v_scale(cross3(n, t_w), tang_w)
     if slot_mask[M.TS_NORMAL]:
         nrm_tex = tex(M.TS_NORMAL)
-        has_nrm_tex = slots[:, M.TS_NORMAL, 0] >= 0
-        n_ts = nrm_tex[:, :3] * 2.0 - 1.0
-        n_ts = n_ts * jnp.stack(
-            [mf[:, M.MF_NORMAL_SCALE], mf[:, M.MF_NORMAL_SCALE], jnp.ones_like(metallic)],
-            axis=-1)
-        n_mapped = _normalize(n_ts[:, 0:1] * t_w + n_ts[:, 1:2] * b_w + n_ts[:, 2:3] * n)
-        n_final = jnp.where(has_nrm_tex[:, None], n_mapped, n)
+        has_nrm_tex = slot_col(M.TS_NORMAL, 0) >= 0
+        nscale = mf(M.MF_NORMAL_SCALE)
+        tsx = (nrm_tex[0] * 2.0 - 1.0) * nscale
+        tsy = (nrm_tex[1] * 2.0 - 1.0) * nscale
+        tsz = nrm_tex[2] * 2.0 - 1.0
+        n_mapped = norm3([tsx * t_w[k] + tsy * b_w[k] + tsz * n[k]
+                          for k in range(3)])
+        n_final = v_where(has_nrm_tex, n_mapped, n)
     else:
         n_final = n
-    n_final = jnp.where(
-        jnp.sum(n_final * v, axis=-1, keepdims=True) < 0.0, -n_final, n_final)
+    facing = dot3(n_final, v) < 0.0
+    n_final = v_where(facing, [-c for c in n_final], n_final)
 
     # ---- BRDF inputs (glTF spec) ---------------------------------------------
-    ior = mf[:, M.MF_IOR]
+    ior = mf(M.MF_IOR)
     f0_scalar = ((ior - 1.0) / jnp.maximum(ior + 1.0, _EPS)) ** 2
-    spec_color = mf[:, M.MF_SPECULAR_COLOR : M.MF_SPECULAR_COLOR + 3]
-    spec_w = mf[:, M.MF_SPECULAR : M.MF_SPECULAR + 1]
+    spec_color = mf(M.MF_SPECULAR_COLOR, 3)
+    spec_w = mf(M.MF_SPECULAR)
     spec_tex = tex(M.TS_SPECULAR)
     spec_color_tex = tex(M.TS_SPECULAR_COLOR)
-    f0_diel = jnp.minimum(
-        f0_scalar[:, None] * spec_color * spec_color_tex[:, :3], 1.0
-    ) * (spec_w * spec_tex[:, 3:4])
-    f0 = f0_diel * (1.0 - metallic[:, None]) + base[:, :3] * metallic[:, None]
+    spec_amt = spec_w * spec_tex[3]
+    f0 = [jnp.minimum(f0_scalar * spec_color[c] * spec_color_tex[c], 1.0)
+          * spec_amt * (1.0 - metallic) + base[c] * metallic
+          for c in range(3)]
 
     # KHR_materials_iridescence: thin-film fresnel replaces F0, weighted by
     # the iridescence factor (brdf.wgsl iridescence path)
     if ext[EXT_IRIDESCENCE]:
-        irid = mf[:, M.MF_IRIDESCENCE] * tex(M.TS_IRIDESCENCE)[:, 0]
+        irid = mf(M.MF_IRIDESCENCE) * tex(M.TS_IRIDESCENCE)[0]
         irid_thick = (
-            mf[:, M.MF_IRIDESCENCE_THICKNESS_MIN]
-            + (mf[:, M.MF_IRIDESCENCE_THICKNESS_MAX]
-               - mf[:, M.MF_IRIDESCENCE_THICKNESS_MIN])
-            * tex(M.TS_IRIDESCENCE_THICKNESS)[:, 1]
+            mf(M.MF_IRIDESCENCE_THICKNESS_MIN)
+            + (mf(M.MF_IRIDESCENCE_THICKNESS_MAX)
+               - mf(M.MF_IRIDESCENCE_THICKNESS_MIN))
+            * tex(M.TS_IRIDESCENCE_THICKNESS)[1]
         )
-        n_dot_v_pre = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
-        f_irid = brdf.iridescent_fresnel(
-            jnp.ones_like(irid), mf[:, M.MF_IRIDESCENCE_IOR], f0,
+        n_dot_v_pre = jnp.maximum(dot3(n_final, v), _EPS)
+        f_irid = brdf.iridescent_fresnel_c(
+            jnp.ones_like(irid), mf(M.MF_IRIDESCENCE_IOR), f0,
             irid_thick, n_dot_v_pre)
-        f0 = f0 * (1.0 - irid[:, None]) + f_irid * irid[:, None]
+        f0 = v_lerp(f0, f_irid, irid)
 
-    c_diff = base[:, :3] * (1.0 - metallic[:, None])
+    c_diff = v_scale(base[:3], 1.0 - metallic)
 
     if ext[EXT_TRANSMISSION]:
-        transmission = mf[:, M.MF_TRANSMISSION] * tex(M.TS_TRANSMISSION)[:, 0]
+        transmission = mf(M.MF_TRANSMISSION) * tex(M.TS_TRANSMISSION)[0]
     else:
         transmission = jnp.zeros_like(metallic)
     if transparent_pass and ext[EXT_TRANSMISSION]:
-        c_diff = c_diff * (1.0 - transmission[:, None])
+        c_diff = v_scale(c_diff, 1.0 - transmission)
 
     # ---- punctual + IBL -------------------------------------------------------
     direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0, alpha_rough)
 
-    n_dot_v = jnp.maximum(jnp.sum(n_final * v, axis=-1), _EPS)
+    n_dot_v = jnp.maximum(dot3(n_final, v), _EPS)
 
     # KHR_materials_anisotropy: bend the reflection lobe along the
     # tangent/bitangent (Filament-style bent-normal approximation for IBL;
     # reference brdf.wgsl anisotropic GGX)
     n_ibl = n_final
     if ext[EXT_ANISOTROPY]:
-        aniso = mf[:, M.MF_ANISOTROPY_STRENGTH] * (2.0 * tex(M.TS_ANISOTROPY)[:, 2] - 1.0
-                                                   if slot_mask[M.TS_ANISOTROPY]
-                                                   else jnp.ones_like(metallic))
-        rot = mf[:, M.MF_ANISOTROPY_ROTATION]
-        cr, sr = jnp.cos(rot)[:, None], jnp.sin(rot)[:, None]
-        t_dir = t_w * cr + b_w * sr
-        b_dir = -t_w * sr + b_w * cr
-        a_dir = jnp.where((aniso >= 0)[:, None], b_dir, t_dir)
-        t_perp = jnp.cross(a_dir, v)
-        bent = _normalize(jnp.cross(t_perp, a_dir))
-        mixw = jnp.clip(jnp.abs(aniso), 0.0, 1.0)[:, None]
-        n_ibl = _normalize(n_final * (1.0 - mixw) + bent * mixw)
-    n_dot_v_ibl = jnp.maximum(jnp.sum(n_ibl * v, axis=-1), _EPS)
-    r = _normalize(2.0 * n_dot_v_ibl[:, None] * n_ibl - v)
+        aniso = mf(M.MF_ANISOTROPY_STRENGTH) * (
+            2.0 * tex(M.TS_ANISOTROPY)[2] - 1.0
+            if slot_mask[M.TS_ANISOTROPY] else 1.0)
+        rot = mf(M.MF_ANISOTROPY_ROTATION)
+        cr, sr = jnp.cos(rot), jnp.sin(rot)
+        t_dir = [t_w[k] * cr + b_w[k] * sr for k in range(3)]
+        b_dir = [-t_w[k] * sr + b_w[k] * cr for k in range(3)]
+        a_dir = v_where(aniso >= 0, b_dir, t_dir)
+        bent = norm3(cross3(cross3(a_dir, v), a_dir))
+        mixw = jnp.clip(jnp.abs(aniso), 0.0, 1.0)
+        n_ibl = norm3(v_lerp(n_final, bent, mixw))
+    n_dot_v_ibl = jnp.maximum(dot3(n_ibl, v), _EPS)
+    r = norm3([2.0 * n_dot_v_ibl * n_ibl[k] - v[k] for k in range(3)])
 
     # sheen / clearcoat parameters first (material taps are already
     # batched), so every IBL cubemap tap can ride ONE gather below
     if ext[EXT_SHEEN]:
-        sheen_color = mf[:, M.MF_SHEEN_COLOR : M.MF_SHEEN_COLOR + 3] * tex(M.TS_SHEEN_COLOR)[:, :3]
+        sheen_f = mf(M.MF_SHEEN_COLOR, 3)
+        sheen_tex = tex(M.TS_SHEEN_COLOR)
+        sheen_color = [sheen_f[c] * sheen_tex[c] for c in range(3)]
         sheen_rough = jnp.clip(
-            mf[:, M.MF_SHEEN_ROUGHNESS] * tex(M.TS_SHEEN_ROUGHNESS)[:, 3], 0.04, 1.0)
+            mf(M.MF_SHEEN_ROUGHNESS) * tex(M.TS_SHEEN_ROUGHNESS)[3], 0.04, 1.0)
     if ext[EXT_CLEARCOAT]:
-        cc = mf[:, M.MF_CLEARCOAT] * tex(M.TS_CLEARCOAT)[:, 0]
+        cc = mf(M.MF_CLEARCOAT) * tex(M.TS_CLEARCOAT)[0]
         cc_rough = jnp.clip(
-            mf[:, M.MF_CLEARCOAT_ROUGHNESS] * tex(M.TS_CLEARCOAT_ROUGHNESS)[:, 1], 0.04, 1.0)
+            mf(M.MF_CLEARCOAT_ROUGHNESS) * tex(M.TS_CLEARCOAT_ROUGHNESS)[1], 0.04, 1.0)
 
     sky = None
     if solid_env:
-        irr = jnp.broadcast_to(ds["irradiance"][0, :3], (P, 3))
-        pref_c = jnp.broadcast_to(ds["prefiltered"][0, 0, :3], (P, 3))
+        irr = [ds["irradiance"][0, c] for c in range(3)]
+        pref_c = [ds["prefiltered"][0, 0, c] for c in range(3)]
         pref = pref_c
         sheen_pref = pref_c
         cc_pref = pref_c
@@ -468,48 +491,47 @@ def shade_surface(
         # miss pixels reconstruct world_pos at the far plane, so -v is
         # exactly the per-pixel view ray: the skybox miss color rides the
         # same gather (want_sky gates it so transparent/HUD passes skip it)
-        irr4, prefs, sky4 = sample_env_batch(
+        irr4, prefs, sky4 = sample_env_batch_c(
             ds["skybox"], ds["irradiance"], ds["prefiltered"], n_final, reqs,
-            sky_dirs=-v if want_sky else None)
-        irr = irr4[:, :3]
-        pref = prefs[0][:, :3]
+            sky_dirs=[-c for c in v] if want_sky else None)
+        irr = irr4[:3]
+        pref = prefs[0][:3]
         if ext[EXT_SHEEN]:
-            sheen_pref = prefs[1][:, :3]
+            sheen_pref = prefs[1][:3]
         if ext[EXT_CLEARCOAT]:
-            cc_pref = prefs[2 if ext[EXT_SHEEN] else 1][:, :3]
+            cc_pref = prefs[2 if ext[EXT_SHEEN] else 1][:3]
         if want_sky:
-            sky = sky4[:, :3]
+            sky = sky4[:3]
 
     lut_a, lut_b = env_brdf_approx(n_dot_v, roughness)
-    fresnel_scale = f0 * lut_a[:, None] + lut_b[:, None]
-    ibl_spec = pref * fresnel_scale
-    ibl_diff = irr * c_diff
-    ambient = (ibl_diff + ibl_spec) * occlusion[:, None]
+    fresnel_scale = [f0[c] * lut_a + lut_b for c in range(3)]
+    ambient = [(irr[c] * c_diff[c] + pref[c] * fresnel_scale[c]) * occlusion
+               for c in range(3)]
 
     # ---- sheen (KHR_materials_sheen) ------------------------------------------
     if ext[EXT_SHEEN]:
-        sheen_scale = brdf.sheen_albedo_scaling(n_dot_v, sheen_color, sheen_rough)[:, None]
-        sheen_ibl = sheen_pref * sheen_color
+        sheen_scale = brdf.sheen_albedo_scaling_c(n_dot_v, sheen_color, sheen_rough)
+        sheen_ibl = v_mul(sheen_pref, sheen_color)
     else:
         sheen_scale = 1.0
-        sheen_ibl = 0.0
+        sheen_ibl = [0.0, 0.0, 0.0]
 
     # ---- clearcoat (KHR_materials_clearcoat) -----------------------------------
     if ext[EXT_CLEARCOAT]:
         cc_a, cc_b = env_brdf_approx(n_dot_v, cc_rough)
-        cc_spec = cc[:, None] * cc_pref * (0.04 * cc_a[:, None] + cc_b[:, None])
+        cc_amt = cc * (0.04 * cc_a + cc_b)
+        cc_spec = [cc_pref[c] * cc_amt for c in range(3)]
         cc_fresnel = 0.04 + 0.96 * jnp.power(1.0 - n_dot_v, 5.0)
-        cc_scale = (1.0 - cc * cc_fresnel)[:, None]
+        cc_scale = 1.0 - cc * cc_fresnel
     else:
-        cc_spec = 0.0
+        cc_spec = [0.0, 0.0, 0.0]
         cc_scale = 1.0
 
-    pbr_color = (
-        ((direct + ambient) * sheen_scale + sheen_ibl)
-        * cc_scale
-        + cc_spec
-        + emissive
-    )
+    pbr_color = [
+        ((direct[c] + ambient[c]) * sheen_scale + sheen_ibl[c]) * cc_scale
+        + cc_spec[c] + emissive[c]
+        for c in range(3)
+    ]
     # lighting-isolation debug variants (reference:
     # material_opaque/shader/template.rs ShaderTemplateMaterialOpaqueDebug)
     if debug_mode == "ibl":
@@ -518,58 +540,58 @@ def shade_surface(
         pbr_color = direct
 
     # ---- alpha per mode (OPAQUE=1, MASK=cutoff test, BLEND=base.a) ------------
-    alpha_mode = mflags[:, M.MI_ALPHA_MODE]
-    cutoff = mf[:, M.MF_ALPHA_CUTOFF]
+    alpha_mode = mflag(M.MI_ALPHA_MODE)
+    cutoff = mf(M.MF_ALPHA_CUTOFF)
     alpha = jnp.where(
         alpha_mode == 0.0, 1.0,
         jnp.where(alpha_mode == 1.0,
-                  (base[:, 3] >= cutoff).astype(jnp.float32), base[:, 3]))
+                  (base[3] >= cutoff).astype(jnp.float32), base[3]))
 
     # ---- editor grid (KIND_GRID: procedural world-space lines; parity with
     # editor/src/grid/shaders/grid.wgsl) ----------------------------------------
     if transparent_pass:
-        spacing = jnp.maximum(mf[:, M.MF_GRID_SPACING], 1e-3)
-        major_every = jnp.maximum(mf[:, M.MF_GRID_MAJOR_EVERY], 1.0)
-        fade_dist = jnp.maximum(mf[:, M.MF_GRID_FADE_DISTANCE], 1e-3)
-        cam_dist = jnp.linalg.norm(world_pos - cam_pos[None, :], axis=-1)
+        spacing = jnp.maximum(mf(M.MF_GRID_SPACING), 1e-3)
+        major_every = jnp.maximum(mf(M.MF_GRID_MAJOR_EVERY), 1.0)
+        fade_dist = jnp.maximum(mf(M.MF_GRID_FADE_DISTANCE), 1e-3)
+        cam_delta = [world_pos[k] - cam_pos[k] for k in range(3)]
+        cam_dist = jnp.sqrt(dot3(cam_delta, cam_delta))
         aa = jnp.maximum(cam_dist * 2e-3, 1e-4)
 
         def line_alpha(p, s, wdt):
             d = jnp.abs(jnp.mod(p / s + 0.5, 1.0) - 0.5) * s
             return jnp.clip(1.0 - (d - wdt) / jnp.maximum(wdt, 1e-6), 0.0, 1.0)
 
-        gx = world_pos[:, 0]
-        gz = world_pos[:, 2]
+        gx = world_pos[0]
+        gz = world_pos[2]
         minor = jnp.maximum(line_alpha(gx, spacing, aa), line_alpha(gz, spacing, aa))
         major = jnp.maximum(line_alpha(gx, spacing * major_every, aa * 1.5),
                             line_alpha(gz, spacing * major_every, aa * 1.5))
         grid_a = jnp.maximum(minor * 0.5, major) * jnp.clip(1.0 - cam_dist / fade_dist, 0.0, 1.0)
-        alpha = jnp.where(is_grid, grid_a * base[:, 3], alpha)
+        alpha = jnp.where(is_grid, grid_a * base[3], alpha)
 
     # ---- transmission of the background (transparent pass only) ---------------
     trans_factor = None
     if transparent_pass and (background is not None or want_transmission_factor):
-        att_dist = mf[:, M.MF_ATTENUATION_DISTANCE : M.MF_ATTENUATION_DISTANCE + 1]
-        att_color = mf[:, M.MF_ATTENUATION_COLOR : M.MF_ATTENUATION_COLOR + 3]
-        thickness = mf[:, M.MF_THICKNESS : M.MF_THICKNESS + 1]
-        att = jnp.where(
-            att_dist > 0.0,
-            jnp.exp(jnp.log(jnp.maximum(att_color, 1e-4)) * thickness
-                    / jnp.maximum(att_dist, 1e-4)),
-            1.0,
-        )
-        trans_factor = (base[:, :3] * att * (1.0 - fresnel_scale)
-                        * transmission[:, None])
+        att_dist = mf(M.MF_ATTENUATION_DISTANCE)
+        att_color = mf(M.MF_ATTENUATION_COLOR, 3)
+        thickness = mf(M.MF_THICKNESS)
+        has_att = att_dist > 0.0
+        inv_att = thickness / jnp.maximum(att_dist, 1e-4)
+        att = [jnp.where(has_att,
+                         jnp.exp(jnp.log(jnp.maximum(att_color[c], 1e-4)) * inv_att),
+                         1.0) for c in range(3)]
         # transmission only applies to the PBR branch; zero it elsewhere so
         # the deferred compositor can apply it unconditionally
-        trans_factor = jnp.where((is_unlit | is_grid)[:, None], 0.0,
-                                 trans_factor)
+        t_gate = jnp.where(is_unlit | is_grid, 0.0, transmission)
+        trans_factor = [base[c] * att[c] * (1.0 - fresnel_scale[c]) * t_gate
+                        for c in range(3)]
         if background is not None and not want_transmission_factor:
-            pbr_color = pbr_color + background * trans_factor
+            pbr_color = [pbr_color[c] + background[c] * trans_factor[c]
+                         for c in range(3)]
 
-    color = jnp.where(is_unlit[:, None], base[:, :3], pbr_color)
+    color = v_where(is_unlit, base[:3], pbr_color)
     if transparent_pass:
-        color = jnp.where(is_grid[:, None], base[:, :3], color)
+        color = v_where(is_grid, base[:3], color)
     valid = ~miss
     if want_transmission_factor:
         return color, alpha, valid, n_final, trans_factor
@@ -615,12 +637,12 @@ def shade_deferred(
     )
 
     if sky is None:   # solid environment: a broadcast constant
-        sky = jnp.broadcast_to(ds["skybox"][0, :3], (P, 3))
-    out = jnp.where(valid[:, None], color, sky)
+        sky = [jnp.broadcast_to(ds["skybox"][0, c], (P,)) for c in range(3)]
     if debug_mode == "normals":
-        out = jnp.where(valid[:, None], n_final * 0.5 + 0.5, sky)
+        color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
+    out = [jnp.where(valid, color[c], sky[c]) for c in range(3)]
     alpha = valid.astype(jnp.float32)
-    return jnp.concatenate([out, alpha[:, None]], axis=-1).reshape(H, W, 4)
+    return jnp.stack(out + [alpha], axis=-1).reshape(H, W, 4)
 
 
 @functools.partial(
@@ -671,15 +693,16 @@ def shade_transparent_layers(
         transparent_pass=True, want_transmission_factor=True,
         setup_rows=setup_rows, n_layer_tiles=K,
     )
-    color = color.reshape(K, P, 3)
-    a = jnp.where(valid, alpha, 0.0).reshape(K, P, 1)
-    trans = None if trans is None else trans.reshape(K, P, 3)
+    color = [c.reshape(K, P) for c in color]
+    a = jnp.where(valid, alpha, 0.0).reshape(K, P)
+    trans = None if trans is None else [t.reshape(K, P) for t in trans]
 
     # back-to-front: layer K-1 is the farthest peel
-    out = opaque_hdr.reshape(P, 4)[:, :3]
+    flat_hdr = opaque_hdr.reshape(P, 4)
+    out = [flat_hdr[:, c] for c in range(3)]
     for k in range(K - 1, -1, -1):
-        c = color[k] if trans is None else color[k] + out * trans[k]
-        out = c * a[k] + out * (1.0 - a[k])
+        for c in range(3):
+            cc = color[c][k] if trans is None else color[c][k] + out[c] * trans[c][k]
+            out[c] = cc * a[k] + out[c] * (1.0 - a[k])
 
-    alpha_plane = opaque_hdr.reshape(P, 4)[:, 3:4]
-    return jnp.concatenate([out, alpha_plane], axis=-1).reshape(H, W, 4)
+    return jnp.stack(out + [flat_hdr[:, 3]], axis=-1).reshape(H, W, 4)

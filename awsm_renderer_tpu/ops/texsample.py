@@ -58,16 +58,17 @@ def _prep_coord(u: jnp.ndarray, n_f: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndar
     return jnp.where(mode == WRAP_REPEAT, x, jnp.clip(x, 0.0, n_f - 1.0))
 
 
-def _level_idx(desc, uv, level):
+def _level_idx(desc, u, v, level):
     """Footprint math for one mip level: texel-row indices + weights.
 
-    Returns (idx (P,), fx, fy). The actual texel
-    fetch is deferred so a whole pass's taps can ride ONE gather —
-    XLA's TPU lowering runs a lone 2M-row gather ~30x faster than two
-    gathers fused into the same computation (measured: 1 gather of 4M
-    concatenated rows ≈ 2 ms; 2 separate 2M gathers in one jit ≈ 45-67
-    ms), so batching indices and splitting the result is the difference
-    between HBM-speed sampling and latency-bound sampling."""
+    u, v: (P,) uv channels. Returns (idx (P,), fx (P,), fy (P,), x0i,
+    y0i, wm, hm). The actual texel fetch is deferred so a whole pass's
+    taps can ride ONE gather — XLA's TPU lowering runs a lone 2M-row
+    gather ~30x faster than two gathers fused into the same computation
+    (measured: 1 gather of 4M concatenated rows ≈ 2 ms; 2 separate 2M
+    gathers in one jit ≈ 45-67 ms), so batching indices and splitting
+    the result is the difference between HBM-speed sampling and
+    latency-bound sampling."""
     w0 = desc[:, TD_WIDTH]
     h0 = desc[:, TD_HEIGHT]
     wm = jnp.maximum(w0 >> level, 1)
@@ -83,20 +84,95 @@ def _level_idx(desc, uv, level):
 
     wf = wm.astype(jnp.float32)
     hf = hm.astype(jnp.float32)
-    x = _prep_coord(uv[:, 0], wf, wrap_s)
-    y = _prep_coord(uv[:, 1], hf, wrap_t)
+    x = _prep_coord(u, wf, wrap_s)
+    y = _prep_coord(v, hf, wrap_t)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
+    fx = x - x0
+    fy = y - y0
     x0i = _wrap_coord(x0.astype(jnp.int32), wm, wrap_s)
     y0i = _wrap_coord(y0.astype(jnp.int32), hm, wrap_t)
     idx = offset + y0i * wm + x0i
-    return idx, fx, fy
+    return idx, fx, fy, x0i, y0i, wm, hm
+
+
+def _quad_weights(fx, fy, linear, has_nearest: bool):
+    """Bilinear corner weights, with NEAREST filtering folded in as 0/1
+    weights (fx>=0.5 picks the right column exactly — 0/1 products are
+    exact, so this equals a select)."""
+    if has_nearest:
+        fx = jnp.where(linear, fx, (fx >= 0.5).astype(jnp.float32))
+        fy = jnp.where(linear, fy, (fy >= 0.5).astype(jnp.float32))
+    return (1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy
+
+
+def _axis_weights(f, d1, linear, has_nearest: bool):
+    """3-tap stencil weights along one parent-block axis.
+
+    d1: (P,) bool — the parent bilinear anchor sits one cell right/down of
+    the baked base. Bilinear weights [1-f, f, 0] or [0, 1-f, f]; NEAREST
+    folds in by snapping f to 0/1."""
+    if has_nearest:
+        f = jnp.where(linear, f, (f >= 0.5).astype(jnp.float32))
+    z = jnp.zeros_like(f)
+    w0 = jnp.where(d1, z, 1.0 - f)
+    w1 = jnp.where(d1, 1.0 - f, f)
+    w2 = jnp.where(d1, f, z)
+    return w0, w1, w2
+
+
+def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
+    """One tap from pre-extracted texel channel columns → [r,g,b,a] (P,).
+
+    cols: list of (P,) f32 texel-row columns (16 quad [+ 36 parent]);
+    plan: (fx, fy, x0i, y0i, wm, hm) from _level_idx; frac: (P,)
+    trilinear fraction or None. ALL math is (P,)-shaped — (P,4)-shaped
+    ops run at 4/128 lane efficiency on TPU (~0.26 ms each at 1080p),
+    which made the old AoS tap path ~15 ms of pure ALU."""
+    fx, fy, x0i, y0i, wm, hm = plan
+    linear = desc[:, TD_FILTER_LINEAR] > 0
+    w00, w10, w01, w11 = _quad_weights(fx, fy, linear, has_nearest)
+    out = [cols[c] * w00 + cols[4 + c] * w10 + cols[8 + c] * w01
+           + cols[12 + c] * w11 for c in range(4)]
+    if frac is None:
+        return out
+
+    # parent-mip 3x3 stencil (layout: core/textures.py::_pack_rows). The
+    # parent's own bilinear anchor is recomputed from uv and located
+    # inside the baked 3x3 by its wrapped offset from base=((x0-1)>>1).
+    w1 = jnp.maximum(wm >> 1, 1)
+    h1 = jnp.maximum(hm >> 1, 1)
+    wrap_s = desc[:, TD_WRAP_S]
+    wrap_t = desc[:, TD_WRAP_T]
+    x = _prep_coord(u, w1.astype(jnp.float32), wrap_s)
+    y = _prep_coord(v, h1.astype(jnp.float32), wrap_t)
+    ax = jnp.floor(x)
+    ay = jnp.floor(y)
+    fx1 = x - ax
+    fy1 = y - ay
+    axw = _wrap_coord(ax.astype(jnp.int32), w1, wrap_s)
+    ayw = _wrap_coord(ay.astype(jnp.int32), h1, wrap_t)
+    bx = _wrap_coord((x0i - 1) >> 1, w1, wrap_s)
+    by = _wrap_coord((y0i - 1) >> 1, h1, wrap_t)
+    dx1 = jnp.clip(jnp.remainder(axw - bx, w1), 0, 1) == 1
+    dy1 = jnp.clip(jnp.remainder(ayw - by, h1), 0, 1) == 1
+    wx = _axis_weights(fx1, dx1, linear, has_nearest)
+    wy = _axis_weights(fy1, dy1, linear, has_nearest)
+    tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
+    blend = jnp.where(tri, frac, 0.0)
+    res = []
+    for c in range(4):
+        rows = [cols[16 + (cy * 3) * 4 + c] * wx[0]
+                + cols[16 + (cy * 3 + 1) * 4 + c] * wx[1]
+                + cols[16 + (cy * 3 + 2) * 4 + c] * wx[2] for cy in range(3)]
+        par = rows[0] * wy[0] + rows[1] * wy[1] + rows[2] * wy[2]
+        res.append(out[c] * (1.0 - blend) + par * blend)
+    return res
 
 
 def _blend_bilinear(q, fx, fy):
-    """q: (P,16) quad-packed rows → (P,4) bilinear blend."""
+    """q: packed rows (first 16 cols = quad) → (P,4) bilinear blend."""
+    q = q[:, :16].astype(jnp.float32)
     return (
         q[:, 0:4] * (1 - fx) * (1 - fy)
         + q[:, 4:8] * fx * (1 - fy)
@@ -112,6 +188,7 @@ def _pick_nearest(q, fx, fy):
     the continuous coord is x = u*n - 0.5 with x0 = floor(x), so
     floor(x + 0.5) is x0 when the fraction is < 0.5 and x0+1 otherwise
     (quad neighbors are pre-wrapped, core/textures.py::_pack_quads)."""
+    q = q[:, :16].astype(jnp.float32)
     right = fx >= 0.5
     down = fy >= 0.5
     top = jnp.where(right, q[:, 4:8], q[:, 0:4])
@@ -119,26 +196,29 @@ def _pick_nearest(q, fx, fy):
     return jnp.where(down, bot, top)
 
 
-def _mip_level(desc, duv_dx, duv_dy):
+def _mip_level(desc, duv):
     """Isotropic LOD from screen-space uv gradients (per-pixel, given the
-    already-fetched descriptor rows)."""
+    already-fetched descriptor rows). duv = (dudx, dvdx, dudy, dvdy)
+    channel arrays."""
+    dudx, dvdx, dudy, dvdy = duv
     w = desc[:, TD_WIDTH].astype(jnp.float32)
     h = desc[:, TD_HEIGHT].astype(jnp.float32)
-    gx = jnp.stack([duv_dx[:, 0] * w, duv_dx[:, 1] * h], axis=-1)
-    gy = jnp.stack([duv_dy[:, 0] * w, duv_dy[:, 1] * h], axis=-1)
-    rho2 = jnp.maximum(jnp.sum(gx * gx, axis=-1), jnp.sum(gy * gy, axis=-1))
-    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    rx = (dudx * w) ** 2 + (dvdx * h) ** 2
+    ry = (dudy * w) ** 2 + (dvdy * h) ** 2
+    return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
 
 
-def sample_texture_batch(texq, descriptors, taps, has_nearest: bool = True):
+def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     """Sample many texture taps through ONE texel gather (and one
-    descriptor one-hot matmul).
+    descriptor one-hot matmul) — channel-column form.
 
-    taps: list of (tex_id (P,) i32, uv (P,2) f32, duv or None) where duv =
-    (duv_dx, duv_dy) enables gradient mip selection + trilinear. Returns a
-    list of (P,4) colors aligned with taps; tex_id < 0 → white. This is
-    the TPU shape of the reference's texture-pool sampling loop
-    (material_opaque_wgsl/compute.wgsl): all slots sample together.
+    taps: list of (tex_id (P,) i32, (u, v) channel pair, duv or None)
+    where duv = (dudx, dvdx, dudy, dvdy) channels enables gradient mip
+    selection + trilinear (ONE row per tap even then — the row carries
+    the parent-mip 3x3). Returns a list of [r,g,b,a] channel lists
+    aligned with taps; tex_id < 0 → white. This is the TPU shape of the
+    reference's texture-pool sampling loop (material_opaque_wgsl/
+    compute.wgsl): all slots sample together.
     """
     from .vertex import onehot_gather
 
@@ -153,72 +233,69 @@ def sample_texture_batch(texq, descriptors, taps, has_nearest: bool = True):
     desc_all = onehot_gather(ids_all, descriptors.astype(jnp.float32)).astype(jnp.int32)
     descs = [desc_all[i * P : (i + 1) * P] for i in range(nt)]
 
-    # per-tap, per-level index/weight computation (pure ALU)
     plans = []
     idx_parts = []
-    for (tex_id, uv, duv), desc in zip(taps, descs):
+    any_mips = False
+    for (tex_id, (u, v), duv), desc in zip(taps, descs):
         n_mips = desc[:, TD_N_MIPS]
         if duv is not None:
-            level = jnp.clip(_mip_level(desc, duv[0], duv[1]), 0.0,
+            level = jnp.clip(_mip_level(desc, duv), 0.0,
                              (n_mips - 1).astype(jnp.float32))
             l0 = jnp.floor(level).astype(jnp.int32)
-            l1 = jnp.minimum(l0 + 1, n_mips - 1)
-            frac = (level - l0.astype(jnp.float32))[:, None]
+            frac = level - l0.astype(jnp.float32)
+            any_mips = True
         else:
             l0 = jnp.zeros(P, jnp.int32)
-            l1 = None
             frac = None
-        sub = []
-        for lv in (l0, l1):
-            if lv is None:
-                continue
-            idx, fx, fy = _level_idx(desc, uv, lv)
-            sub.append((len(idx_parts), fx, fy))
-            idx_parts.append(idx)
-        plans.append((tex_id, desc, frac, sub))
+        plan = _level_idx(desc, u, v, l0)
+        plans.append((tex_id, desc, u, v, plan[1:], frac))
+        idx_parts.append(plan[0])
 
-    # THE gather: every tap, level, and nearest probe in one op
+    # THE gather: every tap in one op; then one multi-output column
+    # extraction into (P,) channels (everything downstream is (P,)-shaped)
     idx_all = jnp.clip(jnp.concatenate(idx_parts), 0, texq.shape[0] - 1)
-    q_all = texq[idx_all]                                  # (n_parts*P, 16)
-
-    def part(i):
-        return q_all[i * P : (i + 1) * P]
+    q_all = texq[idx_all]                            # (n_taps*P, TEXEL_COLS)
+    ncols = 52 if any_mips else 16
+    cols_all = [q_all[:, c].astype(jnp.float32) for c in range(ncols)]
 
     outs = []
-    for (tex_id, desc, frac, sub) in plans:
-        linear = desc[:, TD_FILTER_LINEAR] > 0
-        levels = []
-        for (part_i, fx, fy) in sub:
-            q = part(part_i)
-            bil = _blend_bilinear(q, fx, fy)
-            if has_nearest:
-                # nearest filtering selects a quad corner — same gather
-                bil = jnp.where(linear[:, None], bil, _pick_nearest(q, fx, fy))
-            levels.append(bil)
-        if frac is not None and len(levels) == 2:
-            tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
-            out = jnp.where(tri[:, None],
-                            levels[0] * (1 - frac) + levels[1] * frac, levels[0])
-        else:
-            out = levels[0]
-        outs.append(jnp.where((tex_id >= 0)[:, None], out, jnp.ones_like(out)))
+    for i, (tex_id, desc, u, v, plan, frac) in enumerate(plans):
+        cols = [c[i * P : (i + 1) * P] for c in cols_all]
+        ch = _tap_channels(cols, desc, u, v, plan, frac, has_nearest)
+        bound = tex_id >= 0
+        outs.append([jnp.where(bound, c, 1.0) for c in ch])
     return outs
 
 
-def _sample_level(texq, desc, uv, level, has_nearest: bool = True):
-    """Bilinear sample at integer mip `level` (P,). desc: (P, DESC_I32).
+def sample_texture_batch(texq, descriptors, taps, has_nearest: bool = True):
+    """AoS-compat wrapper over sample_texture_batch_c: taps carry (P,2)
+    uv / ((P,2),(P,2)) duv and results come back stacked (P,4)."""
+    conv = []
+    for (tex_id, uv, duv) in taps:
+        duv_c = None if duv is None else (duv[0][:, 0], duv[0][:, 1],
+                                          duv[1][:, 0], duv[1][:, 1])
+        conv.append((tex_id, (uv[:, 0], uv[:, 1]), duv_c))
+    return [jnp.stack(ch, axis=-1)
+            for ch in sample_texture_batch_c(texq, descriptors, conv,
+                                             has_nearest)]
 
-    texq is the quad-packed texel buffer (N, 16): each row carries the
-    texel plus its pre-wrapped right/down/diag neighbors
-    (core/textures.py::_pack_quads), so one bilinear tap = ONE gather.
-    has_nearest=False compiles out the nearest-filter select."""
-    idx, fx, fy = _level_idx(desc, uv, level)
+
+def _sample_level(texq, desc, uv, level, has_nearest: bool = True,
+                  frac=None):
+    """Sample at integer mip `level` (P,), trilinear when frac is given.
+
+    texq is the packed texel buffer (N, TEXEL_COLS): each row carries the
+    bilinear quad plus the parent mip's 3x3 neighborhood
+    (core/textures.py::_pack_rows), so one bilinear OR trilinear tap =
+    ONE gather. has_nearest=False compiles out the nearest-filter select."""
+    u, v = uv[:, 0], uv[:, 1]
+    idx, fx, fy, x0i, y0i, wm, hm = _level_idx(desc, u, v, level)
     q = texq[jnp.clip(idx, 0, texq.shape[0] - 1)]
-    bil = _blend_bilinear(q, fx, fy)
-    if not has_nearest:
-        return bil
-    linear = desc[:, TD_FILTER_LINEAR] > 0
-    return jnp.where(linear[:, None], bil, _pick_nearest(q, fx, fy))
+    ncols = 52 if frac is not None else 16
+    cols = [q[:, c].astype(jnp.float32) for c in range(ncols)]
+    ch = _tap_channels(cols, desc, u, v, (fx, fy, x0i, y0i, wm, hm),
+                       frac, has_nearest)
+    return jnp.stack(ch, axis=-1)
 
 
 def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,
@@ -243,12 +320,8 @@ def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,
     else:
         level = jnp.clip(mip_level, 0.0, (n_mips - 1).astype(jnp.float32))
         l0 = jnp.floor(level).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, n_mips - 1)
-        frac = (level - l0.astype(jnp.float32))[:, None]
-        s0 = _sample_level(texq, desc, uv, l0, has_nearest)
-        tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
-        s1 = _sample_level(texq, desc, uv, l1, has_nearest)
-        out = jnp.where(tri[:, None], s0 * (1 - frac) + s1 * frac, s0)
+        frac = level - l0.astype(jnp.float32)
+        out = _sample_level(texq, desc, uv, l0, has_nearest, frac=frac)
 
     return jnp.where((tex_id >= 0)[:, None], out, jnp.ones_like(out))
 
@@ -263,12 +336,8 @@ def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
 
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
     desc = onehot_gather(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
-    w = desc[:, TD_WIDTH].astype(jnp.float32)
-    h = desc[:, TD_HEIGHT].astype(jnp.float32)
-    gx = jnp.stack([duv_dx[:, 0] * w, duv_dx[:, 1] * h], axis=-1)
-    gy = jnp.stack([duv_dy[:, 0] * w, duv_dy[:, 1] * h], axis=-1)
-    rho2 = jnp.maximum(jnp.sum(gx * gx, axis=-1), jnp.sum(gy * gy, axis=-1))
-    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    return _mip_level(desc, (duv_dx[:, 0], duv_dx[:, 1],
+                             duv_dy[:, 0], duv_dy[:, 1]))
 
 
 def apply_texture_transform(tex_transforms, transform_id, uv):
@@ -277,12 +346,25 @@ def apply_texture_transform(tex_transforms, transform_id, uv):
     Row slot 6 is a mode flag: 1 = wrap (fract) uv BEFORE the affine map —
     used by MegaTexture atlas entries so REPEAT sampling stays inside the
     entry's sub-rectangle (reference mega_texture per-entry uv offset/scale
-    behaves the same way)."""
+    behaves the same way). The tiny table is fetched with a one-hot MXU
+    matmul, NOT a gather — a second real gather in the same XLA
+    computation as the texel gather costs +25-45 ms at 1080p
+    (anti-fusion), which dwarfs the whole tap budget."""
+    u, v = apply_texture_transform_c(tex_transforms, transform_id,
+                                     uv[:, 0], uv[:, 1])
+    return jnp.stack([u, v], axis=-1)
+
+
+def apply_texture_transform_c(tex_transforms, transform_id, u, v):
+    """Channel-column form of apply_texture_transform: (u, v) → (u', v')."""
+    from .vertex import onehot_gather
+
     safe = jnp.clip(transform_id, 0, tex_transforms.shape[0] - 1)
-    t = tex_transforms[safe]                            # (P, 8)
+    t = onehot_gather(safe, tex_transforms)             # (P, 8)
     wrap_first = t[:, 6] > 0.5
-    uvw = jnp.where(wrap_first[:, None], uv - jnp.floor(uv), uv)
-    u = t[:, 0] * uvw[:, 0] + t[:, 1] * uvw[:, 1] + t[:, 4]
-    v = t[:, 2] * uvw[:, 0] + t[:, 3] * uvw[:, 1] + t[:, 5]
-    out = jnp.stack([u, v], axis=-1)
-    return jnp.where((transform_id >= 0)[:, None], out, uv)
+    uw = jnp.where(wrap_first, u - jnp.floor(u), u)
+    vw = jnp.where(wrap_first, v - jnp.floor(v), v)
+    uo = t[:, 0] * uw + t[:, 1] * vw + t[:, 4]
+    vo = t[:, 2] * uw + t[:, 3] * vw + t[:, 5]
+    bound = transform_id >= 0
+    return jnp.where(bound, uo, u), jnp.where(bound, vo, v)

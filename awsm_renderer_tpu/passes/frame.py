@@ -202,12 +202,12 @@ def render_frame(
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
             has_nearest=has_nearest, ext=ext,
         )
-        hit = h_valid[:, None]
-        a = jnp.where(h_valid, h_alpha, 0.0)[:, None]
+        a = jnp.where(h_valid, h_alpha, 0.0)
         flat = hdr.reshape(P, 4)
-        blended = jnp.concatenate(
-            [h_color * a + flat[:, :3] * (1 - a), jnp.maximum(flat[:, 3:4], a)], axis=-1)
-        hdr = jnp.where(hit, blended, flat).reshape(rh, rw, 4)
+        out = [jnp.where(h_valid, h_color[c] * a + flat[:, c] * (1 - a),
+                         flat[:, c]) for c in range(3)]
+        out.append(jnp.where(h_valid, jnp.maximum(flat[:, 3], a), flat[:, 3]))
+        hdr = jnp.stack(out, axis=-1).reshape(rh, rw, 4)
         tri_id = jnp.where(h_vis["tri_id"] >= 0, h_vis["tri_id"], tri_id)
 
     # crop padding, then supersample-resolve in linear HDR (the reference's

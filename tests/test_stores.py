@@ -125,8 +125,9 @@ class TestTextures:
         # level 0 texels match
         off = d[TD_MIP_OFFSETS]
         np.testing.assert_allclose(
-            t.texels_packed[off : off + 16 * 32, :4].reshape(16, 32, 4),
-            img.astype(np.float32) / 255.0, atol=1e-6,
+            t.texels_packed[off : off + 16 * 32, :4].reshape(16, 32, 4)
+            .astype(np.float32),
+            img.astype(np.float32) / 255.0, atol=4e-3,  # bf16 storage
         )
 
     def test_srgb_applied(self):
@@ -135,7 +136,8 @@ class TestTextures:
         key = t.add_image(img, srgb=True)
         off = t.descriptors[t.row_of(key), TD_MIP_OFFSETS]
         expected = srgb_to_linear(np.float32(128 / 255))
-        np.testing.assert_allclose(t.texels_packed[off, 0], expected, atol=1e-6)
+        np.testing.assert_allclose(np.float32(t.texels_packed[off, 0]),
+                                   expected, atol=4e-3)  # bf16 storage
         assert t.texels_packed[off, 3] == 1.0  # alpha untouched
 
     def test_remove_reuses_space(self):
