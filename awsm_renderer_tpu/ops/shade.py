@@ -40,7 +40,7 @@ from .texsample import (
     apply_texture_transform_c,
     sample_texture_batch_c,
 )
-from .vertex import onehot_gather
+from .vertex import onehot_gather, onehot_gather_t
 
 _EPS = 1e-6
 ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
@@ -151,7 +151,21 @@ def _screen_gradient(ch, W, H, vertical: bool = False, layers: int = 1):
 
     layers > 1: ch holds `layers` stacked images of H//layers rows each
     (the batched transparent-layer shade); differences never cross a
-    layer boundary."""
+    layer boundary. The layers == 1 path stays strictly 2-D (H, W): a
+    (1, H, W)/(H, W, 1) shape here cost ~4 ms PER select fusion at 1080p
+    (degenerate-dim layouts again)."""
+    if layers == 1:
+        g = ch.reshape(H, W)
+        ax = 0 if vertical else 1
+        d = jnp.diff(g, axis=ax)
+        if vertical:
+            fwd = jnp.concatenate([d, d[-1:]], 0)
+            bwd = jnp.concatenate([d[:1], d], 0)
+        else:
+            fwd = jnp.concatenate([d, d[:, -1:]], 1)
+            bwd = jnp.concatenate([d[:, :1], d], 1)
+        pick = jnp.where(jnp.abs(fwd) <= jnp.abs(bwd), fwd, bwd)
+        return pick.reshape(-1)
     g = ch.reshape(layers, H // layers, W)
     axis = 1 if vertical else 2
     d = jnp.diff(g, axis=axis)                           # size-1 along axis
@@ -325,21 +339,23 @@ def shade_surface(
     cam_pos = ds["camera"]["position"]
     v = norm3([cam_pos[k] - world_pos[k] for k in range(3)])
 
-    # ---- material fetch: ONE one-hot matmul ----------------------------------
+    # ---- material fetch: ONE one-hot matmul, CHANNEL-MAJOR result ------------
+    # (onehot_gather_t: a (P, 116) result's extracted columns get T(1,128)
+    # layouts at 1/8 vector utilization + multi-ms relayout copies)
     mat_row = jnp.clip(planes["mat_row"].astype(jnp.int32), 0,
                        ds["mat_float"].shape[0] - 1)
     table = _material_table(ds)
-    fused = onehot_gather(mat_row, table)                   # (P, 116)
+    fused = onehot_gather_t(mat_row, table)                 # (116, P)
 
     def mf(i, k=1):
-        return (fused[:, i] if k == 1
-                else [fused[:, i + c] for c in range(k)])
+        return (fused[i] if k == 1
+                else [fused[i + c] for c in range(k)])
 
     def slot_col(slot, c):
-        return fused[:, M.NUM_F32 + slot * 3 + c]
+        return fused[M.NUM_F32 + slot * 3 + c]
 
     def mflag(i):
-        return fused[:, M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + i]
+        return fused[M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + i]
 
     is_unlit = mflag(M.MI_KIND) == float(M.KIND_UNLIT)
     is_grid = mflag(M.MI_KIND) == float(M.KIND_GRID)

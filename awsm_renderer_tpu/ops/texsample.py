@@ -69,18 +69,18 @@ def _level_idx(desc, u, v, level):
     gathers in one jit ≈ 45-67 ms), so batching indices and splitting
     the result is the difference between HBM-speed sampling and
     latency-bound sampling."""
-    w0 = desc[:, TD_WIDTH]
-    h0 = desc[:, TD_HEIGHT]
+    w0 = desc[TD_WIDTH]
+    h0 = desc[TD_HEIGHT]
     wm = jnp.maximum(w0 >> level, 1)
     hm = jnp.maximum(h0 >> level, 1)
     lv = jnp.clip(level, 0, MAX_MIPS - 1)
     # select the mip offset with a one-hot sum (row-wise dynamic column
     # extraction lowers to a slow gather otherwise)
     offset = sum(
-        jnp.where(lv == m, desc[:, TD_MIP_OFFSETS + m], 0) for m in range(MAX_MIPS)
+        jnp.where(lv == m, desc[TD_MIP_OFFSETS + m], 0) for m in range(MAX_MIPS)
     )
-    wrap_s = desc[:, TD_WRAP_S]
-    wrap_t = desc[:, TD_WRAP_T]
+    wrap_s = desc[TD_WRAP_S]
+    wrap_t = desc[TD_WRAP_T]
 
     wf = wm.astype(jnp.float32)
     hf = hm.astype(jnp.float32)
@@ -130,7 +130,7 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
     ops run at 4/128 lane efficiency on TPU (~0.26 ms each at 1080p),
     which made the old AoS tap path ~15 ms of pure ALU."""
     fx, fy, x0i, y0i, wm, hm = plan
-    linear = desc[:, TD_FILTER_LINEAR] > 0
+    linear = desc[TD_FILTER_LINEAR] > 0
     w00, w10, w01, w11 = _quad_weights(fx, fy, linear, has_nearest)
     out = [cols[c] * w00 + cols[4 + c] * w10 + cols[8 + c] * w01
            + cols[12 + c] * w11 for c in range(4)]
@@ -142,8 +142,8 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
     # inside the baked 3x3 by its wrapped offset from base=((x0-1)>>1).
     w1 = jnp.maximum(wm >> 1, 1)
     h1 = jnp.maximum(hm >> 1, 1)
-    wrap_s = desc[:, TD_WRAP_S]
-    wrap_t = desc[:, TD_WRAP_T]
+    wrap_s = desc[TD_WRAP_S]
+    wrap_t = desc[TD_WRAP_T]
     x = _prep_coord(u, w1.astype(jnp.float32), wrap_s)
     y = _prep_coord(v, h1.astype(jnp.float32), wrap_t)
     ax = jnp.floor(x)
@@ -158,7 +158,7 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
     dy1 = jnp.clip(jnp.remainder(ayw - by, h1), 0, 1) == 1
     wx = _axis_weights(fx1, dx1, linear, has_nearest)
     wy = _axis_weights(fy1, dy1, linear, has_nearest)
-    tri = desc[:, TD_MIP_FILTER_LINEAR] > 0
+    tri = desc[TD_MIP_FILTER_LINEAR] > 0
     blend = jnp.where(tri, frac, 0.0)
     res = []
     for c in range(4):
@@ -201,8 +201,8 @@ def _mip_level(desc, duv):
     already-fetched descriptor rows). duv = (dudx, dvdx, dudy, dvdy)
     channel arrays."""
     dudx, dvdx, dudy, dvdy = duv
-    w = desc[:, TD_WIDTH].astype(jnp.float32)
-    h = desc[:, TD_HEIGHT].astype(jnp.float32)
+    w = desc[TD_WIDTH].astype(jnp.float32)
+    h = desc[TD_HEIGHT].astype(jnp.float32)
     rx = (dudx * w) ** 2 + (dvdx * h) ** 2
     ry = (dudy * w) ** 2 + (dvdy * h) ** 2
     return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
@@ -220,24 +220,25 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     reference's texture-pool sampling loop (material_opaque_wgsl/
     compute.wgsl): all slots sample together.
     """
-    from .vertex import onehot_gather
+    from .vertex import onehot_gather_t
 
     if not taps:
         return []
     P = taps[0][0].shape[0]
     nt = len(taps)
 
-    # one descriptor fetch for all taps
+    # one descriptor fetch for all taps — CHANNEL-MAJOR (DESC_I32, P) so
+    # per-field reads are contiguous rows (onehot_gather_t layout note)
     ids_all = jnp.concatenate([jnp.clip(t[0], 0, descriptors.shape[0] - 1)
                                for t in taps])
-    desc_all = onehot_gather(ids_all, descriptors.astype(jnp.float32)).astype(jnp.int32)
-    descs = [desc_all[i * P : (i + 1) * P] for i in range(nt)]
+    desc_all = onehot_gather_t(ids_all, descriptors.astype(jnp.float32)).astype(jnp.int32)
+    descs = [desc_all[:, i * P : (i + 1) * P] for i in range(nt)]
 
     plans = []
     idx_parts = []
     any_mips = False
     for (tex_id, (u, v), duv), desc in zip(taps, descs):
-        n_mips = desc[:, TD_N_MIPS]
+        n_mips = desc[TD_N_MIPS]
         if duv is not None:
             level = jnp.clip(_mip_level(desc, duv), 0.0,
                              (n_mips - 1).astype(jnp.float32))
@@ -251,12 +252,21 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
         plans.append((tex_id, desc, u, v, plan[1:], frac))
         idx_parts.append(plan[0])
 
-    # THE gather: every tap in one op; then one multi-output column
-    # extraction into (P,) channels (everything downstream is (P,)-shaped)
+    # THE gather: every tap in one op; then ONE explicit transpose so the
+    # per-channel reads are contiguous rows with the canonical rank-1
+    # layout (slicing columns out of the row-major gather result makes
+    # XLA assign T(1,128) layouts downstream — 1/8 vector utilization)
     idx_all = jnp.clip(jnp.concatenate(idx_parts), 0, texq.shape[0] - 1)
+    # barrier: without it the whole index-math fusion compiles INTO the
+    # gather operand's s32[N,1]{0,1:T(1,128)} layout (1/8 vector
+    # utilization — profiled 4.3 ms); with it the math runs in the
+    # canonical layout and only a thin convert feeds the gather
+    idx_all = jax.lax.optimization_barrier(idx_all)
     q_all = texq[idx_all]                            # (n_taps*P, TEXEL_COLS)
     ncols = 52 if any_mips else 16
-    cols_all = [q_all[:, c].astype(jnp.float32) for c in range(ncols)]
+    from .relayout import channel_rows
+    q_t = channel_rows(q_all[:, :ncols])             # (ncols, n_taps*P) f32
+    cols_all = [q_t[c] for c in range(ncols)]
 
     outs = []
     for i, (tex_id, desc, u, v, plan, frac) in enumerate(plans):
@@ -292,7 +302,9 @@ def _sample_level(texq, desc, uv, level, has_nearest: bool = True,
     idx, fx, fy, x0i, y0i, wm, hm = _level_idx(desc, u, v, level)
     q = texq[jnp.clip(idx, 0, texq.shape[0] - 1)]
     ncols = 52 if frac is not None else 16
-    cols = [q[:, c].astype(jnp.float32) for c in range(ncols)]
+    from .relayout import channel_rows
+    q_t = channel_rows(q[:, :ncols])
+    cols = [q_t[c] for c in range(ncols)]
     ch = _tap_channels(cols, desc, u, v, (fx, fy, x0i, y0i, wm, hm),
                        frac, has_nearest)
     return jnp.stack(ch, axis=-1)
@@ -308,12 +320,12 @@ def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,
     MXU (one-hot matmul — the descriptor table is tiny and XLA's TPU
     gather lowering is slow).
     """
-    from .vertex import onehot_gather
+    from .vertex import onehot_gather_t
 
     P = tex_id.shape[0]
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = onehot_gather(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
-    n_mips = desc[:, TD_N_MIPS]
+    desc = onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
+    n_mips = desc[TD_N_MIPS]
 
     if mip_level is None:
         out = _sample_level(texq, desc, uv, jnp.zeros(P, jnp.int32), has_nearest)
@@ -332,10 +344,10 @@ def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
     Ports the reference's gradient-based mip selection in the opaque
     shading kernel (material_opaque_wgsl/compute.wgsl texture sampling).
     """
-    from .vertex import onehot_gather
+    from .vertex import onehot_gather_t
 
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = onehot_gather(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
+    desc = onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
     return _mip_level(desc, (duv_dx[:, 0], duv_dx[:, 1],
                              duv_dy[:, 0], duv_dy[:, 1]))
 
@@ -357,14 +369,14 @@ def apply_texture_transform(tex_transforms, transform_id, uv):
 
 def apply_texture_transform_c(tex_transforms, transform_id, u, v):
     """Channel-column form of apply_texture_transform: (u, v) → (u', v')."""
-    from .vertex import onehot_gather
+    from .vertex import onehot_gather_t
 
     safe = jnp.clip(transform_id, 0, tex_transforms.shape[0] - 1)
-    t = onehot_gather(safe, tex_transforms)             # (P, 8)
-    wrap_first = t[:, 6] > 0.5
+    t = onehot_gather_t(safe, tex_transforms)           # (8, P)
+    wrap_first = t[6] > 0.5
     uw = jnp.where(wrap_first, u - jnp.floor(u), u)
     vw = jnp.where(wrap_first, v - jnp.floor(v), v)
-    uo = t[:, 0] * uw + t[:, 1] * vw + t[:, 4]
-    vo = t[:, 2] * uw + t[:, 3] * vw + t[:, 5]
+    uo = t[0] * uw + t[1] * vw + t[4]
+    vo = t[2] * uw + t[3] * vw + t[5]
     bound = transform_id >= 0
     return jnp.where(bound, uo, u), jnp.where(bound, vo, v)

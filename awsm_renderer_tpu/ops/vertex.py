@@ -89,6 +89,22 @@ def onehot_gather(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(oh, table, preferred_element_type=jnp.float32)
 
 
+def onehot_gather_t(rows: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[rows].T via one-hot matmul: rows (N,), table (cap, K) →
+    (K, N) f32, CHANNEL-MAJOR.
+
+    The transposed orientation matters for layout, not just math: a
+    (N, K) one-hot result gets a column-major TPU layout whose extracted
+    columns are f32[N,1]{0,1:T(1,128)} — 1/8 vector utilization that
+    then poisons every downstream elementwise op and inserts multi-ms
+    relayout copies (profiled: three ~15 ms fusions + a dozen ~15 ms
+    copies in the 1080p shade). A (K, N) result's rows are contiguous
+    (N,) slices with the canonical rank-1 layout."""
+    cap = table.shape[0]
+    oh = (jnp.arange(cap, dtype=rows.dtype)[:, None] == rows[None, :]).astype(jnp.bfloat16)
+    return jnp.dot(table.T, oh, preferred_element_type=jnp.float32)
+
+
 def _corner_comps(arr, C):
     """(3C, T) component-major array → [corner][component] lists of (T,).
 
