@@ -155,11 +155,10 @@ def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
 
     P = irr_dirs[0].shape[0]
     q_all = env[jnp.clip(jnp.concatenate(parts), 0, env.shape[0] - 1)]
-    # ONE physical transpose (Pallas pass) → channel reads are contiguous
-    # rows with the canonical rank-1 layout (see ops/relayout.py)
-    from .relayout import channel_rows
-    q_t = channel_rows(q_all)
-    cols_all = [q_t[c] for c in range(16)]
+    # ONE physical Pallas pass → each channel born as its own rank-1
+    # array with the canonical layout (see ops/relayout.py)
+    from .relayout import split_channels
+    cols_all = split_channels(q_all)
 
     def cols(i):
         return [c[i * P : (i + 1) * P] for c in cols_all]

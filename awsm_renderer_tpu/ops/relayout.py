@@ -1,12 +1,14 @@
 """Physical relayout helpers.
 
-XLA on TPU canonicalizes `jnp.transpose` into a layout BITCAST — no data
-moves — and then pays a full-array relayout copy for every row later
-sliced out of the "transposed" result (profiled: ~1.4 ms per channel
-at 1080p, x52 channels ≈ 73 ms in the shade pass). Pallas kernel I/O is
-required to be in the standard {row-major, (8,128)-tiled} layout, so a
-trivial Pallas transpose forces ONE physical pass after which every row
-slice is a contiguous (P,) array with the canonical rank-1 layout.
+XLA on TPU canonicalizes transposes into layout BITCASTS and assigns
+degenerate-dimension layouts (f32[1,P]{T(1,128)}, f32[P,1]{T(1,128)})
+to row/column slices of 2-D tables — every such array runs elementwise
+work at 1/8 vector utilization and inserts multi-ms relayout copies
+(profiled repeatedly in the 1080p shade). Pallas kernel I/O is required
+to be in the standard {row-major, (8,128)-tiled} layout, so these
+helpers move data through one trivial Pallas pass whose MULTIPLE
+rank-1 outputs are each born with the canonical (P,) layout — no
+slicing ever happens on the XLA side.
 """
 
 from __future__ import annotations
@@ -24,28 +26,109 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_blk(P: int) -> int:
+    blk = _BLK
+    while P % blk:      # avoid a 200+ MB jnp.pad copy when a divisor fits
+        blk //= 2
+        if blk < 128:
+            return _BLK
+    return blk
+
+
+def _padded(x, blk, axis):
+    P = x.shape[axis]
+    pad = (-P) % blk
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x, P + pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def split_channels(x: jnp.ndarray, interpret: bool | None = None):
+    """Row-major block (P, C) → tuple of C separate (P,) f32 arrays.
+
+    Use on gathered row-blocks (texels, env taps): one physical pass
+    transposes each tile in-kernel and writes every channel as its own
+    rank-1 output."""
+    if interpret is None:
+        interpret = _interpret_default()
+    P, C = x.shape
+    dt = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    if interpret:
+        return tuple(x[:, c].astype(dt) for c in range(C))
+    blk = _pick_blk(P)
+    x, Pp = _padded(x, blk, 0)
+
+    def kernel(x_ref, *o_refs):
+        t = x_ref[:].astype(dt).T                   # (C, blk)
+        for k, o in enumerate(o_refs):
+            o[:] = t[k]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // blk,),
+        in_specs=[pl.BlockSpec((blk, C), lambda i: (i, 0))],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda i: (i,))
+                        for _ in range(C)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Pp,), dt)
+                        for _ in range(C)),
+        interpret=interpret,
+    )(x)
+    if Pp != P:
+        outs = tuple(o[:P] for o in outs)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def split_rows(x: jnp.ndarray, interpret: bool | None = None):
+    """Channel-major table (C, P) → tuple of C separate (P,) f32 arrays.
+
+    Use on one-hot matmul results (material/descriptor/transform
+    tables): the rows are already contiguous; the pass just materializes
+    each as an independent rank-1 array so no XLA-side row slice (and
+    its T(1,128) layout) ever exists."""
+    if interpret is None:
+        interpret = _interpret_default()
+    C, P = x.shape
+    dt = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    if interpret:
+        return tuple(x[c].astype(dt) for c in range(C))
+    blk = _pick_blk(P)
+    x, Pp = _padded(x, blk, 1)
+
+    def kernel(x_ref, *o_refs):
+        blk_v = x_ref[:].astype(dt)                 # (C, blk)
+        for k, o in enumerate(o_refs):
+            o[:] = blk_v[k]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // blk,),
+        in_specs=[pl.BlockSpec((C, blk), lambda i: (0, i))],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda i: (i,))
+                        for _ in range(C)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Pp,), dt)
+                        for _ in range(C)),
+        interpret=interpret,
+    )(x)
+    if Pp != P:
+        outs = tuple(o[:P] for o in outs)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def channel_rows(x: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """(P, C) block → (C, P) f32, physically transposed.
-
-    Use on gathered row-blocks (texels, env taps) before per-channel row
-    extraction. The f32 convert rides the same pass."""
+    """(P, C) block → (C, P) f32, physically transposed (legacy form —
+    prefer split_channels, whose outputs never need row slicing)."""
     if interpret is None:
         interpret = _interpret_default()
     P, C = x.shape
     if interpret:
-        # plain XLA path for CPU tests — layout pathology is TPU-specific
         return x.T.astype(jnp.float32)
-    blk = _BLK
-    while P % blk:      # avoid a 200+ MB jnp.pad copy when a divisor fits
-        blk //= 2
-        if blk < 8:
-            blk = _BLK
-            break
-    pad = (-P) % blk
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-    Pp = P + pad
+    blk = _pick_blk(P)
+    x, Pp = _padded(x, blk, 0)
 
     def kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:].astype(jnp.float32).T

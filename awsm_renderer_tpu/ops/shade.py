@@ -345,7 +345,8 @@ def shade_surface(
     mat_row = jnp.clip(planes["mat_row"].astype(jnp.int32), 0,
                        ds["mat_float"].shape[0] - 1)
     table = _material_table(ds)
-    fused = onehot_gather_t(mat_row, table)                 # (116, P)
+    from .relayout import split_rows
+    fused = split_rows(onehot_gather_t(mat_row, table))     # 116 x (P,)
 
     def mf(i, k=1):
         return (fused[i] if k == 1

@@ -227,12 +227,16 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     P = taps[0][0].shape[0]
     nt = len(taps)
 
-    # one descriptor fetch for all taps — CHANNEL-MAJOR (DESC_I32, P) so
-    # per-field reads are contiguous rows (onehot_gather_t layout note)
+    # one descriptor fetch for all taps — split into per-field rank-1
+    # arrays so no XLA-side row slice ever exists (ops/relayout.py)
+    from .relayout import split_rows
+
     ids_all = jnp.concatenate([jnp.clip(t[0], 0, descriptors.shape[0] - 1)
                                for t in taps])
-    desc_all = onehot_gather_t(ids_all, descriptors.astype(jnp.float32)).astype(jnp.int32)
-    descs = [desc_all[:, i * P : (i + 1) * P] for i in range(nt)]
+    desc_rows = split_rows(
+        onehot_gather_t(ids_all, descriptors.astype(jnp.float32)).astype(jnp.int32))
+    descs = [tuple(r[i * P : (i + 1) * P] for r in desc_rows)
+             for i in range(nt)]
 
     plans = []
     idx_parts = []
@@ -264,9 +268,8 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     idx_all = jax.lax.optimization_barrier(idx_all)
     q_all = texq[idx_all]                            # (n_taps*P, TEXEL_COLS)
     ncols = 52 if any_mips else 16
-    from .relayout import channel_rows
-    q_t = channel_rows(q_all[:, :ncols])             # (ncols, n_taps*P) f32
-    cols_all = [q_t[c] for c in range(ncols)]
+    from .relayout import split_channels
+    cols_all = split_channels(q_all[:, :ncols])      # ncols x (n_taps*P,)
 
     outs = []
     for i, (tex_id, desc, u, v, plan, frac) in enumerate(plans):
@@ -302,9 +305,8 @@ def _sample_level(texq, desc, uv, level, has_nearest: bool = True,
     idx, fx, fy, x0i, y0i, wm, hm = _level_idx(desc, u, v, level)
     q = texq[jnp.clip(idx, 0, texq.shape[0] - 1)]
     ncols = 52 if frac is not None else 16
-    from .relayout import channel_rows
-    q_t = channel_rows(q[:, :ncols])
-    cols = [q_t[c] for c in range(ncols)]
+    from .relayout import split_channels
+    cols = split_channels(q[:, :ncols])
     ch = _tap_channels(cols, desc, u, v, (fx, fy, x0i, y0i, wm, hm),
                        frac, has_nearest)
     return jnp.stack(ch, axis=-1)
@@ -320,11 +322,13 @@ def sample_texture(texq, descriptors, tex_id, uv, mip_level=None,
     MXU (one-hot matmul — the descriptor table is tiny and XLA's TPU
     gather lowering is slow).
     """
+    from .relayout import split_rows
     from .vertex import onehot_gather_t
 
     P = tex_id.shape[0]
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
+    desc = split_rows(
+        onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32))
     n_mips = desc[TD_N_MIPS]
 
     if mip_level is None:
@@ -344,10 +348,12 @@ def mip_level_from_grads(descriptors, tex_id, duv_dx, duv_dy):
     Ports the reference's gradient-based mip selection in the opaque
     shading kernel (material_opaque_wgsl/compute.wgsl texture sampling).
     """
+    from .relayout import split_rows
     from .vertex import onehot_gather_t
 
     safe_id = jnp.clip(tex_id, 0, descriptors.shape[0] - 1)
-    desc = onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32)
+    desc = split_rows(
+        onehot_gather_t(safe_id, descriptors.astype(jnp.float32)).astype(jnp.int32))
     return _mip_level(desc, (duv_dx[:, 0], duv_dx[:, 1],
                              duv_dy[:, 0], duv_dy[:, 1]))
 
@@ -369,10 +375,11 @@ def apply_texture_transform(tex_transforms, transform_id, uv):
 
 def apply_texture_transform_c(tex_transforms, transform_id, u, v):
     """Channel-column form of apply_texture_transform: (u, v) → (u', v')."""
+    from .relayout import split_rows
     from .vertex import onehot_gather_t
 
     safe = jnp.clip(transform_id, 0, tex_transforms.shape[0] - 1)
-    t = onehot_gather_t(safe, tex_transforms)           # (8, P)
+    t = split_rows(onehot_gather_t(safe, tex_transforms))   # 8 x (P,)
     wrap_first = t[6] > 0.5
     uw = jnp.where(wrap_first, u - jnp.floor(u), u)
     vw = jnp.where(wrap_first, v - jnp.floor(v), v)
