@@ -43,11 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .vertex import (
     NSETUP,
     S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
-    S_COLOR, S_IW0, S_IW1, S_IW2, S_MAT_ROW, S_NORMAL,
-    S_ORIG_ID, S_TANGENT, S_UV0, S_UV1, S_VALID,
-    S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2,
-    S_Z0, S_Z1, S_Z2,
+    S_COLOR, S_E0A, S_E0B, S_E0C, S_E1A, S_E1B, S_E1C,
+    S_E2A, S_E2B, S_E2C, S_IW0, S_IW1, S_IW2, S_MAT_ROW, S_NORMAL,
+    S_ORIG_ID, S_TANGENT, S_TANGENT_W, S_UV0, S_UV1,
+    S_ZA, S_ZB, S_ZC,
 )
+
+# smallest normal f32: E >= _FMIN ⟺ E > 0 for any non-degenerate edge
+# value (TPU flushes denormals; edge functions are either exactly 0 or
+# >= ~1e-12 in magnitude at screen scale)
+_FMIN = 1.1754943508222875e-38
 
 TILE_H = 8
 TILE_W = 128
@@ -97,7 +102,10 @@ def plane_layout(has_uv1: bool = True, has_color: bool = True,
     names += ["normal_x", "normal_y", "normal_z",
               "tangent_x", "tangent_y", "tangent_z", "tangent_w"]
     rows += [S_NORMAL + 3 * c for c in range(3)]
-    rows += [S_TANGENT + 3 * c for c in range(4)]
+    rows += [S_TANGENT + 3 * c for c in range(3)]
+    # tangent handedness is a flat per-triangle row, copied not blended
+    # (negative entry = copy row -(r+1); see _flush_planes)
+    rows += [-(S_TANGENT_W + 1)]
     if analytic_derivs:
         names += ["du0_dx", "dv0_dx", "du0_dy", "dv0_dy"]
     return tuple(names), tuple(rows)
@@ -178,36 +186,22 @@ def _merge_subgroup(P, px, py, state, zbounds=None, tile_xy=None,
     def col(r):
         return P[:, r : r + 1]  # (SUB, 1) — r is a Python int, static slice
 
-    x0, y0 = col(S_X0), col(S_Y0)
-    x1, y1 = col(S_X1), col(S_Y1)
-    x2, y2 = col(S_X2), col(S_Y2)
-    valid = col(S_VALID) > 0.5
+    # v4 plane-equation coverage: E_i = A_i*px + (B_i*py + C_i), two fused
+    # madds + one compare per edge. The top-left rule folds into a per-edge
+    # threshold derived from the coefficient signs (vertex.py row comment):
+    # left edge ⟺ A > 0; top edge ⟺ A == 0 and B > 0.
+    covers = []
+    zero = jnp.float32(0.0)
+    for ra, rb, rc in ((S_E0A, S_E0B, S_E0C), (S_E1A, S_E1B, S_E1C),
+                       (S_E2A, S_E2B, S_E2C)):
+        a, b, c = col(ra), col(rb), col(rc)
+        e = a * px + (b * py + c)
+        tl = (a > 0) | ((a == 0) & (b > 0))
+        thr = jnp.where(tl, zero, jnp.float32(_FMIN))
+        covers.append(e >= thr)
 
-    # edge functions (interior positive; vertex stage guarantees positive
-    # orientation)
-    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)   # edge v1->v2
-    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)   # edge v2->v0
-    e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)   # edge v0->v1
-
-    # top-left fill rule (pure boolean algebra — Mosaic rejects where()
-    # on i1 vectors)
-    def tl(ax, ay, bx, by):
-        top = (ay == by) & (bx > ax)
-        left = by < ay
-        return top | left
-
-    in0 = (e0 > 0) | ((e0 == 0) & tl(x1, y1, x2, y2))
-    in1 = (e1 > 0) | ((e1 == 0) & tl(x2, y2, x0, y0))
-    in2 = (e2 > 0) | ((e2 == 0) & tl(x0, y0, x1, y1))
-
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # (SUB,1) > 0
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
-    b0 = e0 * inv_area
-    b1 = e1 * inv_area
-    b2 = 1.0 - b0 - b1
-    z = b0 * col(S_Z0) + b1 * col(S_Z1) + b2 * col(S_Z2)
-
-    cover = in0 & in1 & in2 & valid & (z >= 0.0) & (z <= 1.0)
+    z = col(S_ZA) * px + (col(S_ZB) * py + col(S_ZC))
+    cover = covers[0] & covers[1] & covers[2] & (z >= 0.0) & (z <= 1.0)
     if zbounds is not None:
         zlo, zhi = zbounds
         cover = cover & (z > zlo) & (z < zhi)
@@ -267,22 +261,16 @@ def _flush_planes(z, fields, px, py, attr_rows, analytic_derivs: bool):
     def row(r):
         return fields[r : r + 1, :]
 
-    x0, y0 = row(S_X0), row(S_Y0)
-    x1, y1 = row(S_X1), row(S_Y1)
-    x2, y2 = row(S_X2), row(S_Y2)
-
-    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
-    b0 = e0 * inv_area
-    b1 = e1 * inv_area
-    b2 = 1.0 - b0 - b1
+    # v4: raw edge values from the stored plane equations; the common
+    # area factor cancels in the perspective-normalized weights
+    e0 = row(S_E0A) * px + (row(S_E0B) * py + row(S_E0C))
+    e1 = row(S_E1A) * px + (row(S_E1B) * py + row(S_E1C))
+    e2 = row(S_E2A) * px + (row(S_E2B) * py + row(S_E2C))
 
     iw0, iw1, iw2 = row(S_IW0), row(S_IW1), row(S_IW2)
-    pb0 = b0 * iw0
-    pb1 = b1 * iw1
-    pb2 = b2 * iw2
+    pb0 = e0 * iw0
+    pb1 = e1 * iw1
+    pb2 = e2 * iw2
     denom = pb0 + pb1 + pb2
     inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
     pn0 = pb0 * inv_denom
@@ -291,20 +279,24 @@ def _flush_planes(z, fields, px, py, attr_rows, analytic_derivs: bool):
 
     outs = [row(S_ORIG_ID).astype(jnp.int32), z, row(S_MAT_ROW)]
     for base in attr_rows:
-        outs.append(pn0 * row(base) + pn1 * row(base + 1) + pn2 * row(base + 2))
+        if base < 0:    # flat copy row (tangent handedness)
+            outs.append(row(-base - 1))
+        else:
+            outs.append(pn0 * row(base) + pn1 * row(base + 1)
+                        + pn2 * row(base + 2))
 
     if analytic_derivs:
-        db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
-        db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
-        db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
-        dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
-        dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
-        dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
-        dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
-        dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
-        dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
-        dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
-        dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
+        # d(e_i)/dx = A_i, d(e_i)/dy = B_i
+        a0, a1, a2 = row(S_E0A), row(S_E1A), row(S_E2A)
+        b0_, b1_, b2_ = row(S_E0B), row(S_E1B), row(S_E2B)
+        dD_dx = a0 * iw0 + a1 * iw1 + a2 * iw2
+        dD_dy = b0_ * iw0 + b1_ * iw1 + b2_ * iw2
+        dpn0_dx = inv_denom * (a0 * iw0 - pn0 * dD_dx)
+        dpn1_dx = inv_denom * (a1 * iw1 - pn1 * dD_dx)
+        dpn2_dx = inv_denom * (a2 * iw2 - pn2 * dD_dx)
+        dpn0_dy = inv_denom * (b0_ * iw0 - pn0 * dD_dy)
+        dpn1_dy = inv_denom * (b1_ * iw1 - pn1 * dD_dy)
+        dpn2_dy = inv_denom * (b2_ * iw2 - pn2 * dD_dy)
         u0a, u0b, u0c = row(S_UV0), row(S_UV0 + 1), row(S_UV0 + 2)
         v0a, v0b, v0c = row(S_UV0 + 3), row(S_UV0 + 4), row(S_UV0 + 5)
         for (da0, da1, da2) in ((dpn0_dx, dpn1_dx, dpn2_dx),
@@ -517,7 +509,12 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
         zbounds = None
         if peel:
             zbounds = (zlo_ref[:].reshape(1, npx), zhi_ref[:].reshape(1, npx))
-        txy = (tx0, ty0)
+        # no per-subgroup bbox cond here: with the v4 plane-equation merge
+        # the body is cheap enough that the lax.cond overhead (vreg
+        # spills/reloads around 16 branches per chunk) costs more than the
+        # skipped work (measured 38.9 -> 31.8 ms at 1080p). The dense
+        # kernel keeps the cond — it visits every chunk.
+        txy = None
         twh = (tile_w, tile_h)
 
         z0 = jnp.full((1, npx), 1.0, jnp.float32)    # depth clear, LESS
@@ -699,20 +696,27 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
 
 
 def _chunk_zmin(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
-    """Conservative per-chunk minimum NDC z (n_chunks,) for hi-Z skipping."""
-    valid = setup[S_VALID].reshape(n_chunks, CHUNK) > 0.5
-    z = jnp.minimum(jnp.minimum(setup[S_Z0], setup[S_Z1]), setup[S_Z2])
-    return jnp.where(valid, z.reshape(n_chunks, CHUNK), _BIG).min(axis=1)
+    """Conservative per-chunk minimum NDC z (n_chunks,) for hi-Z skipping.
+
+    Derived from the affine z-plane over the screen bbox: for an affine
+    function the minimum over a rectangle sits at a corner, and the bbox
+    contains the triangle, so this lower-bounds the true z-min."""
+    za, zb, zc = setup[S_ZA], setup[S_ZB], setup[S_ZC]
+    minx, maxx = setup[S_BB_MINX], setup[S_BB_MAXX]
+    miny, maxy = setup[S_BB_MINY], setup[S_BB_MAXY]
+    zx = jnp.minimum(za * minx, za * maxx)
+    zy = jnp.minimum(zb * miny, zb * maxy)
+    z = jnp.where(minx <= maxx, zc + zx + zy, _BIG)    # invalid → ignore
+    return z.reshape(n_chunks, CHUNK).min(axis=1)
 
 
 def _chunk_bboxes(setup: jnp.ndarray, n_chunks: int) -> jnp.ndarray:
     """Conservative per-chunk screen bboxes (4, n_chunks); invalid
-    triangles contribute empty boxes."""
-    valid = setup[S_VALID].reshape(n_chunks, CHUNK) > 0.5
-    minx = jnp.where(valid, setup[S_BB_MINX].reshape(n_chunks, CHUNK), _BIG).min(axis=1)
-    miny = jnp.where(valid, setup[S_BB_MINY].reshape(n_chunks, CHUNK), _BIG).min(axis=1)
-    maxx = jnp.where(valid, setup[S_BB_MAXX].reshape(n_chunks, CHUNK), -_BIG).max(axis=1)
-    maxy = jnp.where(valid, setup[S_BB_MAXY].reshape(n_chunks, CHUNK), -_BIG).max(axis=1)
+    triangles carry empty boxes (finish_setup) and drop out naturally."""
+    minx = setup[S_BB_MINX].reshape(n_chunks, CHUNK).min(axis=1)
+    miny = setup[S_BB_MINY].reshape(n_chunks, CHUNK).min(axis=1)
+    maxx = setup[S_BB_MAXX].reshape(n_chunks, CHUNK).max(axis=1)
+    maxy = setup[S_BB_MAXY].reshape(n_chunks, CHUNK).max(axis=1)
     return jnp.stack([minx, miny, maxx, maxy], axis=0)
 
 

@@ -190,7 +190,9 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     visibility buffer stores ids + the shade pass re-interpolates,
     geometry_wgsl/fragment.wgsl + material_opaque compute.wgsl)."""
     from .vertex import (
-        S_COLOR, S_IW0, S_MAT_ROW, S_NORMAL, S_TANGENT, S_UV0, S_UV1, S_Z0,
+        S_COLOR, S_E0A, S_E0B, S_E0C, S_E1A, S_E1B, S_E1C, S_E2A, S_E2B,
+        S_E2C, S_IW0, S_MAT_ROW, S_NORMAL, S_TANGENT, S_TANGENT_W, S_UV0,
+        S_UV1,
     )
 
     tid = planes["tri_id"]
@@ -201,22 +203,16 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     py = (jnp.arange(P, dtype=jnp.float32) // width
           + jnp.float32(row_offset)) + 0.5
 
-    # xy layout is interleaved: x0 y0 x1 y1 x2 y2 (finish_setup)
-    x0, y0, x1, y1, x2, y2 = (S[:, i] for i in range(6))
-    z0, z1, z2 = S[:, S_Z0], S[:, S_Z0 + 1], S[:, S_Z0 + 2]
+    # v4 plane-equation rows (ops/vertex.py): raw edge values; the area
+    # factor cancels in the perspective-normalized weights
+    e0 = S[:, S_E0A] * px + (S[:, S_E0B] * py + S[:, S_E0C])
+    e1 = S[:, S_E1A] * px + (S[:, S_E1B] * py + S[:, S_E1C])
+    e2 = S[:, S_E2A] * px + (S[:, S_E2B] * py + S[:, S_E2C])
     iw0, iw1, iw2 = S[:, S_IW0], S[:, S_IW0 + 1], S[:, S_IW0 + 2]
 
-    e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-30, area2, 1.0)
-    b0 = e0 * inv_area
-    b1 = e1 * inv_area
-    b2 = 1.0 - b0 - b1
-
-    pb0 = b0 * iw0
-    pb1 = b1 * iw1
-    pb2 = b2 * iw2
+    pb0 = e0 * iw0
+    pb1 = e1 * iw1
+    pb2 = e2 * iw2
     denom = pb0 + pb1 + pb2
     inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
     pn0 = pb0 * inv_denom
@@ -236,21 +232,21 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
         out[name] = interp(S_COLOR + 3 * i)
     for i, name in enumerate(("normal_x", "normal_y", "normal_z")):
         out[name] = interp(S_NORMAL + 3 * i)
-    for i, name in enumerate(("tangent_x", "tangent_y", "tangent_z", "tangent_w")):
+    for i, name in enumerate(("tangent_x", "tangent_y", "tangent_z")):
         out[name] = interp(S_TANGENT + 3 * i)
+    out["tangent_w"] = S[:, S_TANGENT_W]
 
     # uv0 screen derivatives (same formulas as the fat-G-buffer merge)
-    db0_dx, db0_dy = -(y2 - y1) * inv_area, (x2 - x1) * inv_area
-    db1_dx, db1_dy = -(y0 - y2) * inv_area, (x0 - x2) * inv_area
-    db2_dx, db2_dy = -(y1 - y0) * inv_area, (x1 - x0) * inv_area
-    dD_dx = db0_dx * iw0 + db1_dx * iw1 + db2_dx * iw2
-    dD_dy = db0_dy * iw0 + db1_dy * iw1 + db2_dy * iw2
-    dpn0_dx = inv_denom * (db0_dx * iw0 - pn0 * dD_dx)
-    dpn1_dx = inv_denom * (db1_dx * iw1 - pn1 * dD_dx)
-    dpn2_dx = inv_denom * (db2_dx * iw2 - pn2 * dD_dx)
-    dpn0_dy = inv_denom * (db0_dy * iw0 - pn0 * dD_dy)
-    dpn1_dy = inv_denom * (db1_dy * iw1 - pn1 * dD_dy)
-    dpn2_dy = inv_denom * (db2_dy * iw2 - pn2 * dD_dy)
+    a0, a1, a2 = S[:, S_E0A], S[:, S_E1A], S[:, S_E2A]
+    b0_, b1_, b2_ = S[:, S_E0B], S[:, S_E1B], S[:, S_E2B]
+    dD_dx = a0 * iw0 + a1 * iw1 + a2 * iw2
+    dD_dy = b0_ * iw0 + b1_ * iw1 + b2_ * iw2
+    dpn0_dx = inv_denom * (a0 * iw0 - pn0 * dD_dx)
+    dpn1_dx = inv_denom * (a1 * iw1 - pn1 * dD_dx)
+    dpn2_dx = inv_denom * (a2 * iw2 - pn2 * dD_dx)
+    dpn0_dy = inv_denom * (b0_ * iw0 - pn0 * dD_dy)
+    dpn1_dy = inv_denom * (b1_ * iw1 - pn1 * dD_dy)
+    dpn2_dy = inv_denom * (b2_ * iw2 - pn2 * dD_dy)
     u0a, u0b, u0c = S[:, S_UV0], S[:, S_UV0 + 1], S[:, S_UV0 + 2]
     v0a, v0b, v0c = S[:, S_UV0 + 3], S[:, S_UV0 + 4], S[:, S_UV0 + 5]
     out["du0_dx"] = dpn0_dx * u0a + dpn1_dx * u0b + dpn2_dx * u0c

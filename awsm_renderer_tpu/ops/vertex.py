@@ -52,26 +52,45 @@ from ..core.meshes import (
 )
 
 # ---- setup row indices (transposed SoA: (NSETUP, 2T)) ----------------------
-S_X0, S_Y0, S_X1, S_Y1, S_X2, S_Y2 = 0, 1, 2, 3, 4, 5
-S_Z0, S_Z1, S_Z2 = 6, 7, 8
-S_IW0, S_IW1, S_IW2 = 9, 10, 11
-S_BB_MINX, S_BB_MINY, S_BB_MAXX, S_BB_MAXY = 12, 13, 14, 15
-S_VALID = 16
-S_MAT_ROW = 17            # per-triangle material row (flat attribute)
+# v4 PLANE-EQUATION layout: instead of raw corner positions, each triangle
+# stores its three edge-function coefficient triples (E = A*px + B*py + C)
+# and an affine NDC z-plane. The raster merge then evaluates coverage with
+# 2 fused madds + 1 compare per edge instead of the ~9-op corner form —
+# the merge ALU dominated the kernel (~40 of 48 ms at 1080p).
+#
+# Watertightness: A, B, C are built from exact-negation-symmetric forms
+# (A = y1-y2, C = x1*y2 - x2*y1), so the neighbor sharing an edge computes
+# EXACTLY -E at every pixel, and the top-left rule — derived in-kernel
+# from the signs of A, B — assigns each shared-edge pixel to exactly one
+# triangle (E >= t with t = top-left ? 0 : FLT_MIN_NORMAL; no f32 value
+# lies strictly between 0 and FLT_MIN_NORMAL).
+#
+# The "valid" flag folds into E0C (invalid → -3e38: never covers); the
+# per-triangle z-min for hi-Z is derived conservatively from the z-plane
+# over the bbox (raster._chunk_zmin).
+S_E0A, S_E0B, S_E0C = 0, 1, 2
+S_E1A, S_E1B, S_E1C = 3, 4, 5
+S_E2A, S_E2B, S_E2C = 6, 7, 8
+S_ZA, S_ZB, S_ZC = 9, 10, 11
+S_IW0, S_IW1, S_IW2 = 12, 13, 14
+S_BB_MINX, S_BB_MINY, S_BB_MAXX, S_BB_MAXY = 15, 16, 17, 18
+S_MAT_ROW = 19            # per-triangle material row (flat attribute)
+S_TANGENT_W = 20          # tangent handedness (corner 0 — ±1, not blended)
 # per-corner attributes (3 rows each per channel, corner-major: c0 c1 c2)
-S_UV0 = 18                # u0,u1,u2, v0,v1,v2         (6 rows)
-S_UV1 = 24                # 6 rows
-S_COLOR = 30              # r*3, g*3, b*3, a*3         (12 rows)
-S_NORMAL = 42             # nx*3, ny*3, nz*3           (9 rows)
-S_TANGENT = 51            # tx*3, ty*3, tz*3, tw*3     (12 rows)
+S_UV0 = 21                # u0,u1,u2, v0,v1,v2         (6 rows)
+S_UV1 = 27                # 6 rows
+S_COLOR = 33              # r*3, g*3, b*3, a*3         (12 rows)
+S_NORMAL = 45             # nx*3, ny*3, nz*3           (9 rows)
+S_TANGENT = 54            # tx*3, ty*3, tz*3           (9 rows)
 S_ORIG_ID = 63            # original setup-column id (f32, exact to 2^24) —
                           # rides through the Morton sort so the raster can
                           # emit original ids directly (no 2M-px remap gather)
 NSETUP = 64
 
-# attribute channel order inside the per-corner bundle (matches the
-# S_UV0..S_TANGENT row layout): uv0.uv, uv1.uv, color.rgba, normal.xyz,
-# tangent.xyzw
+# attribute channel order inside the per-corner bundle (channels 0..13 are
+# interpolated triples matching S_UV0..S_TANGENT; channel 14 is tangent.w,
+# emitted as the single S_TANGENT_W row): uv0.uv, uv1.uv, color.rgba,
+# normal.xyz, tangent.xyz, tangent.w
 NA = 15
 
 _Z_EPS = 1e-6
@@ -222,11 +241,31 @@ def finish_setup(corners, attrs, act, mat_row, flags, width, height,
 
     T = area2.shape[0]
     orig_id = jnp.float32(id_offset) + jnp.arange(T, dtype=jnp.float32)
-    rows = [sx[0], sy[0], sx[1], sy[1], sx[2], sy[2],
-            z[0], z[1], z[2], iw[0], iw[1], iw[2],
+
+    # ---- plane-equation setup (v4 layout, see row-index comment) ----------
+    # edge i is opposite corner i; interior positive after the swap.
+    # A = ya-yb, B = xb-xa, C = xa*yb - xb*ya are exact-negation-symmetric
+    # with the neighbor triangle sharing the edge (same products, negated
+    # subtraction), which keeps shared edges watertight.
+    ea = [sy[1] - sy[2], sy[2] - sy[0], sy[0] - sy[1]]
+    eb = [sx[2] - sx[1], sx[0] - sx[2], sx[1] - sx[0]]
+    ec = [sx[1] * sy[2] - sx[2] * sy[1],
+          sx[2] * sy[0] - sx[0] * sy[2],
+          sx[0] * sy[1] - sx[1] * sy[0]]
+    ec[0] = jnp.where(valid, ec[0], -big)       # invalid → never covers
+
+    # affine NDC z-plane: z(px,py) = ZA*px + ZB*py + ZC (z is screen-affine)
+    area_pos = jnp.where(front, -area2, area2)
+    inv_area = 1.0 / jnp.where(jnp.abs(area_pos) > 1e-30, area_pos, 1.0)
+    za = (z[0] * ea[0] + z[1] * ea[1] + z[2] * ea[2]) * inv_area
+    zb = (z[0] * eb[0] + z[1] * eb[1] + z[2] * eb[2]) * inv_area
+    zc = (z[0] * ec[0] + z[1] * ec[1] + z[2] * ec[2]) * inv_area
+
+    rows = [ea[0], eb[0], ec[0], ea[1], eb[1], ec[1], ea[2], eb[2], ec[2],
+            za, zb, zc, iw[0], iw[1], iw[2],
             bb_minx, bb_miny, bb_maxx, bb_maxy,
-            valid.astype(jnp.float32), mat_row]
-    for ch in range(NA):
+            mat_row, attrs[0][14]]
+    for ch in range(14):
         rows += [attrs[0][ch], attrs[1][ch], attrs[2][ch]]
     rows.append(orig_id)
 

@@ -33,16 +33,25 @@ from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize
 from ..ops.shade import shade_deferred
 from ..ops.tonemap import display_pass
 from ..ops.vertex import (
-    NSETUP, S_BB_MAXY, S_BB_MINY, S_Y0, S_Y1, S_Y2, vertex_stage,
+    S_BB_MAXY, S_BB_MINY, S_E0B, S_E0C, S_E1B, S_E1C, S_E2B, S_E2C,
+    S_ZB, S_ZC, vertex_stage,
 )
 
 
 def _shift_setup_rows(setup: jnp.ndarray, y0) -> jnp.ndarray:
-    """Translate triangle screen-y into band-local coordinates."""
-    shift = jnp.zeros((NSETUP, 1), setup.dtype)
-    for r in (S_Y0, S_Y1, S_Y2, S_BB_MINY, S_BB_MAXY):
-        shift = shift.at[r, 0].set(1.0)
-    return setup - shift * jnp.float32(y0)
+    """Translate triangle screen-y into band-local coordinates.
+
+    v4 plane-equation rows: E(px, py_local) must equal the global-space
+    value, so each edge constant gains B*y0 (and the z-plane ZB*y0);
+    bboxes translate."""
+    y0 = jnp.float32(y0)
+    s = setup
+    for rb, rc in ((S_E0B, S_E0C), (S_E1B, S_E1C), (S_E2B, S_E2C),
+                   (S_ZB, S_ZC)):
+        s = s.at[rc].add(s[rb] * y0)
+    s = s.at[S_BB_MINY].add(-y0)
+    s = s.at[S_BB_MAXY].add(-y0)
+    return s
 
 
 def render_frame_sharded(

@@ -58,14 +58,14 @@ def _sort_triangles(setup: jnp.ndarray):
     main frame sorts row-major blocks in prep_setup before transposing,
     which is ~6 ms cheaper at 524k triangles)."""
     from ..ops.vertex import (
-        S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY, S_VALID, _morton,
+        S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY, _morton,
     )
 
     cx = ((setup[S_BB_MINX] + setup[S_BB_MAXX]) * 0.5 / 8.0).astype(jnp.int32)
     cy = ((setup[S_BB_MINY] + setup[S_BB_MAXY]) * 0.5 / 8.0).astype(jnp.int32)
     key = _morton(jnp.clip(cx, 0, 0xFFFF), jnp.clip(cy, 0, 0xFFFF))
-    # invalid triangles sort to the end (their chunks cull to empty boxes)
-    key = jnp.where(setup[S_VALID] > 0.5, key, jnp.int32(0x7FFFFFFF))
+    # invalid triangles carry empty bboxes (minx=+BIG) and sort to the end
+    key = jnp.where(setup[S_BB_MINX] < 1e37, key, jnp.int32(0x7FFFFFFF))
     perm = jnp.argsort(key)
     return setup[:, perm], perm
 

@@ -9,15 +9,17 @@ import jax.numpy as jnp
 from awsm_renderer_tpu.ops.raster import CHUNK, pad_setup, rasterize
 from awsm_renderer_tpu.ops.vertex import (
     NSETUP, S_BB_MAXX, S_BB_MAXY, S_BB_MINX, S_BB_MINY,
-    S_IW0, S_IW1, S_IW2, S_ORIG_ID, S_UV0, S_VALID,
-    S_X0, S_X1, S_X2, S_Y0, S_Y1, S_Y2, S_Z0, S_Z1, S_Z2,
+    S_E0A, S_E0B, S_E0C, S_E1A, S_E1B, S_E1C, S_E2A, S_E2B, S_E2C,
+    S_IW0, S_IW1, S_IW2, S_ORIG_ID, S_UV0, S_ZA, S_ZB, S_ZC,
 )
 
 W, H = 128, 32
 
 
-def make_setup(tris):
-    """tris: list of dicts with xy (3,2), z (3,), iw (3,)."""
+def make_setup(tris, valid=None):
+    """tris: list of dicts with xy (3,2), z (3,), iw (3,). Builds v4
+    plane-equation rows the same way finish_setup does (exact-negation-
+    symmetric edge coefficients, affine z-plane)."""
     T = len(tris)
     s = np.zeros((NSETUP, T), np.float32)
     for t, tri in enumerate(tris):
@@ -29,14 +31,28 @@ def make_setup(tris):
             xy[2, 0] - xy[0, 0]
         ) * (xy[1, 1] - xy[0, 1])
         assert area2 > 0, "test triangles must be positively oriented"
-        s[S_X0, t], s[S_Y0, t] = xy[0]
-        s[S_X1, t], s[S_Y1, t] = xy[1]
-        s[S_X2, t], s[S_Y2, t] = xy[2]
-        s[S_Z0, t], s[S_Z1, t], s[S_Z2, t] = z
+        sx, sy = xy[:, 0], xy[:, 1]
+        ea = [sy[1] - sy[2], sy[2] - sy[0], sy[0] - sy[1]]
+        eb = [sx[2] - sx[1], sx[0] - sx[2], sx[1] - sx[0]]
+        ec = [sx[1] * sy[2] - sx[2] * sy[1],
+              sx[2] * sy[0] - sx[0] * sy[2],
+              sx[0] * sy[1] - sx[1] * sy[0]]
+        if valid is not None and not valid[t]:
+            ec[0] = np.float32(-3.0e38)
+        for i, (ra, rb, rc) in enumerate(((S_E0A, S_E0B, S_E0C),
+                                          (S_E1A, S_E1B, S_E1C),
+                                          (S_E2A, S_E2B, S_E2C))):
+            s[ra, t], s[rb, t], s[rc, t] = ea[i], eb[i], ec[i]
+        inv_area = 1.0 / area2
+        s[S_ZA, t] = (z[0] * ea[0] + z[1] * ea[1] + z[2] * ea[2]) * inv_area
+        s[S_ZB, t] = (z[0] * eb[0] + z[1] * eb[1] + z[2] * eb[2]) * inv_area
+        s[S_ZC, t] = (z[0] * ec[0] + z[1] * ec[1] + z[2] * ec[2]) * inv_area
         s[S_IW0, t], s[S_IW1, t], s[S_IW2, t] = iw
         s[S_BB_MINX, t], s[S_BB_MINY, t] = xy[:, 0].min(), xy[:, 1].min()
         s[S_BB_MAXX, t], s[S_BB_MAXY, t] = xy[:, 0].max(), xy[:, 1].max()
-        s[S_VALID, t] = 1.0
+        if valid is not None and not valid[t]:
+            s[S_BB_MINX, t] = s[S_BB_MINY, t] = 3.0e38
+            s[S_BB_MAXX, t] = s[S_BB_MAXY, t] = -3.0e38
         # uv0 per-corner = identity barycentric probes: the interpolated
         # uv0_u/uv0_v planes then equal bary_u/bary_v of the raster corners
         s[S_UV0 + 1, t] = 1.0   # u at corner 1
@@ -161,9 +177,8 @@ def test_perspective_correct_barycentrics():
 
 def test_invalid_triangles_skipped():
     tris = [{"xy": [[10, 2], [110, 2], [60, 30]]}]
-    s = np.array(make_setup(tris))  # writable copy
-    s[S_VALID, 0] = 0.0
-    out = rasterize(jnp.asarray(s), width=W, height=H)
+    s = make_setup(tris, valid=[False])
+    out = rasterize(s, width=W, height=H)
     assert np.all(np.asarray(out["tri_id"]) == -1)
     np.testing.assert_allclose(np.asarray(out["depth"]), 1.0)
 

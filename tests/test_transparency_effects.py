@@ -61,7 +61,10 @@ def test_two_transparent_layers_composite():
     r.add_mesh(tri, g1, transform=Transform(translation=np.array([-0.5, -0.5, 0.5], F)))
     r.add_mesh(tri, g2, transform=Transform(translation=np.array([-0.5, -0.5, 0.0], F)))
     img = r.render()
-    c = img[H // 2, W // 2, :3]
+    # probe 3 px inside the triangles: the exact center sits ON the
+    # hypotenuse, where coverage legitimately jitters by ~1e-5 px with
+    # the raster's f32 edge arithmetic
+    c = img[H // 2 + 3, W // 2 - 3, :3]
     lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
     # back-to-front over the default sky (0.1, 0.1, 0.12): green(0.5) over
     # sky, then blue(0.5) over that — blue contributes 0.5, green 0.25,
