@@ -619,7 +619,7 @@ def shade_surface(
                      "slot_mask", "solid_env", "has_nearest", "ext",
                      "debug_mode"),
 )
-def shade_deferred(
+def shade_deferred_c(
     vis, ds,
     *,
     width: int,
@@ -634,7 +634,10 @@ def shade_deferred(
     debug_mode: str = "none",   # none | normals | ibl | punctual
     setup_rows=None,
 ):
-    """Deferred opaque shading → HDR linear (height, width, 4) f32."""
+    """Deferred opaque shading → HDR linear [r, g, b, a] channel planes
+    (P,). The frame pipeline keeps HDR as channel planes end-to-end —
+    every (H,W,4) stack/re-slice round-trip costs a multi-ms relayout
+    (ops/cvec.py / ops/relayout.py notes)."""
     H, W = height, width
     H_full = height_full if height_full is not None else height
     P = H * W
@@ -655,7 +658,13 @@ def shade_deferred(
         color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
     out = [jnp.where(valid, color[c], sky[c]) for c in range(3)]
     alpha = valid.astype(jnp.float32)
-    return jnp.stack(out + [alpha], axis=-1).reshape(H, W, 4)
+    return out + [alpha]
+
+
+def shade_deferred(vis, ds, *, width: int, height: int, **kw):
+    """AoS-compat wrapper: HDR linear (height, width, 4) f32."""
+    ch = shade_deferred_c(vis, ds, width=width, height=height, **kw)
+    return jnp.stack(ch, axis=-1).reshape(height, width, 4)
 
 
 @functools.partial(
@@ -664,9 +673,9 @@ def shade_deferred(
                      "slot_mask", "solid_env", "has_nearest", "ext",
                      "n_layers"),
 )
-def shade_transparent_layers(
+def shade_transparent_layers_c(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
-    opaque_hdr,        # (H, W, 4) shaded opaque result
+    opaque_ch,         # [r, g, b, a] (P,) shaded opaque channel planes
     ds,
     *,
     width: int, height: int,
@@ -711,11 +720,21 @@ def shade_transparent_layers(
     trans = None if trans is None else [t.reshape(K, P) for t in trans]
 
     # back-to-front: layer K-1 is the farthest peel
-    flat_hdr = opaque_hdr.reshape(P, 4)
-    out = [flat_hdr[:, c] for c in range(3)]
+    out = list(opaque_ch[:3])
     for k in range(K - 1, -1, -1):
         for c in range(3):
             cc = color[c][k] if trans is None else color[c][k] + out[c] * trans[c][k]
             out[c] = cc * a[k] + out[c] * (1.0 - a[k])
 
-    return jnp.stack(out + [flat_hdr[:, 3]], axis=-1).reshape(H, W, 4)
+    return out + [opaque_ch[3]]
+
+
+def shade_transparent_layers(layers, opaque_hdr, ds, *, width: int,
+                             height: int, **kw):
+    """AoS-compat wrapper: (H, W, 4) in and out."""
+    P = width * height
+    flat = opaque_hdr.reshape(P, 4)
+    ch = shade_transparent_layers_c(
+        layers, [flat[:, c] for c in range(4)], ds,
+        width=width, height=height, **kw)
+    return jnp.stack(ch, axis=-1).reshape(height, width, 4)

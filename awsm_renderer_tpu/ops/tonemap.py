@@ -46,6 +46,38 @@ def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _khronos_pbr_neutral_c(rgb):
+    """Channel-plane form of _khronos_pbr_neutral ([r,g,b] arrays)."""
+    f90 = 0.04
+    start_compression = 0.8 - f90
+    desaturation = 0.15
+    x = jnp.minimum(jnp.minimum(rgb[0], rgb[1]), rgb[2])
+    offset = jnp.where(x < 0.08, x - 6.25 * x * x, f90)
+    c = [ch - offset for ch in rgb]
+    peak = jnp.maximum(jnp.maximum(c[0], c[1]), c[2])
+    d = 1.0 - start_compression
+    new_peak = 1.0 - d * d / jnp.maximum(peak + d - start_compression, 1e-6)
+    g = 1.0 / (desaturation * (peak - new_peak) + 1.0)
+    inv_peak = 1.0 / jnp.maximum(peak, 1e-6)
+    hit = peak > start_compression
+    return [jnp.where(hit, new_peak * (g * ch * inv_peak + (1.0 - g)), ch)
+            + offset for ch in c]
+
+
+def display_pass_c(hdr_ch, mode: ToneMapping):
+    """Channel-plane display pass: [r,g,b,a] → [r,g,b,a] sRGB in [0,1].
+
+    Reference: display_wgsl/fragment.wgsl:14-31 (tonemap + sRGB encode).
+    """
+    rgb = hdr_ch[:3]
+    if mode == ToneMapping.ACES:
+        rgb = [tonemap_aces(ch) for ch in rgb]
+    elif mode == ToneMapping.KHRONOS_PBR_NEUTRAL:
+        rgb = _khronos_pbr_neutral_c(rgb)
+    rgb = [jnp.clip(linear_to_srgb(ch), 0.0, 1.0) for ch in rgb]
+    return rgb + [jnp.clip(hdr_ch[3], 0.0, 1.0)]
+
+
 def display_pass(hdr: jnp.ndarray, mode: ToneMapping) -> jnp.ndarray:
     """HDR linear (H,W,4) → display sRGB (H,W,4) in [0,1].
 

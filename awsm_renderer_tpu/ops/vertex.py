@@ -318,11 +318,15 @@ def vertex_stage(
     mesh = jnp.clip(tri_mesh, 0, mesh_info.shape[0] - 1)
 
     # per-triangle meta via one-hot matmuls (single fused fetch)
-    minfo_f = onehot_gather(mesh, mesh_info.astype(jnp.float32))     # (T, K)
+    # the pass mask rides the mesh-info one-hot fetch as an extra column —
+    # a raw bool gather mesh_mask[mesh] measured 4.9 ms at 524k triangles
+    minfo_f = onehot_gather(mesh, jnp.concatenate(
+        [mesh_info.astype(jnp.float32),
+         mesh_mask.astype(jnp.float32)[:, None]], axis=1))          # (T, K+1)
     tf_row = minfo_f[:, MI_TRANSFORM_ROW].astype(jnp.int32)
     mat_row = minfo_f[:, MI_MATERIAL_ROW]
     flags = minfo_f[:, MI_FLAGS].astype(jnp.int32)
-    active = mesh_mask[mesh] & (tri_mesh >= 0)
+    active = (minfo_f[:, -1] > 0.5) & (tri_mesh >= 0)
 
     pos = _corner_comps(c_pos, 3)      # [c][k] (T,)
     nrm = _corner_comps(c_norm, 3)

@@ -23,8 +23,10 @@ from ..config import RendererConfig, ToneMapping
 from ..ops.effects import bloom as bloom_pass
 from ..ops.effects import depth_of_field, smaa as smaa_pass
 from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize, rasterize_layers
-from ..ops.shade import ALL_SLOTS, shade_deferred, shade_surface, shade_transparent_layers
-from ..ops.tonemap import display_pass
+from ..ops.shade import (
+    ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_layers_c,
+)
+from ..ops.tonemap import display_pass_c
 from ..ops.vertex import vertex_stage
 
 
@@ -157,7 +159,9 @@ def render_frame(
                     analytic_derivs=False)
     if hooks and hooks.after_geometry:
         vis = hooks.after_geometry(vis, ds)
-    hdr = shade_deferred(
+    # HDR rides as [r,g,b,a] (P,) channel planes through the whole frame —
+    # every (H,W,4) stack/re-slice round-trip pays a multi-ms relayout
+    hdr_ch = shade_deferred_c(
         vis, ds,
         width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
         solid_env=solid_env, has_nearest=has_nearest, ext=ext,
@@ -166,8 +170,15 @@ def render_frame(
     tri_id = vis["tri_id"]
     depth = vis["depth"]
 
+    def _stack(ch):
+        return jnp.stack(ch, axis=-1).reshape(rh, rw, 4)
+
+    def _unstack(img):
+        flat = img.reshape(rh * rw, 4)
+        return [flat[:, c] for c in range(4)]
+
     if hooks and hooks.before_transparent:
-        hdr = hooks.before_transparent(hdr, depth, ds)
+        hdr_ch = _unstack(hooks.before_transparent(_stack(hdr_ch), depth, ds))
 
     # ---- transparent forward pass (render.rs step 9: back-to-front over
     # opaque with shared read-only depth) -------------------------------------
@@ -178,15 +189,15 @@ def render_frame(
             n_layers=n_transparent_layers, interpret=interpret,
             has_uv1=has_uv1, has_color=has_color, analytic_derivs=False,
         )
-        hdr = shade_transparent_layers(
-            layers, hdr, ds,
+        hdr_ch = shade_transparent_layers_c(
+            layers, hdr_ch, ds,
             width=rw, height=rh, use_mips=use_mips, slot_mask=slot_mask,
             solid_env=solid_env, has_nearest=has_nearest, ext=ext,
             n_layers=n_transparent_layers,
         )
 
     if hooks and hooks.after_transparent:
-        hdr = hooks.after_transparent(hdr, ds)
+        hdr_ch = _unstack(hooks.after_transparent(_stack(hdr_ch), ds))
 
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
@@ -203,30 +214,36 @@ def render_frame(
             has_nearest=has_nearest, ext=ext,
         )
         a = jnp.where(h_valid, h_alpha, 0.0)
-        flat = hdr.reshape(P, 4)
-        out = [jnp.where(h_valid, h_color[c] * a + flat[:, c] * (1 - a),
-                         flat[:, c]) for c in range(3)]
-        out.append(jnp.where(h_valid, jnp.maximum(flat[:, 3], a), flat[:, 3]))
-        hdr = jnp.stack(out, axis=-1).reshape(rh, rw, 4)
+        out = [jnp.where(h_valid, h_color[c] * a + hdr_ch[c] * (1 - a),
+                         hdr_ch[c]) for c in range(3)]
+        out.append(jnp.where(h_valid, jnp.maximum(hdr_ch[3], a), hdr_ch[3]))
+        hdr_ch = out
         tri_id = jnp.where(h_vis["tri_id"] >= 0, h_vis["tri_id"], tri_id)
 
     # crop padding, then supersample-resolve in linear HDR (the reference's
-    # MSAA resolve happens on Rgba16float targets pre-display)
-    hdr = hdr[: height * scale, : width * scale]
+    # MSAA resolve happens on Rgba16float targets pre-display) — per
+    # channel on clean 2-D (H,W) images
+    hdr_ch = [c.reshape(rh, rw)[: height * scale, : width * scale]
+              for c in hdr_ch]
     tri_id = tri_id[: height * scale, : width * scale]
     depth = depth[: height * scale, : width * scale]
     if supersample:
-        hdr = hdr.reshape(height, 2, width, 2, 4).mean(axis=(1, 3))
+        hdr_ch = [c.reshape(height, 2, width, 2).mean(axis=(1, 3))
+                  for c in hdr_ch]
         tri_id = tri_id[::2, ::2]
         depth = depth.reshape(height, 2, width, 2).min(axis=(1, 3))
 
     # ---- effects chain (render.rs step 12: bloom ping-pong, DoF) -------------
-    if bloom:
-        hdr = bloom_pass(hdr)
-    if dof:
-        hdr = depth_of_field(hdr, depth, ds["camera"])
+    if bloom or dof:
+        hdr = jnp.stack(hdr_ch, axis=-1)
+        if bloom:
+            hdr = bloom_pass(hdr)
+        if dof:
+            hdr = depth_of_field(hdr, depth, ds["camera"])
+        hdr_ch = [hdr[..., c] for c in range(4)]
 
-    ldr = display_pass(hdr, tonemap)
+    ldr_ch = display_pass_c(hdr_ch, tonemap)
+    ldr = jnp.stack(ldr_ch, axis=-1)
     # ---- SMAA runs on the display image (effects_wgsl/helpers/smaa.wgsl) -----
     if smaa:
         ldr = smaa_pass(ldr)
