@@ -342,7 +342,21 @@ def shade_surface(
                        ds["mat_float"].shape[0] - 1)
     table = _material_table(ds)
     from .relayout import split_rows
-    fused = split_rows(onehot_gather_t(mat_row, table))     # 116 x (P,)
+
+    # fetch + split ONLY the columns this configuration reads: float
+    # params, the 3 slot columns of ACTIVE texture slots, and the two
+    # flag columns — the full 116-column split measured 4.1 ms at 1080p
+    # (it is write-bandwidth bound), and inactive slots are dead rows
+    needed = list(range(M.NUM_F32))
+    needed += [M.NUM_F32 + s * 3 + c
+               for s in range(M.NUM_TEX_SLOTS) if slot_mask[s]
+               for c in range(3)]
+    needed += [M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_KIND,
+               M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_ALPHA_MODE]
+    pos = {idx: p for p, idx in enumerate(needed)}
+    cols = split_rows(onehot_gather_t(
+        mat_row, table[:, jnp.array(needed, jnp.int32)]))
+    fused = {idx: cols[p] for idx, p in pos.items()}
 
     def mf(i, k=1):
         return (fused[i] if k == 1
