@@ -414,6 +414,51 @@ class Meshes:
     def triangle_capacity(self) -> int:
         return self._t_alloc.capacity
 
+    def live_triangle_rows(self, bucket: int = 32768):
+        """Live triangle pool rows in stable order, bucket-padded.
+
+        The device corner pools upload only these rows — a compaction of
+        the buddy-allocated pool (pow2 block rounding leaves ~2x internal
+        padding). Measured: the deferred resolve's winner-row gather, the
+        vertex stage and the binner all scale with the device pool
+        extent (491520-row extent for 259404 live tris), so shipping
+        dead pool rows to the device wastes real frame time. The bucket
+        bounds retraces the same way pow2 growth does.
+
+        Rows are padded per-MESH to a 16 multiple (the raster's GROUP
+        fetch granularity): a fetch group straddling two meshes gets a
+        bbox spanning both, which measured +4 ms of extra tile visits on
+        the 1080p stress scene. Pad rows are DEAD — the returned mask is
+        True there and the flush forces tri_mesh to -1, the same dead-row
+        path buddy holes used before compaction.
+
+        Returns (idx (tu,) int64, dead (tu,) bool)."""
+        tm = self.tri_mesh
+        GROUP = 16
+        live = np.nonzero(tm >= 0)[0]
+        if live.size == 0:
+            n = min(max(self._t_alloc.capacity, 1), GROUP)
+            return np.zeros(n, dtype=np.int64), np.ones(n, dtype=bool)
+        # split live rows at mesh-change boundaries (stable order keeps
+        # each mesh's triangles contiguous)
+        mesh_of = tm[live]
+        cuts = np.nonzero(np.diff(mesh_of) != 0)[0] + 1
+        parts = []
+        for c in np.split(live, cuts):
+            parts.append(c)
+            pad = (-len(c)) % GROUP
+            if pad:
+                parts.append(np.full(pad, -1, dtype=np.int64))
+        idx = np.concatenate(parts)
+        n = idx.size
+        b = max(min(bucket, self._t_alloc.capacity), GROUP)
+        tu = -(-n // b) * b
+        out = np.zeros(tu, dtype=np.int64)
+        out[:n] = idx
+        dead = out < 0
+        out[dead] = 0
+        return out, dead
+
     @property
     def mesh_capacity(self) -> int:
         return self._mesh_alloc.capacity

@@ -181,23 +181,41 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
                     row_offset=0):
     """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
 
-    setup_rows: (T2, NSETUP) — the UNSORTED vertex-stage output transposed
-    to row-major (ids in the slim buffer are original setup-column ids).
-    ONE gather fetches each pixel's whole triangle setup; barycentrics,
-    perspective-correct weights, attributes and uv0 screen derivatives are
-    then recomputed in pure ALU — the same math the fat-G-buffer merge ran
-    per-fragment inside the raster kernel (reference parallel: the
-    visibility buffer stores ids + the shade pass re-interpolates,
-    geometry_wgsl/fragment.wgsl + material_opaque compute.wgsl)."""
+    setup_rows: (T2, NSETUP) row-major (ids in the slim buffer are
+    setup-row indices; original ids ride the S_ORIG_ID field, so passing
+    either sorted or unsorted rows works). ONE gather fetches each
+    pixel's whole triangle setup row; the (P, NSETUP) block is split
+    into rank-1 channel planes by the Pallas splitter (column slices of
+    a gathered table are the T(1,128)-layout relayout hazard — a sliced
+    version of this resolve measured 103 ms at 1080p, the split version
+    ~8 ms). Barycentrics, perspective weights, attributes and uv0 screen
+    derivatives are then pure (P,) ALU — the same math the reference's
+    deferred shade runs per pixel (material_opaque compute.wgsl)."""
+    from .relayout import split_channels
     from .vertex import (
         S_COLOR, S_E0A, S_E0B, S_E0C, S_E1A, S_E1B, S_E1C, S_E2A, S_E2B,
-        S_E2C, S_IW0, S_MAT_ROW, S_NORMAL, S_TANGENT, S_TANGENT_W, S_UV0,
-        S_UV1,
+        S_E2C, S_IW0, S_MAT_ROW, S_NORMAL, S_ORIG_ID, S_TANGENT,
+        S_TANGENT_W, S_UV0, S_UV1,
     )
 
     tid = planes["tri_id"]
     P = tid.shape[0]
-    S = setup_rows[jnp.clip(tid, 0, setup_rows.shape[0] - 1)]   # (P, NSETUP)
+    i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
+    # THE winner-row fetch, as 3 bf16-split gathers. XLA's TPU gather
+    # runs ~6x faster per row from bf16 tables with <=128-byte rows than
+    # from the straight (T, 64) f32 table (measured in-frame at 1080p:
+    # one f32 gather 30.9 ms; three bf16 gathers ~15 ms total; variants
+    # tried and rejected: f32 half-width x2 = 70 ms, f32->bf16-pair
+    # bitcast single gather = 26 ms, hi/lo bf16-half tables x2 = 43 ms).
+    # b0+b1+b2 reconstructs f32 to ~2^-22 relative — exact enough for
+    # ids (rounded below), edges, uv and normals alike.
+    b0 = setup_rows.astype(jnp.bfloat16)
+    r = setup_rows - b0.astype(jnp.float32)
+    b1 = r.astype(jnp.bfloat16)
+    b2 = (r - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    S = (b0[i].astype(jnp.float32) + b1[i].astype(jnp.float32)
+         + b2[i].astype(jnp.float32))
+    ch = split_channels(S)
 
     px = (jnp.arange(P, dtype=jnp.float32) % width) + 0.5
     py = (jnp.arange(P, dtype=jnp.float32) // width
@@ -205,10 +223,10 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
 
     # v4 plane-equation rows (ops/vertex.py): raw edge values; the area
     # factor cancels in the perspective-normalized weights
-    e0 = S[:, S_E0A] * px + (S[:, S_E0B] * py + S[:, S_E0C])
-    e1 = S[:, S_E1A] * px + (S[:, S_E1B] * py + S[:, S_E1C])
-    e2 = S[:, S_E2A] * px + (S[:, S_E2B] * py + S[:, S_E2C])
-    iw0, iw1, iw2 = S[:, S_IW0], S[:, S_IW0 + 1], S[:, S_IW0 + 2]
+    e0 = ch[S_E0A] * px + (ch[S_E0B] * py + ch[S_E0C])
+    e1 = ch[S_E1A] * px + (ch[S_E1B] * py + ch[S_E1C])
+    e2 = ch[S_E2A] * px + (ch[S_E2B] * py + ch[S_E2C])
+    iw0, iw1, iw2 = ch[S_IW0], ch[S_IW0 + 1], ch[S_IW0 + 2]
 
     pb0 = e0 * iw0
     pb1 = e1 * iw1
@@ -220,10 +238,15 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     pn2 = pb2 * inv_denom
 
     def interp(row):
-        return pn0 * S[:, row] + pn1 * S[:, row + 1] + pn2 * S[:, row + 2]
+        return pn0 * ch[row] + pn1 * ch[row + 1] + pn2 * ch[row + 2]
 
     out = dict(planes)
-    out["mat_row"] = S[:, S_MAT_ROW]
+    # ids in = setup-row indices (v5 winner columns, or original ids with
+    # unsorted rows — rows[orig].S_ORIG_ID == orig makes this idempotent);
+    # ids out = original triangle-pool ids, what picking/shading expect
+    out["tri_id"] = jnp.where(
+        tid >= 0, (ch[S_ORIG_ID] + 0.5).astype(jnp.int32), -1)
+    out["mat_row"] = ch[S_MAT_ROW]
     out["uv0_u"] = interp(S_UV0)
     out["uv0_v"] = interp(S_UV0 + 3)
     out["uv1_u"] = interp(S_UV1)
@@ -234,11 +257,11 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
         out[name] = interp(S_NORMAL + 3 * i)
     for i, name in enumerate(("tangent_x", "tangent_y", "tangent_z")):
         out[name] = interp(S_TANGENT + 3 * i)
-    out["tangent_w"] = S[:, S_TANGENT_W]
+    out["tangent_w"] = ch[S_TANGENT_W]
 
     # uv0 screen derivatives (same formulas as the fat-G-buffer merge)
-    a0, a1, a2 = S[:, S_E0A], S[:, S_E1A], S[:, S_E2A]
-    b0_, b1_, b2_ = S[:, S_E0B], S[:, S_E1B], S[:, S_E2B]
+    a0, a1, a2 = ch[S_E0A], ch[S_E1A], ch[S_E2A]
+    b0_, b1_, b2_ = ch[S_E0B], ch[S_E1B], ch[S_E2B]
     dD_dx = a0 * iw0 + a1 * iw1 + a2 * iw2
     dD_dy = b0_ * iw0 + b1_ * iw1 + b2_ * iw2
     dpn0_dx = inv_denom * (a0 * iw0 - pn0 * dD_dx)
@@ -247,12 +270,19 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     dpn0_dy = inv_denom * (b0_ * iw0 - pn0 * dD_dy)
     dpn1_dy = inv_denom * (b1_ * iw1 - pn1 * dD_dy)
     dpn2_dy = inv_denom * (b2_ * iw2 - pn2 * dD_dy)
-    u0a, u0b, u0c = S[:, S_UV0], S[:, S_UV0 + 1], S[:, S_UV0 + 2]
-    v0a, v0b, v0c = S[:, S_UV0 + 3], S[:, S_UV0 + 4], S[:, S_UV0 + 5]
+    u0a, u0b, u0c = ch[S_UV0], ch[S_UV0 + 1], ch[S_UV0 + 2]
+    v0a, v0b, v0c = ch[S_UV0 + 3], ch[S_UV0 + 4], ch[S_UV0 + 5]
     out["du0_dx"] = dpn0_dx * u0a + dpn1_dx * u0b + dpn2_dx * u0c
     out["dv0_dx"] = dpn0_dx * v0a + dpn1_dx * v0b + dpn2_dx * v0c
     out["du0_dy"] = dpn0_dy * u0a + dpn1_dy * u0b + dpn2_dy * u0c
     out["dv0_dy"] = dpn0_dy * v0a + dpn1_dy * v0b + dpn2_dy * v0c
+    # miss pixels: zero every resolved plane (the raster kernels' fields
+    # init) — screen-space uv differencing reads neighbors, so garbage
+    # from the clipped row-0 gather must not leak across silhouettes
+    miss = tid < 0
+    for k, v in out.items():
+        if k not in ("tri_id", "depth"):
+            out[k] = jnp.where(miss, jnp.zeros((), v.dtype), v)
     return out
 
 

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 from ..config import RendererConfig, ToneMapping
 from ..ops.effects import bloom as bloom_pass
 from ..ops.effects import depth_of_field, smaa as smaa_pass
-from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize, rasterize_layers
+from ..ops.raster import (
+    TILE_H, TILE_W, pad_setup, pad_setup_rows, rasterize, rasterize_layers,
+    rasterize_layers_rows, rasterize_rows,
+)
 from ..ops.shade import (
     ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_layers_c,
 )
@@ -84,6 +87,22 @@ def prep_setup(rows: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     row-major block (one 256-B-row gather) before the transpose."""
     perm = jnp.argsort(key)
     return pad_setup(rows[perm].T)
+
+
+def prep_setup_rows(rows: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """(T, NSETUP) vertex-stage rows → padded ROW-MAJOR (T', NSETUP) v5
+    raster input (a 16-triangle group is one contiguous setup burst; no
+    transpose anywhere on the path).
+
+    NO per-frame sort: the v5 binner works on 16-triangle groups, and at
+    that granularity the mesh-pool order (triangles contiguous per mesh)
+    measured TIGHTER than a global screen-space Morton order on the
+    1080p stress scene (27.6k vs 41.3k subtile visits; Morton jumps at
+    quadrant boundaries poison small groups). Deleting the sort also
+    deletes its ~5.6 ms argsort + 256-B-row permute gather. The Morton
+    `key` stays accepted for the v4/dense paths (prep_setup)."""
+    del key
+    return pad_setup_rows(rows)
 
 
 @functools.partial(
@@ -153,10 +172,10 @@ def render_frame(
     # same XLA computation costs ~25-45 ms even though a lone one costs
     # ~2-8 ms — the shade pass already spends its one gather on the batched
     # texture taps. The slim path stays available for sparse coverage.)
-    sorted_setup = prep_setup(*run_vertex(opaque_mask))
-    vis = rasterize(sorted_setup, width=rw, height=rh, interpret=interpret,
-                    max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
-                    analytic_derivs=False)
+    sorted_rows = prep_setup_rows(*run_vertex(opaque_mask))
+    vis = rasterize_rows(sorted_rows, width=rw, height=rh,
+                         interpret=interpret, has_uv1=has_uv1,
+                         has_color=has_color, analytic_derivs=False)
     if hooks and hooks.after_geometry:
         vis = hooks.after_geometry(vis, ds)
     # HDR rides as [r,g,b,a] (P,) channel planes through the whole frame —
@@ -183,9 +202,9 @@ def render_frame(
     # ---- transparent forward pass (render.rs step 9: back-to-front over
     # opaque with shared read-only depth) -------------------------------------
     if has_transparent and transparent_mask is not None:
-        t_sorted = prep_setup(*run_vertex(transparent_mask))
-        layers = rasterize_layers(
-            t_sorted, depth, width=rw, height=rh,
+        t_rows = prep_setup_rows(*run_vertex(transparent_mask))
+        layers = rasterize_layers_rows(
+            t_rows, depth, width=rw, height=rh,
             n_layers=n_transparent_layers, interpret=interpret,
             has_uv1=has_uv1, has_color=has_color, analytic_derivs=False,
         )
@@ -201,10 +220,10 @@ def render_frame(
 
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
-        h_sorted = prep_setup(*run_vertex(hud_mask))
-        h_vis = rasterize(h_sorted, width=rw, height=rh, interpret=interpret,
-                          max_bins=max_bins, has_uv1=has_uv1, has_color=has_color,
-                          analytic_derivs=False)
+        h_rows = prep_setup_rows(*run_vertex(hud_mask))
+        h_vis = rasterize_rows(h_rows, width=rw, height=rh,
+                               interpret=interpret, has_uv1=has_uv1,
+                               has_color=has_color, analytic_derivs=False)
         P = rw * rh
         h_planes = {k: v.reshape(P) for k, v in h_vis.items()}
         h_color, h_alpha, h_valid, _ = shade_surface(

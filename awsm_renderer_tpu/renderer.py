@@ -49,6 +49,7 @@ class AwsmRendererTpu:
         self._brdf_lut = None
         self._last_tri_id = None   # device plane kept for picking
         self._mesh_row_to_key: Dict[int, int] = {}
+        self._tri_mesh_device_order = None  # compact-order tri->mesh map
         self.logging_timings = False
 
     # ---- content helpers ----------------------------------------------------
@@ -163,6 +164,17 @@ class AwsmRendererTpu:
             # (3T,C)[:, c, k] slice measured 30 ms/frame at 524k tris;
             # a contiguous row is free). Host pools stay corner-major for
             # O(1) inserts; the transpose happens once per dirty upload.
+            # Upload only LIVE triangle rows (stable-order compaction of
+            # the buddy pool): the resolve gather, vertex stage and
+            # binner all scale with the device pool extent, and pow2
+            # block rounding leaves the pool ~2x the scene (491520-row
+            # extent for 259404 live tris costs +23 ms/frame in the
+            # resolve gather alone — see Meshes.live_triangle_rows).
+            # The gather rides the transpose copy this upload already
+            # pays; device tri ids are compact-order (picking goes
+            # through the flushed tri_mesh, kept on self).
+            idx, dead = m.live_triangle_rows()
+            tu = idx.size
             for name, comps in (
                 ("c_pos", 3), ("c_norm", 3), ("c_tang", 4), ("c_uv0", 2),
                 ("c_uv1", 2), ("c_color", 4),
@@ -171,11 +183,15 @@ class AwsmRendererTpu:
                 arr = getattr(m, name)
                 c = comps if comps is not None else arr.shape[1]
                 d[name] = jnp.asarray(np.ascontiguousarray(
-                    arr.reshape(-1, 3, c).transpose(1, 2, 0).reshape(3 * c, -1)))
+                    arr.reshape(-1, 3, c)[idx].transpose(1, 2, 0)
+                    .reshape(3 * c, tu)))
             d["c_morph_base"] = jnp.asarray(
-                np.ascontiguousarray(m.c_morph_base.reshape(-1, 3).T))
-            for name in ("morph_deltas", "tri_mesh", "mesh_info",
-                         "morph_weights"):
+                np.ascontiguousarray(m.c_morph_base.reshape(-1, 3)[idx].T))
+            tri_mesh_c = m.tri_mesh[idx].copy()
+            tri_mesh_c[dead] = -1
+            self._tri_mesh_device_order = tri_mesh_c
+            d["tri_mesh"] = jnp.asarray(tri_mesh_c)
+            for name in ("morph_deltas", "mesh_info", "morph_weights"):
                 d[name] = jnp.asarray(getattr(m, name))
             m.gpu_dirty = False
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
@@ -353,5 +369,10 @@ class AwsmRendererTpu:
         tid = int(np.asarray(self._last_tri_id[y, x]))
         if tid < 0:
             return None
-        mesh_row = int(self.meshes.tri_mesh[tid])
+        # tri ids are device (compact) order — map through the flushed
+        # tri_mesh, not the pool-order host mirror
+        tm = self._tri_mesh_device_order
+        if tm is None or tid >= tm.size:
+            return None
+        mesh_row = int(tm[tid])
         return self._mesh_row_to_key.get(mesh_row)

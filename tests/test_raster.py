@@ -294,3 +294,46 @@ def test_slim_resolve_matches_fat_planes():
             np.asarray(resolved[key])[covered],
             np.asarray(fat[key]).reshape(P)[covered],
             atol=1e-4, err_msg=key)
+
+
+def test_v5_matches_dense_with_big_groups():
+    """v5 group-binned kernel (interpret) vs dense, including a screen-
+    filling triangle that exercises the big-group fallback list."""
+    from awsm_renderer_tpu.ops.raster import rasterize16
+
+    rng = np.random.default_rng(11)
+    tris = []
+    for _ in range(60):
+        xy = rng.uniform([0, 0], [W, H], size=(3, 2)).astype(np.float32)
+        area2 = (xy[1, 0] - xy[0, 0]) * (xy[2, 1] - xy[0, 1]) - (
+            xy[2, 0] - xy[0, 0]) * (xy[1, 1] - xy[0, 1])
+        if abs(area2) < 1.0:
+            continue
+        if area2 < 0:
+            xy = xy[[0, 2, 1]]
+        tris.append({"xy": xy, "z": rng.uniform(0.1, 0.9, 3).astype(np.float32)})
+    tris.append({"xy": [[-10.0, -5.0], [300.0, -5.0], [-10.0, 60.0]],
+                 "z": [0.95, 0.95, 0.95]})
+    s = make_setup(tris)
+    dense = rasterize(s, width=W, height=H, binned=False)
+    v5 = rasterize16(s.T, width=W, height=H, interpret=True)
+    for k in dense:
+        np.testing.assert_allclose(np.asarray(v5[k]), np.asarray(dense[k]),
+                                   atol=1e-4, err_msg=k)
+
+
+def test_v5_peel_matches_dense():
+    from awsm_renderer_tpu.ops.raster import rasterize16, _rasterize_peel_dense
+
+    tris = [
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.3, 0.3, 0.3]},
+        {"xy": [[10, 2], [110, 2], [60, 30]], "z": [0.6, 0.6, 0.6]},
+    ]
+    s = make_setup(tris)
+    zlo = jnp.full((H, W), -1.0, jnp.float32)
+    zhi = jnp.full((H, W), 1.0, jnp.float32)
+    dense = _rasterize_peel_dense(s, zlo, zhi, width=W, height=H, interpret=True)
+    v5 = rasterize16(s.T, zlo, zhi, width=W, height=H, interpret=True)
+    for k in dense:
+        np.testing.assert_allclose(np.asarray(v5[k]), np.asarray(dense[k]),
+                                   atol=1e-4, err_msg=k)
