@@ -32,26 +32,37 @@ def load_hdr_image(path: str) -> np.ndarray:
     Reference: renderer-core/src/image/exr.rs (EXR decode) + image.rs.
     Tries cv2 (EXR/HDR support), falls back to imageio, then PIL (LDR,
     sRGB-decoded)."""
+    from .textures import srgb_to_linear
+
+    def _to_linear(img: np.ndarray, src_dtype) -> np.ndarray:
+        """Integer-coded files are sRGB-encoded LDR: normalize to [0,1]
+        and decode; float files (EXR/HDR) are already linear radiance."""
+        if src_dtype == np.uint8:
+            return srgb_to_linear(img / 255.0)
+        if src_dtype == np.uint16:
+            return srgb_to_linear(img / 65535.0)
+        return img
+
     try:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
         if img is not None:
+            src_dtype = img.dtype
             if img.ndim == 2:
                 img = np.repeat(img[..., None], 3, axis=2)
             img = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2RGB)
-            if img.dtype == np.uint8 or img.max() > 0 and path.lower().endswith((".png", ".jpg", ".jpeg")):
-                pass
-            return np.asarray(img, dtype=F)
+            return np.asarray(_to_linear(img, src_dtype), dtype=F)
     except Exception:
         pass
     try:
         import imageio.v3 as iio
 
-        img = np.asarray(iio.imread(path), dtype=F)
+        raw = iio.imread(path)
+        img = np.asarray(raw, dtype=F)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=2)
-        return img[..., :3]
+        return np.asarray(_to_linear(img[..., :3], raw.dtype), dtype=F)
     except Exception:
         pass
     from PIL import Image
@@ -104,6 +115,42 @@ def equirect_to_cubemap(equirect: np.ndarray, size: int = 128) -> np.ndarray:
     return out
 
 
+def _resize_faces(faces: np.ndarray, size: int) -> np.ndarray:
+    """(6, H, W, 4) → (6, size, size, 4), area/bilinear."""
+    faces = np.asarray(faces, dtype=F)
+    if faces.shape[1] == size and faces.shape[2] == size:
+        return faces
+    try:
+        import cv2
+
+        interp = cv2.INTER_AREA if faces.shape[1] > size else cv2.INTER_LINEAR
+        return np.stack([cv2.resize(f, (size, size), interpolation=interp)
+                         for f in faces])
+    except Exception:
+        # numpy bilinear fallback
+        Hs = faces.shape[1]
+        t = (np.arange(size, dtype=np.float64) + 0.5) * Hs / size - 0.5
+        i0 = np.clip(np.floor(t).astype(np.int64), 0, Hs - 1)
+        i1 = np.clip(i0 + 1, 0, Hs - 1)
+        fr = (t - i0).astype(F)
+        rows = (faces[:, i0] * (1 - fr)[None, :, None, None]
+                + faces[:, i1] * fr[None, :, None, None])
+        cols = (rows[:, :, i0] * (1 - fr)[None, None, :, None]
+                + rows[:, :, i1] * fr[None, None, :, None])
+        return cols.astype(F)
+
+
+def _coerce_ktx2(src):
+    """Accept a Ktx2Image, raw bytes, or a filesystem path."""
+    from ..gltf.ktx2 import Ktx2Image, load_ktx2
+
+    if isinstance(src, Ktx2Image):
+        return src
+    if isinstance(src, memoryview):
+        src = bytes(src)
+    return load_ktx2(src)
+
+
 def solid_cubemap(color, size: int) -> np.ndarray:
     c = np.asarray(color, dtype=F)
     if c.shape[0] == 3:
@@ -145,6 +192,66 @@ class Environment:
         faces = equirect_to_cubemap(img, size)
         self.set_skybox_cubemap(faces)
         self.set_ibl_from_cubemap(faces)
+
+    def set_skybox_from_ktx2(self, src) -> None:
+        """Skybox from a KTX2 cubemap (path, bytes, or Ktx2Image).
+        Reference: cubemap/ktx.rs → environment.rs update_skybox."""
+        img = _coerce_ktx2(src)
+        if not img.is_cubemap:
+            raise ValueError("KTX2 image is not a cubemap (6 faces required)")
+        self.set_skybox_cubemap(img.cubemap_faces(0))
+
+    def set_ibl_from_ktx2(self, prefiltered, irradiance=None) -> None:
+        """IBL from pre-baked KTX2 cubemaps, the reference's production
+        path (lights/ibl.rs: prefiltered_env + irradiance loaded from
+        KTX2 with mip chains, cubemap/ktx.rs).
+
+        prefiltered: KTX2 cubemap whose mip chain is the roughness
+        ladder; each level is resampled to the uniform (SPEC_SIZE,
+        SPEC_SIZE) representation (shading indexes mips at full res,
+        see module docstring). irradiance: optional KTX2 cubemap
+        (level 0 used); when absent, a heavily blurred last prefiltered
+        level stands in."""
+        img = _coerce_ktx2(prefiltered)
+        if not img.is_cubemap:
+            raise ValueError("prefiltered KTX2 is not a cubemap")
+        n_src = len(img.levels)
+        mips = []
+        for m in range(N_SPEC_MIPS):
+            lvl = img.cubemap_faces(min(m, n_src - 1))
+            if lvl.shape[-1] == 3:
+                lvl = np.concatenate(
+                    [lvl, np.ones((*lvl.shape[:-1], 1), F)], axis=-1)
+            mips.append(_resize_faces(lvl, SPEC_SIZE))
+        self.prefiltered = np.stack(mips)
+        if irradiance is not None:
+            irr_img = _coerce_ktx2(irradiance)
+            if not irr_img.is_cubemap:
+                raise ValueError("irradiance KTX2 is not a cubemap")
+            irr = irr_img.cubemap_faces(0)
+            if irr.shape[-1] == 3:
+                irr = np.concatenate(
+                    [irr, np.ones((*irr.shape[:-1], 1), F)], axis=-1)
+            self.irradiance = _resize_faces(irr, IRRADIANCE_SIZE)
+        else:
+            self.irradiance = _resize_faces(mips[-1], IRRADIANCE_SIZE)
+        self.is_solid = False
+        self.gpu_dirty = True
+
+    def set_environment_from_ktx2(self, skybox, prefiltered=None,
+                                  irradiance=None) -> None:
+        """One-call environment setup from KTX2 assets (the frontend's
+        env-picker flow): skybox cubemap + optional pre-baked IBL; when
+        no prefiltered chain is given, IBL is synthesized from the
+        skybox via set_ibl_from_cubemap."""
+        img = _coerce_ktx2(skybox)
+        if not img.is_cubemap:
+            raise ValueError("skybox KTX2 is not a cubemap")
+        self.set_skybox_cubemap(img.cubemap_faces(0))
+        if prefiltered is not None:
+            self.set_ibl_from_ktx2(prefiltered, irradiance)
+        else:
+            self.set_ibl_from_cubemap(self.skybox)
 
     def set_ibl_from_cubemap(self, env_faces: np.ndarray) -> None:
         """Build prefiltered + irradiance maps from an environment cubemap.

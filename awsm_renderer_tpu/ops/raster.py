@@ -1249,7 +1249,7 @@ def rasterize16(setup_rows, zlo=None, zhi=None, bins=None, *, width: int,
     zlo/zhi (H, W) planes for depth peeling; row_offset/height_full for
     band-sharded rendering. Returns the same plane dict as `rasterize`.
     """
-    from .shade import resolve_gbuffer
+    from .shade import resolve_planes_fused
 
     if interpret is None:
         interpret = _interpret_default()
@@ -1314,8 +1314,8 @@ def rasterize16(setup_rows, zlo=None, zhi=None, bins=None, *, width: int,
     col = _deswizzle16(col, H32, W32)[:height, :width].reshape(-1)
     depth = _deswizzle16(depth, H32, W32)[:height, :width].reshape(-1)
 
-    resolved = resolve_gbuffer(
-        {"tri_id": col, "depth": depth}, setup_rows,
-        width=width, height_full=height_full or height,
-        row_offset=row_offset)
+    resolved = resolve_planes_fused(
+        col, setup_rows, width=width, height_full=height_full or height,
+        row_offset=row_offset, interpret=interpret)
+    resolved["depth"] = depth
     return {k: resolved[k].reshape(height, width) for k in names}

@@ -177,49 +177,30 @@ def _screen_gradient(ch, W, H, vertical: bool = False, layers: int = 1):
     return pick.reshape(-1)
 
 
-def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
-                    row_offset=0):
-    """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
+#: resolved-plane names the resolve kernel emits, in output order
+RESOLVE_NAMES = (
+    "tri_id", "mat_row", "uv0_u", "uv0_v", "uv1_u", "uv1_v",
+    "color_r", "color_g", "color_b", "color_a",
+    "normal_x", "normal_y", "normal_z",
+    "tangent_x", "tangent_y", "tangent_z", "tangent_w",
+    "du0_dx", "dv0_dx", "du0_dy", "dv0_dy",
+)
 
-    setup_rows: (T2, NSETUP) row-major (ids in the slim buffer are
-    setup-row indices; original ids ride the S_ORIG_ID field, so passing
-    either sorted or unsorted rows works). ONE gather fetches each
-    pixel's whole triangle setup row; the (P, NSETUP) block is split
-    into rank-1 channel planes by the Pallas splitter (column slices of
-    a gathered table are the T(1,128)-layout relayout hazard — a sliced
-    version of this resolve measured 103 ms at 1080p, the split version
-    ~8 ms). Barycentrics, perspective weights, attributes and uv0 screen
-    derivatives are then pure (P,) ALU — the same math the reference's
-    deferred shade runs per pixel (material_opaque compute.wgsl)."""
-    from .relayout import split_channels
+
+def _resolve_math(ch, px, py):
+    """The per-pixel attribute reconstruction ALU, shared by the XLA
+    resolve path (resolve_gbuffer) and the fused Pallas kernel
+    (resolve_planes_fused). `ch` is indexable by setup-channel constant
+    and yields one vector per channel; px/py are pixel centers. Returns
+    {name: vector} for every RESOLVE_NAMES entry except tri_id, plus
+    "tri_id_f" (the original-id channel, still float, unmasked) — the
+    same math the reference's deferred shade runs per pixel
+    (material_opaque compute.wgsl)."""
     from .vertex import (
         S_COLOR, S_E0A, S_E0B, S_E0C, S_E1A, S_E1B, S_E1C, S_E2A, S_E2B,
         S_E2C, S_IW0, S_MAT_ROW, S_NORMAL, S_ORIG_ID, S_TANGENT,
         S_TANGENT_W, S_UV0, S_UV1,
     )
-
-    tid = planes["tri_id"]
-    P = tid.shape[0]
-    i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
-    # THE winner-row fetch, as 3 bf16-split gathers. XLA's TPU gather
-    # runs ~6x faster per row from bf16 tables with <=128-byte rows than
-    # from the straight (T, 64) f32 table (measured in-frame at 1080p:
-    # one f32 gather 30.9 ms; three bf16 gathers ~15 ms total; variants
-    # tried and rejected: f32 half-width x2 = 70 ms, f32->bf16-pair
-    # bitcast single gather = 26 ms, hi/lo bf16-half tables x2 = 43 ms).
-    # b0+b1+b2 reconstructs f32 to ~2^-22 relative — exact enough for
-    # ids (rounded below), edges, uv and normals alike.
-    b0 = setup_rows.astype(jnp.bfloat16)
-    r = setup_rows - b0.astype(jnp.float32)
-    b1 = r.astype(jnp.bfloat16)
-    b2 = (r - b1.astype(jnp.float32)).astype(jnp.bfloat16)
-    S = (b0[i].astype(jnp.float32) + b1[i].astype(jnp.float32)
-         + b2[i].astype(jnp.float32))
-    ch = split_channels(S)
-
-    px = (jnp.arange(P, dtype=jnp.float32) % width) + 0.5
-    py = (jnp.arange(P, dtype=jnp.float32) // width
-          + jnp.float32(row_offset)) + 0.5
 
     # v4 plane-equation rows (ops/vertex.py): raw edge values; the area
     # factor cancels in the perspective-normalized weights
@@ -240,12 +221,8 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     def interp(row):
         return pn0 * ch[row] + pn1 * ch[row + 1] + pn2 * ch[row + 2]
 
-    out = dict(planes)
-    # ids in = setup-row indices (v5 winner columns, or original ids with
-    # unsorted rows — rows[orig].S_ORIG_ID == orig makes this idempotent);
-    # ids out = original triangle-pool ids, what picking/shading expect
-    out["tri_id"] = jnp.where(
-        tid >= 0, (ch[S_ORIG_ID] + 0.5).astype(jnp.int32), -1)
+    out = {}
+    out["tri_id_f"] = ch[S_ORIG_ID]
     out["mat_row"] = ch[S_MAT_ROW]
     out["uv0_u"] = interp(S_UV0)
     out["uv0_v"] = interp(S_UV0 + 3)
@@ -276,12 +253,146 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     out["dv0_dx"] = dpn0_dx * v0a + dpn1_dx * v0b + dpn2_dx * v0c
     out["du0_dy"] = dpn0_dy * u0a + dpn1_dy * u0b + dpn2_dy * u0c
     out["dv0_dy"] = dpn0_dy * v0a + dpn1_dy * v0b + dpn2_dy * v0c
+    return out
+
+
+def split_bf16_tables(setup_rows):
+    """f32 (T, C) -> three bf16 (T, C) tables with b0+b1+b2 == f32
+    exactly. XLA's TPU gather runs ~6x faster per row from bf16
+    tables with <=128-byte rows than from the straight f32 table
+    (measured in-frame at 1080p: one f32 gather 30.9 ms; three bf16
+    gathers ~15 ms; rejected variants: f32 half-width x2 = 70 ms,
+    f32->bf16-pair bitcast single gather = 26 ms, hi/lo bf16-half
+    tables x2 = 43 ms)."""
+    # NB: the obvious `x - bf16(x).astype(f32)` collapses under jit — XLA's
+    # excess-precision pass elides the f32->bf16->f32 round-trip, making the
+    # residuals exactly zero (verified on v5e: jit'd b1.max()==0). lax.reduce_
+    # precision survives optimization and its RN rounding makes the 3-way
+    # split reconstruct f32 EXACTLY (measured max err 0.0).
+    b0f = jax.lax.reduce_precision(setup_rows, 8, 7)
+    r = setup_rows - b0f
+    b1f = jax.lax.reduce_precision(r, 8, 7)
+    b2 = (r - b1f).astype(jnp.bfloat16)
+    return b0f.astype(jnp.bfloat16), b1f.astype(jnp.bfloat16), b2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height_full", "row_offset", "interpret"))
+def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
+                         row_offset=0, interpret: bool = False):
+    """Slim (tri_id) buffer -> full attribute planes, production path.
+
+    Three fast bf16-split gathers fetch each pixel's winner setup row
+    (see split_bf16_tables); ONE Pallas pass then fuses the f32
+    reconstruction, the per-block transpose to channel rows, the whole
+    interpolation ALU and the miss masking, emitting every plane
+    rank-1 — the XLA equivalent spread this over a convert+add fusion,
+    a splitter pass and select fusions (~12 ms extra at 1080p).
+    Returns {name: (P,) plane} for RESOLVE_NAMES."""
+    from jax.experimental import pallas as pl
+
+    from .relayout import _padded, _pick_blk
+
+    if interpret:
+        planes = {"tri_id": tid}
+        out = resolve_gbuffer(planes, setup_rows, width=width,
+                              height_full=height_full, row_offset=row_offset)
+        return {k: out[k] for k in RESOLVE_NAMES}
+
+    P = tid.shape[0]
+    C = setup_rows.shape[1]
+    i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
+    b0, b1, b2 = split_bf16_tables(setup_rows)
+    g0, g1, g2 = b0[i], b1[i], b2[i]            # 3 x (P, C) bf16
+
+    blk = _pick_blk(P)
+    tid_p, Pp = _padded(tid, blk, 0)
+    if Pp != P:   # pads are misses; gathered rows pad with zeros
+        tid_p = tid_p.at[P:].set(-1)
+        g0, _ = _padded(g0, blk, 0)
+        g1, _ = _padded(g1, blk, 0)
+        g2, _ = _padded(g2, blk, 0)
+
+    def kernel(tid_ref, b0_ref, b1_ref, b2_ref, *o_refs):
+        pid = pl.program_id(0)
+        S = (b0_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
+             + b2_ref[:].astype(jnp.float32)).T          # (C, blk)
+        idx = (pid * blk
+               + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
+        px = (idx % width).astype(jnp.float32) + 0.5
+        py = ((idx // width) + row_offset).astype(jnp.float32) + 0.5
+        class _Rows:
+            def __getitem__(self, k):
+                return S[k]
+
+        res = _resolve_math(_Rows(), px, py)
+        t = tid_ref[:]
+        miss = t < 0
+        for name, o in zip(RESOLVE_NAMES, o_refs):
+            if name == "tri_id":
+                o[:] = jnp.where(
+                    miss, -1, (res["tri_id_f"] + 0.5).astype(jnp.int32))
+            else:
+                o[:] = jnp.where(miss, 0.0, res[name])
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // blk,),
+        in_specs=[pl.BlockSpec((blk,), lambda n: (n,))]
+        + [pl.BlockSpec((blk, C), lambda n: (n, 0)) for _ in range(3)],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
+                        for _ in RESOLVE_NAMES),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(
+                (Pp,), jnp.int32 if n == "tri_id" else jnp.float32)
+            for n in RESOLVE_NAMES),
+        interpret=interpret,
+    )(tid_p, g0, g1, g2)
+    if Pp != P:
+        outs = tuple(o[:P] for o in outs)
+    return dict(zip(RESOLVE_NAMES, outs))
+
+
+def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
+                    row_offset=0):
+    """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
+
+    setup_rows: (T2, NSETUP) row-major (ids in the slim buffer are
+    setup-row indices; original ids ride the S_ORIG_ID field, so passing
+    either sorted or unsorted rows works). ONE gather fetches each
+    pixel's whole triangle setup row; the (P, NSETUP) block is split
+    into rank-1 channel planes by the Pallas splitter (column slices of
+    a gathered table are the T(1,128)-layout relayout hazard — a sliced
+    version of this resolve measured 103 ms at 1080p, the split version
+    ~8 ms). Barycentrics, perspective weights, attributes and uv0 screen
+    derivatives are then pure (P,) ALU — the same math the reference's
+    deferred shade runs per pixel (material_opaque compute.wgsl)."""
+    from .relayout import split_channels
+
+    tid = planes["tri_id"]
+    P = tid.shape[0]
+    i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
+    S = setup_rows[i]                                       # (P, NSETUP)
+    ch = split_channels(S)
+
+    px = (jnp.arange(P, dtype=jnp.float32) % width) + 0.5
+    py = (jnp.arange(P, dtype=jnp.float32) // width
+          + jnp.float32(row_offset)) + 0.5
+
+    res = _resolve_math(ch, px, py)
+    out = dict(planes)
+    # ids in = setup-row indices (v5 winner columns, or original ids with
+    # unsorted rows — rows[orig].S_ORIG_ID == orig makes this idempotent);
+    # ids out = original triangle-pool ids, what picking/shading expect
+    out["tri_id"] = jnp.where(
+        tid >= 0, (res["tri_id_f"] + 0.5).astype(jnp.int32), -1)
     # miss pixels: zero every resolved plane (the raster kernels' fields
     # init) — screen-space uv differencing reads neighbors, so garbage
     # from the clipped row-0 gather must not leak across silhouettes
     miss = tid < 0
-    for k, v in out.items():
-        if k not in ("tri_id", "depth"):
+    for k, v in res.items():
+        if k != "tri_id_f":
             out[k] = jnp.where(miss, jnp.zeros((), v.dtype), v)
     return out
 

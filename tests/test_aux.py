@@ -174,3 +174,24 @@ class TestNative:
             ref = Aabb(mins[i], maxs[i]).transform(mats[i])
             np.testing.assert_allclose(omin[i], ref.min, atol=1e-4)
             np.testing.assert_allclose(omax[i], ref.max, atol=1e-4)
+
+
+def test_load_hdr_image_ldr_png_is_linearized(tmp_path):
+    """An 8-bit PNG must come back /255-normalized and sRGB-decoded
+    (round-1 bug: cv2 branch returned 0-255 un-linearized floats)."""
+    import numpy as np
+    from PIL import Image
+
+    from awsm_renderer_tpu.core.environment import load_hdr_image
+    from awsm_renderer_tpu.core.textures import srgb_to_linear
+
+    arr = np.zeros((4, 8, 3), np.uint8)
+    arr[..., 0] = 255   # pure red
+    arr[..., 1] = 128
+    p = tmp_path / "env.png"
+    Image.fromarray(arr).save(p)
+    img = load_hdr_image(str(p))
+    assert img.shape == (4, 8, 3)
+    assert img.max() <= 1.0 + 1e-6, "LDR file must be normalized to [0,1]"
+    expect = srgb_to_linear(np.array([1.0, 128 / 255.0, 0.0], np.float32))
+    np.testing.assert_allclose(img[0, 0], expect, atol=2e-3)
