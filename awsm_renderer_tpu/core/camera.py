@@ -19,10 +19,11 @@ _EPS = 1e-6
 
 @dataclass
 class DofParams:
-    """Reference: camera.rs dof fields (focus_distance, aperture)."""
+    """Reference: camera.rs dof fields. `aperture` is the f-stop number
+    (dof.wgsl calculate_coc: 'e.g., 2.8, 5.6, 8.0 — lower = shallower')."""
 
     focus_distance: float = 10.0
-    aperture: float = 0.05
+    aperture: float = 5.6
 
 
 class CameraState:

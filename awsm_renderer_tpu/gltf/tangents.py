@@ -5,11 +5,13 @@ The reference generates missing tangents with mikktspace
 flat-shading fallback (gltf/buffers/normals.rs). Here:
 
 - normals: flat fallback after vertex explosion (same semantics)
-- tangents: per-triangle Lengyel accumulation with Gram-Schmidt
-  orthogonalization and handedness sign — the standard approximation of
-  mikktspace; vectorized numpy with np.add.at scatter. (Exact mikktspace
-  has per-corner grouping rules; for the sample-model corpus the visual
-  difference is below texel precision. TODO: native C++ mikktspace.)
+- tangents: native C++ MikkTSpace-convention generation
+  (native/awsm_host.cpp mikktspace_tangents — welded corners,
+  orientation-separated groups so mirrored-UV seams keep per-side
+  handedness, angle-weighted accumulation, reference-style per-vertex
+  collapse with majority handedness vote). Falls back to per-triangle
+  Lengyel accumulation with Gram-Schmidt orthogonalization when the
+  native library is unavailable.
 """
 
 from __future__ import annotations
@@ -38,7 +40,15 @@ def flat_normals(positions: np.ndarray, indices: np.ndarray):
 def generate_tangents(
     positions: np.ndarray, normals: np.ndarray, uvs: np.ndarray, indices: np.ndarray
 ) -> np.ndarray:
-    """Returns (V,4) tangents (xyz + handedness w)."""
+    """Returns (V,4) tangents (xyz + handedness w).
+
+    Native MikkTSpace path first (reference parity: tangents.rs embeds
+    mikktspace); Lengyel numpy accumulation as fallback."""
+    from ..utils.native import mikktspace_tangents
+
+    mikk = mikktspace_tangents(positions, normals, uvs, indices)
+    if mikk is not None:
+        return mikk
     V = positions.shape[0]
     tan = np.zeros((V, 3), np.float64)
     bit = np.zeros((V, 3), np.float64)

@@ -60,20 +60,52 @@ def bloom(hdr: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([out, hdr[..., 3:4]], axis=-1)
 
 
-def depth_of_field(hdr: jnp.ndarray, depth: jnp.ndarray, camera: dict,
-                   near: float = 0.1, far: float = 100.0) -> jnp.ndarray:
-    """Physically-based circle of confusion from aperture + focus distance
-    (dof.wgsl): CoC = aperture * |1 - focus/z_view|, blended between sharp
-    and blurred images."""
-    focus = camera["dof"][0]
-    aperture = camera["dof"][1]
-    # view-space depth from [0,1] ndc z (reversed perspective, depth 0..1)
-    z_ndc = jnp.clip(depth, 1e-6, 1.0)
-    z_view = near * far / jnp.maximum(far - z_ndc * (far - near), 1e-6)
-    coc = jnp.clip(aperture * jnp.abs(z_view - focus) / jnp.maximum(z_view, 1e-6) * 20.0, 0.0, 1.0)
+DOF_MAX_BLUR = 16.0         # dof.wgsl DOF_MAX_BLUR (pixels)
+DOF_SENSOR_HEIGHT = 0.024   # dof.wgsl SENSOR_HEIGHT (24mm full frame)
+
+
+def linearize_depth(depth: jnp.ndarray, proj: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] depth-buffer value → positive view-space distance, derived
+    from the projection matrix (dof.wgsl linearize_depth — no hardcoded
+    clip planes). Handles both perspective (math3d.perspective: z_clip =
+    A·z_view + B, w_clip = -z_view) and orthographic projections."""
+    A = proj[2, 2]
+    B = proj[2, 3]
+    persp = jnp.abs(proj[3, 2]) > 0.5
+    d = jnp.clip(depth, 0.0, 1.0)
+    z_p = B / jnp.where(jnp.abs(A + d) > 1e-8, A + d, 1e-8)
+    z_o = (B - d) / jnp.where(jnp.abs(A) > 1e-12, A, 1e-12)
+    return jnp.where(persp, z_p, z_o)
+
+
+def depth_of_field(hdr: jnp.ndarray, depth: jnp.ndarray, camera: dict) -> jnp.ndarray:
+    """Physically-based DoF (dof.wgsl, Blender-compatible camera model):
+    focal length from proj[1][1] against a 24mm sensor, aperture as the
+    f-stop number, CoC = (f/N)·f·|D-S| / (D·S) converted to pixels and
+    capped at DOF_MAX_BLUR. The reference's per-pixel 16-tap golden-angle
+    disk gather is XLA-hostile (per-pixel dynamic offsets); two stacked
+    separable gaussians stand in for the disk, blended by per-pixel CoC."""
+    proj = camera["proj"]
+    S = camera["dof"][0]                       # focus distance (world units)
+    N = camera["dof"][1]                       # f-stop number
+    Hpx = hdr.shape[0]
+    D = jnp.maximum(linearize_depth(depth, proj), 1e-4)
+    f = (DOF_SENSOR_HEIGHT * 0.5) * proj[1, 1]  # get_focal_length
+    A_ap = f / jnp.maximum(N, 0.1)              # aperture diameter
+    coc_world = A_ap * f * jnp.abs(D - S) / (D * jnp.maximum(S, 1e-3))
+    coc = jnp.clip(coc_world * Hpx / DOF_SENSOR_HEIGHT, 0.0, DOF_MAX_BLUR)
+
     rgb = hdr[..., :3]
-    blurred = _blur_separable(rgb, radius=6, sigma=3.0)
-    out = rgb * (1.0 - coc[..., None]) + blurred * coc[..., None]
+    b1 = _blur_separable(rgb, radius=4, sigma=2.0)     # ≈ CoC 4 px
+    b2 = _blur_separable(b1, radius=8, sigma=5.0)      # ≈ CoC 16 px
+    w1 = jnp.clip(coc / 4.0, 0.0, 1.0)[..., None]
+    w2 = jnp.clip((coc - 4.0) / (DOF_MAX_BLUR - 4.0), 0.0, 1.0)[..., None]
+    level = rgb * (1.0 - w1) + b1 * w1
+    level = level * (1.0 - w2) + b2 * w2
+    # blend_factor = smoothstep(0, 2, coc) (dof.wgsl apply_dof tail)
+    s = jnp.clip(coc / 2.0, 0.0, 1.0)[..., None]
+    blend = s * s * (3.0 - 2.0 * s)
+    out = rgb * (1.0 - blend) + level * blend
     return jnp.concatenate([out, hdr[..., 3:4]], axis=-1)
 
 

@@ -45,10 +45,14 @@ from .vertex import onehot_gather, onehot_gather_t
 _EPS = 1e-6
 ALL_SLOTS = tuple([True] * M.NUM_TEX_SLOTS)
 # extension-enable flags: (clearcoat, sheen, iridescence, anisotropy,
-# transmission) — static per scene, like the reference's cargo features /
-# template variables gating extension WGSL
-EXT_CLEARCOAT, EXT_SHEEN, EXT_IRIDESCENCE, EXT_ANISOTROPY, EXT_TRANSMISSION = range(5)
-ALL_EXT = (True, True, True, True, True)
+# transmission, volume) — static per scene, like the reference's cargo
+# features / template variables gating extension WGSL. VOLUME gates the
+# screen-space refraction gather of the opaque buffer (a thickness > 0
+# material exists); TRANSMISSION alone samples the background at the
+# fragment's own pixel (fragment.wgsl sample_transmission_background).
+(EXT_CLEARCOAT, EXT_SHEEN, EXT_IRIDESCENCE, EXT_ANISOTROPY,
+ EXT_TRANSMISSION, EXT_VOLUME) = range(6)
+ALL_EXT = (True, True, True, True, True, True)
 
 
 def _normalize(v, axis=-1):
@@ -283,8 +287,12 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
                          row_offset=0, interpret: bool = False):
     """Slim (tri_id) buffer -> full attribute planes, production path.
 
-    Three fast bf16-split gathers fetch each pixel's winner setup row
-    (see split_bf16_tables); ONE Pallas pass then fuses the f32
+    TWO fast bf16-split gathers fetch each pixel's winner setup row at
+    b0+b1 ≈ 2^-16 relative precision (a third residual gather costs
+    ~3.9 ms at 1080p and only ids needed it — but v5 rows are unsorted
+    with rows[j].S_ORIG_ID == j, so tri_id comes exact from the raster's
+    own int32 tid, and mat_row — an integer < 2^16 — reconstructs
+    EXACTLY from two RN bf16 parts). ONE Pallas pass then fuses the f32
     reconstruction, the per-block transpose to channel rows, the whole
     interpolation ALU and the miss masking, emitting every plane
     rank-1 — the XLA equivalent spread this over a convert+add fusion,
@@ -303,8 +311,8 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     P = tid.shape[0]
     C = setup_rows.shape[1]
     i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
-    b0, b1, b2 = split_bf16_tables(setup_rows)
-    g0, g1, g2 = b0[i], b1[i], b2[i]            # 3 x (P, C) bf16
+    b0, b1, _b2 = split_bf16_tables(setup_rows)
+    g0, g1 = b0[i], b1[i]                       # 2 x (P, C) bf16
 
     blk = _pick_blk(P)
     tid_p, Pp = _padded(tid, blk, 0)
@@ -312,12 +320,11 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
         tid_p = tid_p.at[P:].set(-1)
         g0, _ = _padded(g0, blk, 0)
         g1, _ = _padded(g1, blk, 0)
-        g2, _ = _padded(g2, blk, 0)
 
-    def kernel(tid_ref, b0_ref, b1_ref, b2_ref, *o_refs):
+    def kernel(tid_ref, b0_ref, b1_ref, *o_refs):
         pid = pl.program_id(0)
-        S = (b0_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
-             + b2_ref[:].astype(jnp.float32)).T          # (C, blk)
+        S = (b0_ref[:].astype(jnp.float32)
+             + b1_ref[:].astype(jnp.float32)).T          # (C, blk)
         idx = (pid * blk
                + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
         px = (idx % width).astype(jnp.float32) + 0.5
@@ -331,8 +338,10 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
         miss = t < 0
         for name, o in zip(RESOLVE_NAMES, o_refs):
             if name == "tri_id":
-                o[:] = jnp.where(
-                    miss, -1, (res["tri_id_f"] + 0.5).astype(jnp.int32))
+                # v5 invariant: unsorted rows, rows[j].S_ORIG_ID == j —
+                # the raster's own winner index IS the original id, so
+                # ids stay exact without the residual table
+                o[:] = jnp.where(miss, -1, t)
             else:
                 o[:] = jnp.where(miss, 0.0, res[name])
 
@@ -340,7 +349,7 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
         kernel,
         grid=(Pp // blk,),
         in_specs=[pl.BlockSpec((blk,), lambda n: (n,))]
-        + [pl.BlockSpec((blk, C), lambda n: (n, 0)) for _ in range(3)],
+        + [pl.BlockSpec((blk, C), lambda n: (n, 0)) for _ in range(2)],
         out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
                         for _ in RESOLVE_NAMES),
         out_shape=tuple(
@@ -348,7 +357,7 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
                 (Pp,), jnp.int32 if n == "tri_id" else jnp.float32)
             for n in RESOLVE_NAMES),
         interpret=interpret,
-    )(tid_p, g0, g1, g2)
+    )(tid_p, g0, g1)
     if Pp != P:
         outs = tuple(o[:P] for o in outs)
     return dict(zip(RESOLVE_NAMES, outs))
@@ -630,6 +639,26 @@ def shade_surface(
     n_dot_v_ibl = jnp.maximum(dot3(n_ibl, v), _EPS)
     r = norm3([2.0 * n_dot_v_ibl * n_ibl[k] - v[k] for k in range(3)])
 
+    # ---- screen-space refraction direction (KHR_materials_volume) ------------
+    # Snell refraction of the view ray at the shaded normal, the exact math
+    # of brdf.wgsl refract_direction (TIR → inactive); the exit-point
+    # projection happens in the transmission block below, and the offscreen
+    # IBL fallback tap rides the same batched env gather as every other
+    # cubemap tap (fragment.wgsl sample_transmission_background).
+    want_refr = (transparent_pass and want_transmission_factor
+                 and ext[EXT_TRANSMISSION])
+    if want_refr:
+        thickness_r = mf(M.MF_THICKNESS)
+        eta = 1.0 / jnp.where(ior > _EPS, ior, 1.0)
+        cos_i = jnp.maximum(dot3(n_final, v), 0.0)   # = -dot(incident, n)
+        sin_t2 = eta * eta * (1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.clip(1.0 - sin_t2, 0.0, 1.0))
+        refr = [eta * (-v[k]) + (eta * cos_i - cos_t) * n_final[k]
+                for k in range(3)]
+        refr_ok = ((sin_t2 <= 1.0) & (jnp.abs(eta - 1.0) > 1e-3)
+                   & (thickness_r > 0.0))
+        refr_dir = v_where(refr_ok, norm3(refr), [-v[k] for k in range(3)])
+
     # sheen / clearcoat parameters first (material taps are already
     # batched), so every IBL cubemap tap can ride ONE gather below
     if ext[EXT_SHEEN]:
@@ -650,12 +679,15 @@ def shade_surface(
         pref = pref_c
         sheen_pref = pref_c
         cc_pref = pref_c
+        refr_pref = pref_c
     else:
         reqs = [(r, roughness)]
         if ext[EXT_SHEEN]:
             reqs.append((r, sheen_rough))
         if ext[EXT_CLEARCOAT]:
             reqs.append((r, cc_rough))
+        if want_refr:
+            reqs.append((refr_dir, roughness))
         # miss pixels reconstruct world_pos at the far plane, so -v is
         # exactly the per-pixel view ray: the skybox miss color rides the
         # same gather (want_sky gates it so transparent/HUD passes skip it)
@@ -668,6 +700,8 @@ def shade_surface(
             sheen_pref = prefs[1][:3]
         if ext[EXT_CLEARCOAT]:
             cc_pref = prefs[2 if ext[EXT_SHEEN] else 1][:3]
+        if want_refr:
+            refr_pref = prefs[1 + ext[EXT_SHEEN] + ext[EXT_CLEARCOAT]][:3]
         if want_sky:
             sky = sky4[:3]
 
@@ -739,6 +773,7 @@ def shade_surface(
 
     # ---- transmission of the background (transparent pass only) ---------------
     trans_factor = None
+    refr_info = None
     if transparent_pass and (background is not None or want_transmission_factor):
         att_dist = mf(M.MF_ATTENUATION_DISTANCE)
         att_color = mf(M.MF_ATTENUATION_COLOR, 3)
@@ -757,12 +792,40 @@ def shade_surface(
             pbr_color = [pbr_color[c] + background[c] * trans_factor[c]
                          for c in range(3)]
 
+        # ---- refracted exit-point projection (fragment.wgsl:50-66): march
+        # `thickness` along the refracted ray, project through view_proj,
+        # and hand the compositor a per-pixel background index into the
+        # band-local opaque image + the offscreen IBL fallback color -------
+        if want_refr:
+            H_band = H // n_layer_tiles
+            vp = ds["camera"]["view_proj"]
+            ex = [world_pos[k] + refr_dir[k] * thickness for k in range(3)]
+            cxw = ex[0] * vp[0, 0] + ex[1] * vp[0, 1] + ex[2] * vp[0, 2] + vp[0, 3]
+            cyw = ex[0] * vp[1, 0] + ex[1] * vp[1, 1] + ex[2] * vp[1, 2] + vp[1, 3]
+            cw = ex[0] * vp[3, 0] + ex[1] * vp[3, 1] + ex[2] * vp[3, 2] + vp[3, 3]
+            inv_cw = 1.0 / jnp.where(jnp.abs(cw) > _EPS, cw, _EPS)
+            gx = (cxw * inv_cw + 1.0) * 0.5 * W - 0.5      # global pixel x
+            gy = (1.0 - cyw * inv_cw) * 0.5 * H_full - 0.5  # global pixel y
+            ly = gy - row_offset                            # band-local y
+            on_screen = ((cw > 0.0) & (gx >= 0.0) & (gx <= W - 1.0)
+                         & (gy >= 0.0) & (gy <= H_full - 1.0)
+                         & (ly >= 0.0) & (ly <= H_band - 1.0))
+            own_idx = (jnp.arange(P, dtype=jnp.int32)
+                       % jnp.int32(H_band * W))             # same-pixel default
+            do_refr = refr_ok & (t_gate > 0.0)
+            refr_idx = jnp.where(
+                do_refr & on_screen,
+                jnp.round(ly).astype(jnp.int32) * W
+                + jnp.round(gx).astype(jnp.int32),
+                own_idx)
+            refr_info = (refr_idx, do_refr & ~on_screen, refr_pref)
+
     color = v_where(is_unlit, base[:3], pbr_color)
     if transparent_pass:
         color = v_where(is_grid, base[:3], color)
     valid = ~miss
     if want_transmission_factor:
-        return color, alpha, valid, n_final, trans_factor
+        return color, alpha, valid, n_final, trans_factor, refr_info
     if want_sky:
         return color, alpha, valid, n_final, sky
     return color, alpha, valid, n_final
@@ -862,7 +925,7 @@ def shade_transparent_layers_c(
     K = n_layers
 
     flat = {k: v.reshape(K * P) for k, v in layers.items()}
-    color, alpha, valid, _n, trans = shade_surface(
+    color, alpha, valid, _n, trans, refr = shade_surface(
         flat, ds,
         width=W, height=K * H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
@@ -874,11 +937,27 @@ def shade_transparent_layers_c(
     a = jnp.where(valid, alpha, 0.0).reshape(K, P)
     trans = None if trans is None else [t.reshape(K, P) for t in trans]
 
+    # the background transmission sees is the PRE-transparent opaque buffer
+    # (the reference samples opaque_tex, never the running blend target —
+    # fragment.wgsl sample_transmission_background), at the refracted pixel
+    # when KHR_materials_volume is active (EXT_VOLUME: any thickness > 0)
+    if trans is not None:
+        if ext[EXT_VOLUME] and refr is not None:
+            from .relayout import split_channels
+
+            idx, use_fb, fb = refr
+            bg4 = jnp.stack(list(opaque_ch), axis=-1)        # (P, 4)
+            got = split_channels(bg4[idx])                   # 4 (K*P,) planes
+            bg = [jnp.where(use_fb, fb[c], got[c]).reshape(K, P)
+                  for c in range(3)]
+        else:
+            bg = [jnp.broadcast_to(opaque_ch[c], (K, P)) for c in range(3)]
+
     # back-to-front: layer K-1 is the farthest peel
     out = list(opaque_ch[:3])
     for k in range(K - 1, -1, -1):
         for c in range(3):
-            cc = color[c][k] if trans is None else color[c][k] + out[c] * trans[c][k]
+            cc = color[c][k] if trans is None else color[c][k] + bg[c][k] * trans[c][k]
             out[c] = cc * a[k] + out[c] * (1.0 - a[k])
 
     return out + [opaque_ch[3]]

@@ -1,4 +1,4 @@
-"""Multi-chip rendering: framebuffer tiles sharded over an ICI mesh.
+"""Multi-chip rendering: framebuffer bands sharded over an ICI mesh.
 
 The reference is a single-GPU browser program with no distributed layer
 (SURVEY §2.6/§5.8); its natural TPU-native scaling axis is screen space —
@@ -8,11 +8,17 @@ arrays are replicated, and every device rasterizes + shades only its band:
 
   - geometry "broadcast" = replicated device scene (the per-frame dirty
     uploads are tiny relative to ICI bandwidth)
-  - raster/shade band-locality: triangle setup is translated into band
-    coordinates per shard; chunk-bbox culling then skips everything
-    outside the band, so compute scales ~1/N per device
-  - the final image is already row-sharded — display/composite is local;
-    a host gather (or all_gather for device-side consumers) finishes it
+  - raster/shade band-locality: triangle plane equations are translated
+    into band coordinates per shard (passes/frame.py::_shift_rows_band);
+    chunk-bbox culling then skips everything outside the band, so raster
+    compute scales ~1/N per device
+  - the band pipeline IS the production pipeline: shard_map wraps
+    passes/frame.py::_frame_band (channel-plane deferred shade,
+    depth-peeled transparency, HUD), not a separate code path
+  - the image-space tail (supersample resolve, bloom/DoF stencils, SMAA,
+    tonemap) runs as ordinary pjit'd XLA over the row-sharded image —
+    GSPMD inserts the halo exchanges the stencils need, which is the
+    XLA-native replacement for hand-written boundary passes
 
 This is the TPU analog of sequence/context parallelism for a renderer:
 the "big dimension" is pixels.
@@ -21,7 +27,7 @@ the "big dimension" is pixels.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,96 +35,109 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ToneMapping
-from ..ops.raster import TILE_H, TILE_W, pad_setup, rasterize
-from ..ops.shade import shade_deferred
-from ..ops.tonemap import display_pass
-from ..ops.vertex import (
-    S_BB_MAXY, S_BB_MINY, S_E0B, S_E0C, S_E1B, S_E1C, S_E2B, S_E2C,
-    S_ZB, S_ZC, vertex_stage,
-)
-
-
-def _shift_setup_rows(setup: jnp.ndarray, y0) -> jnp.ndarray:
-    """Translate triangle screen-y into band-local coordinates.
-
-    v4 plane-equation rows: E(px, py_local) must equal the global-space
-    value, so each edge constant gains B*y0 (and the z-plane ZB*y0);
-    bboxes translate."""
-    y0 = jnp.float32(y0)
-    s = setup
-    for rb, rc in ((S_E0B, S_E0C), (S_E1B, S_E1C), (S_E2B, S_E2C),
-                   (S_ZB, S_ZC)):
-        s = s.at[rc].add(s[rb] * y0)
-    s = s.at[S_BB_MINY].add(-y0)
-    s = s.at[S_BB_MAXY].add(-y0)
-    return s
+from ..ops.raster import TILE_H, TILE_W
+from ..ops.shade import ALL_EXT, ALL_SLOTS
+from ..passes.frame import _finish_frame, _frame_band, _pad_to
 
 
 def render_frame_sharded(
     mesh: Mesh,
     ds,
     opaque_mask,
+    transparent_mask=None,
+    hud_mask=None,
     *,
     width: int,
     height: int,
+    supersample: bool = False,
     tonemap: ToneMapping = ToneMapping.KHRONOS_PBR_NEUTRAL,
     use_mips: bool = True,
     has_morphs: bool = False,
     skin_sets: int = 0,
+    has_transparent: bool = False,
+    has_hud: bool = False,
+    n_transparent_layers: int = 4,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
+    debug_mode: str = "none",
+    bloom: bool = False,
+    dof: bool = False,
+    smaa: bool = False,
+    has_nearest: bool = True,
+    needs_clip: bool = True,
+    ext=None,
+    has_uv1: bool = True,
+    has_color: bool = True,
     interpret: bool | None = None,
 ):
-    """Render with the framebuffer row-sharded over `mesh` (1-D, axis 'rows').
+    """Render with the framebuffer row-sharded over `mesh` (1-D).
 
-    width must be a TILE_W multiple; height a (TILE_H * n_devices) multiple.
-    Returns (display (H,W,4), tri_id (H,W)) sharded over rows.
+    Same pass set and output contract as passes/frame.py::render_frame —
+    (display (H,W,4), tri_id (H,W), depth (H,W)), row-sharded over the
+    mesh axis. The padded supersampled height must split into TILE_H-
+    aligned bands: (pad(height*scale) % (TILE_H * n_devices)) == 0.
     """
+    if ext is None:
+        ext = ALL_EXT
     (axis,) = mesh.axis_names
     n = mesh.shape[axis]
-    assert width % TILE_W == 0
-    assert height % (TILE_H * n) == 0, (height, n)
-    band_h = height // n
+    scale = 2 if supersample else 1
+    rw = _pad_to(width * scale, TILE_W)
+    rh = _pad_to(height * scale, TILE_H)
+    assert rh % (TILE_H * n) == 0, (
+        f"padded render height {rh} must split into TILE_H({TILE_H})-aligned "
+        f"bands across {n} devices")
+    band_h = rh // n
 
     replicated = NamedSharding(mesh, P())
+    row_sharded = NamedSharding(mesh, P(axis))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_rep=False,
     )
-    def _render(ds_rep, mask_rep):
-        idx = jax.lax.axis_index(axis)
-        y0 = idx * band_h
-
-        rows, _key = vertex_stage(
-            ds_rep["c_pos"], ds_rep["c_norm"], ds_rep["c_tang"],
-            ds_rep["c_uv0"], ds_rep["c_uv1"], ds_rep["c_color"],
-            ds_rep["c_joints"], ds_rep["c_weights"], ds_rep["c_morph_base"],
-            ds_rep["morph_deltas"], ds_rep["tri_mesh"], ds_rep["mesh_info"],
-            ds_rep["morph_weights"], ds_rep["world"], ds_rep["normal_mat"],
-            ds_rep["joint_matrices"], ds_rep["camera"]["view_proj"], mask_rep,
-            width=width, height=height, has_morphs=has_morphs,
-            skin_sets=skin_sets,
+    def _band(ds_rep, om, tm, hm):
+        y0 = jax.lax.axis_index(axis) * band_h
+        hdr_ch, tri_id, depth = _frame_band(
+            ds_rep, om,
+            tm if has_transparent else None,
+            hm if has_hud else None,
+            rw=rw, band_h=band_h, rh_full=rh, row_offset=y0,
+            shift_rows=True,
+            use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
+            has_transparent=has_transparent, has_hud=has_hud,
+            n_transparent_layers=n_transparent_layers, slot_mask=slot_mask,
+            solid_env=solid_env, debug_mode=debug_mode, interpret=interpret,
+            hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
+            ext=ext, has_uv1=has_uv1, has_color=has_color,
         )
-        # band-local Morton order differs from the global key: re-sort on
-        # the (NSETUP, T) block after shifting y into band coordinates
-        setup = pad_setup(_shift_setup_rows(rows.T, y0))
-        from ..passes.frame import _sort_triangles
-
-        sorted_setup, _ = _sort_triangles(setup)
-        vis = rasterize(sorted_setup, width=width, height=band_h,
-                        interpret=interpret)
-        hdr = shade_deferred(
-            vis, ds_rep,
-            width=width, height=band_h, height_full=height,
-            row_offset=y0, use_mips=use_mips,
-        )
-        ldr = display_pass(hdr, tonemap)
-        T_pool = ds_rep["tri_mesh"].shape[0]
-        tid = jnp.where(vis["tri_id"] >= 0, vis["tri_id"] % T_pool, -1)
-        return ldr, tid
+        # channel planes → (band_h, rw) images for the row-sharded output
+        r, g, b, a = (c.reshape(band_h, rw) for c in hdr_ch)
+        return r, g, b, a, tri_id, depth
 
     ds_rep = jax.device_put(ds, replicated)
-    mask_rep = jax.device_put(opaque_mask, replicated)
-    return jax.jit(_render)(ds_rep, mask_rep)
+    om = jax.device_put(jnp.asarray(opaque_mask), replicated)
+    zeros = jnp.zeros_like(jnp.asarray(opaque_mask))
+    tm = jax.device_put(
+        jnp.asarray(transparent_mask) if transparent_mask is not None
+        else zeros, replicated)
+    hm = jax.device_put(
+        jnp.asarray(hud_mask) if hud_mask is not None else zeros, replicated)
+
+    @functools.partial(jax.jit, out_shardings=(row_sharded,) * 3)
+    def _frame(ds_rep, om, tm, hm):
+        r, g, b, a, tri_id, depth = _band(ds_rep, om, tm, hm)
+        hdr_ch = [x.reshape(rh * rw) for x in (r, g, b, a)]
+        ldr, tri_id, depth = _finish_frame(
+            hdr_ch, tri_id, depth, ds_rep,
+            rw=rw, rh=rh, width=width, height=height, scale=scale,
+            tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=None,
+        )
+        T_pool = ds_rep["tri_mesh"].shape[0]
+        tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
+        return ldr, tri_id, depth
+
+    return _frame(ds_rep, om, tm, hm)

@@ -30,6 +30,7 @@ from .core.textures import Textures
 from .core.transforms import Transform, Transforms
 from .ops.brdf_lut import generate_brdf_lut
 from .passes.frame import render_frame
+from .utils.profiling import RenderTimings
 
 
 class AwsmRendererTpu:
@@ -50,7 +51,9 @@ class AwsmRendererTpu:
         self._last_tri_id = None   # device plane kept for picking
         self._mesh_row_to_key: Dict[int, int] = {}
         self._tri_mesh_device_order = None  # compact-order tri->mesh map
-        self.logging_timings = False
+        # per-pass spans gated like the reference's AwsmRendererLogging
+        # { render_timings } (debug.rs:9-12; spans in render.rs:56-356)
+        self.timings = RenderTimings(enabled=False)
 
     # ---- content helpers ----------------------------------------------------
 
@@ -123,9 +126,19 @@ class AwsmRendererTpu:
 
         self.config = replace(self.config, post_processing=pp)
 
+    @property
+    def logging_timings(self) -> bool:
+        return self.timings.enabled
+
+    @logging_timings.setter
+    def logging_timings(self, v: bool) -> None:
+        self.timings.enabled = bool(v)
+
     def remove_all(self) -> None:
-        """Clear the whole scene, keeping caches warm (reference:
-        lib.rs:117-128 remove_all rebuilds the renderer state)."""
+        """Clear the whole scene and rebuild renderer state (reference:
+        lib.rs:117-128 remove_all). jit trace caches are process-global
+        so recompiles are NOT paid again; the device-array dict and mask
+        cache are rebuilt on the next flush."""
         cfg = self.config
         self.__init__(cfg)
 
@@ -173,6 +186,8 @@ class AwsmRendererTpu:
             # The gather rides the transpose copy this upload already
             # pays; device tri ids are compact-order (picking goes
             # through the flushed tri_mesh, kept on self).
+            mesh_span = self.timings.span("write_gpu/meshes")
+            mesh_span.__enter__()
             idx, dead = m.live_triangle_rows()
             tu = idx.size
             for name, comps in (
@@ -195,6 +210,7 @@ class AwsmRendererTpu:
                 d[name] = jnp.asarray(getattr(m, name))
             m.gpu_dirty = False
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
+            mesh_span.__exit__(None, None, None)
 
         mats = self.materials
         if mats.gpu_dirty:
@@ -282,6 +298,9 @@ class AwsmRendererTpu:
             bool((np.abs(f[:, M.MF_ANISOTROPY_STRENGTH]) > 0).any()),
             bool((f[:, M.MF_TRANSMISSION] > 0).any()
                  or (slots[:, M.TS_TRANSMISSION] >= 0).any()),
+            # volume: thickness > 0 enables the screen-space refraction
+            # gather (KHR_materials_volume; fragment.wgsl:40-66)
+            bool((f[:, M.MF_THICKNESS] > 0).any()),
         )
 
     def _slot_mask(self) -> tuple:
@@ -308,10 +327,18 @@ class AwsmRendererTpu:
         GPU — no host readback)."""
         cfg = self.config
         self.camera.next_frame()
-        ds = self._flush()
-        masks = self._mesh_masks()
+        # spans mirror the reference's render() tracing (render.rs:56-69:
+        # one span per write_gpu + per pass); the jitted frame is a single
+        # dispatch here, so in-frame pass splits live in the XLA profile
+        # (jax.profiler.trace + the TraceAnnotation these spans emit)
+        with self.timings.span("write_gpu"):
+            ds = self._flush()
+        with self.timings.span("collect_renderables"):
+            masks = self._mesh_masks()
         has_transparent = bool(masks["transparent"].any())
         has_hud = bool(masks["hud"].any())
+        frame_span = self.timings.span("render_frame/dispatch")
+        frame_span.__enter__()
         ldr, tri_id, depth = render_frame(
             ds,
             self._device_mask("opaque", masks["opaque"]),
@@ -342,6 +369,8 @@ class AwsmRendererTpu:
             smaa=cfg.anti_aliasing.smaa,
             hooks=hooks,
         )
+        frame_span.__exit__(None, None, None)
+        self.timings.end_frame()
         self._last_tri_id = tri_id
         return ldr
 

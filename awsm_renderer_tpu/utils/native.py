@@ -53,6 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.world_propagate.argtypes = [ip, ctypes.c_int64, ip, fp, fp, fp, up, up]
     lib.transform_aabbs.argtypes = [ip, fp, fp, fp, fp, fp, ctypes.c_int64]
     lib.sample_channels.argtypes = [fp, fp, lp, ip, lp, ip, ip, fp, lp, fp, ctypes.c_int64]
+    try:
+        lib.mikktspace_tangents.argtypes = [
+            fp, fp, fp, ip, ctypes.c_int64, ctypes.c_int64, fp]
+    except AttributeError:
+        pass  # stale .so from before the symbol existed; callers fall back
     _lib = lib
     return lib
 
@@ -144,6 +149,26 @@ def sample_channels(times, values, t_off, t_len, v_off, dim, mode, t, out_off,
         _lp(out_off), _fp(out), n,
     )
     return True
+
+
+def mikktspace_tangents(pos: np.ndarray, nrm: np.ndarray, uv: np.ndarray,
+                        indices: np.ndarray):
+    """MikkTSpace-convention per-vertex tangents (xyz + handedness w),
+    reference-collapsed (gltf/buffers/tangents.rs finalize_tangents).
+    Returns None when the native library (or symbol) is unavailable —
+    the caller falls back to Lengyel accumulation."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mikktspace_tangents"):
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float32)
+    nrm = np.ascontiguousarray(nrm, dtype=np.float32)
+    uv = np.ascontiguousarray(uv[..., :2], dtype=np.float32)
+    idx = np.ascontiguousarray(indices.reshape(-1, 3), dtype=np.int32)
+    n_verts = pos.shape[0]
+    out = np.empty((n_verts, 4), dtype=np.float32)
+    lib.mikktspace_tangents(_fp(pos), _fp(nrm), _fp(uv), _ip(idx),
+                            idx.shape[0], n_verts, _fp(out))
+    return out
 
 
 def transform_aabbs(rows: np.ndarray, world: np.ndarray,

@@ -106,6 +106,9 @@ def main(argv=None):
 
         Grid(r)
 
+    if args.timings:
+        r.logging_timings = True  # per-pass spans (reference render_timings)
+
     os.makedirs(args.out, exist_ok=True)
     proj = m3.perspective(np.pi / 3, args.width / args.height, 0.05, 500.0)
     eye = np.asarray(eye, np.float64)
@@ -138,6 +141,12 @@ def main(argv=None):
         if args.timings:
             print(f"frame {i}: {ms:.1f} ms -> {path}", file=sys.stderr)
         frames.append(img)
+
+    if args.timings and r.timings.frames:
+        mean = r.timings.summary()
+        print("per-pass mean: "
+              + "  ".join(f"{k}={v*1000:.2f}ms" for k, v in sorted(mean.items())),
+              file=sys.stderr)
 
     if args.mp4 and frames:
         import cv2

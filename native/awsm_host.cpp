@@ -15,6 +15,9 @@
 #include <cstdint>
 #include <cstring>
 
+#include <unordered_map>
+#include <vector>
+
 extern "C" {
 
 // Compose TRS rows into 4x4 row-major matrices.
@@ -163,6 +166,199 @@ void sample_channels(const float* times, const float* values,
     } else {  // LINEAR
       for (int c = 0; c < D; ++c) o[c] = (1.f - u) * v0[c] + u * v1[c];
     }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// MikkTSpace-convention tangent generation.
+//
+// The reference embeds real mikktspace (bevy_mikktspace) and collapses its
+// per-corner outputs to per-vertex tangents by summing + majority handedness
+// vote (gltf/buffers/tangents.rs:101-347: MikkTSpaceGeometry::
+// set_tangent_encoded accumulates, finalize_tangents normalizes + votes).
+// This implements the mikktspace core semantics that matter for parity:
+//   * corners are WELDED by exact (position, normal, uv) equality, so
+//     indexed and exploded meshes produce identical tangents (mikktspace
+//     GenerateSharedVerticesIndexList);
+//   * per-face tangent direction from uv derivatives, with the face's uv
+//     ORIENTATION (sign of the uv determinant) kept separate — groups never
+//     mix orientations, so mirrored-UV seams keep per-side handedness
+//     instead of cancelling (the failure mode of plain Lengyel averaging);
+//   * accumulation is corner-ANGLE weighted on normalized projected
+//     directions (mikktspace AccumulateTSpaces);
+//   * per-corner output = group average orthogonalized against the corner
+//     normal; w = group orientation sign.
+// Simplification vs mikktspace.c: groups are keyed by (welded vertex,
+// orientation) without the edge-adjacency connected-component walk, so
+// coincident-but-disconnected charts of the same orientation share a group
+// (mikktspace would split them); no subgroup compatibility pass. Both only
+// differ on duplicated/overlapping geometry.
+//
+// pos (n_verts,3) f32, nrm (n_verts,3), uv (n_verts,2), idx (n_tris,3) i32.
+// out (n_verts,4): xyz tangent + handedness w, reference-collapsed.
+
+struct ArrHash {
+  size_t operator()(const uint64_t& v) const { return std::hash<uint64_t>()(v); }
+};
+
+static inline float dot3f(const float* a, const float* b) {
+  return a[0] * b[0] + a[1] * b[1] + a[2] * b[2];
+}
+
+static inline float norm3f(float* v) {
+  float l = std::sqrt(dot3f(v, v));
+  if (l > 1e-20f) { v[0] /= l; v[1] /= l; v[2] /= l; }
+  return l;
+}
+
+static inline void canonical_tangent(const float* n, float* t) {
+  // cross of a non-parallel axis with n (tangents.rs canonical_tangent)
+  float axis[3] = {0.f, 1.f, 0.f};
+  if (std::fabs(n[1]) >= 0.999f) { axis[0] = 1.f; axis[1] = 0.f; }
+  t[0] = axis[1] * n[2] - axis[2] * n[1];
+  t[1] = axis[2] * n[0] - axis[0] * n[2];
+  t[2] = axis[0] * n[1] - axis[1] * n[0];
+  if (norm3f(t) < 1e-20f) { t[0] = 1.f; t[1] = 0.f; t[2] = 0.f; }
+}
+
+void mikktspace_tangents(const float* pos, const float* nrm, const float* uv,
+                         const int32_t* idx, int64_t n_tris, int64_t n_verts,
+                         float* out) {
+  // --- weld corners by exact (pos, nrm, uv) bits --------------------------
+  std::vector<int32_t> weld(n_verts);
+  {
+    std::unordered_map<uint64_t, std::vector<int32_t>> buckets;
+    buckets.reserve((size_t)n_verts);
+    int32_t next = 0;
+    for (int64_t v = 0; v < n_verts; ++v) {
+      uint32_t bits[8];
+      std::memcpy(bits + 0, pos + v * 3, 12);
+      std::memcpy(bits + 3, nrm + v * 3, 12);
+      std::memcpy(bits + 6, uv + v * 2, 8);
+      uint64_t h = 1469598103934665603ull;   // FNV-1a over the 32 bytes
+      for (int k = 0; k < 8; ++k) { h ^= bits[k]; h *= 1099511628211ull; }
+      auto& bucket = buckets[h];
+      int32_t found = -1;
+      for (int32_t cand : bucket) {
+        if (std::memcmp(pos + (int64_t)cand * 3, pos + v * 3, 12) == 0 &&
+            std::memcmp(nrm + (int64_t)cand * 3, nrm + v * 3, 12) == 0 &&
+            std::memcmp(uv + (int64_t)cand * 2, uv + v * 2, 8) == 0) {
+          found = weld[cand];
+          break;
+        }
+      }
+      if (found < 0) { found = next++; bucket.push_back((int32_t)v); }
+      weld[v] = found;
+    }
+  }
+
+  // --- per-(welded vertex, orientation) accumulation groups ----------------
+  std::unordered_map<uint64_t, int32_t, ArrHash> group_of;
+  std::vector<float> gsum;                       // 3 floats per group
+  std::vector<int32_t> corner_group(n_tris * 3, -1);
+  std::vector<float> corner_sign(n_tris * 3, 1.f);
+
+  for (int64_t f = 0; f < n_tris; ++f) {
+    const int32_t vi[3] = {idx[f * 3], idx[f * 3 + 1], idx[f * 3 + 2]};
+    const float* p0 = pos + (int64_t)vi[0] * 3;
+    const float* p1 = pos + (int64_t)vi[1] * 3;
+    const float* p2 = pos + (int64_t)vi[2] * 3;
+    const float* u0 = uv + (int64_t)vi[0] * 2;
+    const float* u1 = uv + (int64_t)vi[1] * 2;
+    const float* u2 = uv + (int64_t)vi[2] * 2;
+    float e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+    float e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+    float d1[2] = {u1[0] - u0[0], u1[1] - u0[1]};
+    float d2[2] = {u2[0] - u0[0], u2[1] - u0[1]};
+    float det = d1[0] * d2[1] - d2[0] * d1[1];
+    float s = det >= 0.f ? 1.f : -1.f;
+    bool degenerate = std::fabs(det) < 1e-12f;
+    float inv = degenerate ? 0.f : 1.f / det;
+    float tf[3] = {(e1[0] * d2[1] - e2[0] * d1[1]) * inv,
+                   (e1[1] * d2[1] - e2[1] * d1[1]) * inv,
+                   (e1[2] * d2[1] - e2[2] * d1[1]) * inv};
+    const float* pc[3] = {p0, p1, p2};
+    for (int c = 0; c < 3; ++c) {
+      int64_t corner = f * 3 + c;
+      corner_sign[corner] = s;
+      if (degenerate) continue;
+      uint64_t key = ((uint64_t)(uint32_t)weld[vi[c]] << 1) | (s > 0.f ? 1u : 0u);
+      auto it = group_of.find(key);
+      int32_t g;
+      if (it == group_of.end()) {
+        g = (int32_t)(gsum.size() / 3);
+        group_of.emplace(key, g);
+        gsum.insert(gsum.end(), {0.f, 0.f, 0.f});
+      } else {
+        g = it->second;
+      }
+      corner_group[corner] = g;
+      // corner angle weight (mikktspace AccumulateTSpaces)
+      const float* pa = pc[(c + 1) % 3];
+      const float* pb = pc[(c + 2) % 3];
+      float a[3] = {pa[0] - pc[c][0], pa[1] - pc[c][1], pa[2] - pc[c][2]};
+      float b[3] = {pb[0] - pc[c][0], pb[1] - pc[c][1], pb[2] - pc[c][2]};
+      if (norm3f(a) < 1e-20f || norm3f(b) < 1e-20f) continue;
+      float cosw = dot3f(a, b);
+      cosw = cosw > 1.f ? 1.f : (cosw < -1.f ? -1.f : cosw);
+      float w = std::acos(cosw);
+      // project the face tangent onto the corner normal's plane, then
+      // accumulate the normalized direction weighted by the corner angle
+      const float* n = nrm + (int64_t)vi[c] * 3;
+      float proj[3] = {tf[0] - n[0] * dot3f(n, tf),
+                       tf[1] - n[1] * dot3f(n, tf),
+                       tf[2] - n[2] * dot3f(n, tf)};
+      if (norm3f(proj) < 1e-20f) continue;
+      gsum[(size_t)g * 3 + 0] += proj[0] * w;
+      gsum[(size_t)g * 3 + 1] += proj[1] * w;
+      gsum[(size_t)g * 3 + 2] += proj[2] * w;
+    }
+  }
+
+  // --- per-corner tspace → reference-style per-vertex collapse -------------
+  std::vector<double> vsum(n_verts * 3, 0.0);
+  std::vector<float> sign_sum(n_verts, 0.f);
+  std::vector<uint32_t> pos_cnt(n_verts, 0), neg_cnt(n_verts, 0), cnt(n_verts, 0);
+  for (int64_t corner = 0; corner < n_tris * 3; ++corner) {
+    int32_t g = corner_group[corner];
+    int32_t v = idx[corner];
+    const float* n = nrm + (int64_t)v * 3;
+    float t[3];
+    if (g >= 0) {
+      t[0] = gsum[(size_t)g * 3 + 0];
+      t[1] = gsum[(size_t)g * 3 + 1];
+      t[2] = gsum[(size_t)g * 3 + 2];
+      float proj = dot3f(n, t);
+      t[0] -= n[0] * proj; t[1] -= n[1] * proj; t[2] -= n[2] * proj;
+      if (norm3f(t) < 1e-20f) canonical_tangent(n, t);
+    } else {
+      canonical_tangent(n, t);
+    }
+    float s = corner_sign[corner];
+    vsum[(size_t)v * 3 + 0] += t[0];
+    vsum[(size_t)v * 3 + 1] += t[1];
+    vsum[(size_t)v * 3 + 2] += t[2];
+    sign_sum[v] += s;
+    if (s > 0.f) pos_cnt[v]++; else neg_cnt[v]++;
+    cnt[v]++;
+  }
+  for (int64_t v = 0; v < n_verts; ++v) {
+    float* o = out + v * 4;
+    if (cnt[v] == 0) { o[0] = 1.f; o[1] = 0.f; o[2] = 0.f; o[3] = 1.f; continue; }
+    const float* n = nrm + v * 3;
+    float t[3] = {(float)vsum[(size_t)v * 3], (float)vsum[(size_t)v * 3 + 1],
+                  (float)vsum[(size_t)v * 3 + 2]};
+    float proj = dot3f(n, t);
+    t[0] -= n[0] * proj; t[1] -= n[1] * proj; t[2] -= n[2] * proj;
+    if (norm3f(t) < 1e-20f || !std::isfinite(t[0] + t[1] + t[2]))
+      canonical_tangent(n, t);
+    // sign: sign_sum when stable, else majority vote (finalize_tangents)
+    float ss = sign_sum[v];
+    float sign;
+    if (!std::isfinite(ss)) sign = 1.f;
+    else if (std::fabs(ss) >= 1e-4f) sign = ss > 0.f ? 1.f : -1.f;
+    else sign = pos_cnt[v] >= neg_cnt[v] ? 1.f : -1.f;
+    o[0] = t[0]; o[1] = t[1]; o[2] = t[2]; o[3] = sign;
   }
 }
 

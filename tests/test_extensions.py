@@ -69,5 +69,9 @@ def test_ext_mask_detection():
     assert ext[0] is True      # clearcoat
     assert ext[2] is False     # iridescence
     assert ext[4] is False     # transmission
+    assert ext[5] is False     # volume (thickness)
     r2 = _scene({})
-    assert r2._ext_mask() == (False, False, False, False, False)
+    assert r2._ext_mask() == (False, False, False, False, False, False)
+    r3 = _scene({"transmission_factor": 1.0, "thickness": 0.5})
+    ext3 = r3._ext_mask()
+    assert ext3[4] is True and ext3[5] is True

@@ -155,3 +155,57 @@ def test_smaa_softens_edges():
     reds = img[..., 0]
     partial = (reds > 0.1) & (reds < 0.85)
     assert partial.sum() > 3  # blended edge pixels exist
+
+
+def _refraction_scene(thickness: float):
+    """Left-red / right-blue backdrop, a 45°-tilted refractive slab in
+    front (ior 1.5). Reference behavior: material_transparent
+    fragment.wgsl sample_transmission_background projects the refracted
+    exit point and samples the opaque buffer there."""
+    r = make_renderer()
+    red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
+    blue = r.materials.insert(UnlitMaterial(base_color_factor=np.array([0, 0, 1, 1], F)))
+    glass = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], F),
+        transmission_factor=1.0, thickness=thickness, ior=1.5,
+        roughness_factor=0.05, metallic_factor=0.0))
+    # backdrop: two large quads at z=-1 meeting at x=0
+    for mat, cx in ((red, -4.0), (blue, 4.0)):
+        r.add_mesh(plane(8.0), mat, transform=Transform(
+            translation=np.array([cx, 0, -1], F),
+            rotation=m3.quat_from_axis_angle([1, 0, 0], np.pi / 2)))
+    # tilted slab in front of the boundary (normal leans +x)
+    q = m3.quat_mul(m3.quat_from_axis_angle([0, 1, 0], np.pi / 4),
+                    m3.quat_from_axis_angle([1, 0, 0], np.pi / 2))
+    r.add_mesh(plane(2.0), glass, transform=Transform(
+        translation=np.array([0, 0, 1.0], F), rotation=q))
+    return r
+
+
+def test_screen_space_refraction_displaces_background():
+    img0 = _refraction_scene(0.0).render()
+    img4 = _refraction_scene(4.0).render()
+    cx = W // 2
+    # just right of the red/blue boundary, behind the slab: the un-refracted
+    # background is blue; the 45°-tilt + 4-unit march samples to the LEFT
+    # (refraction bends toward the inverted normal), which is red
+    c0 = img0[H // 2, cx + 4, :3]
+    c4 = img4[H // 2, cx + 4, :3]
+    assert c0[2] > c0[0], f"thickness=0 must transmit the same-pixel blue, got {c0}"
+    assert c4[0] > c4[2], f"refraction must displace sampling into the red half, got {c4}"
+    # outside the slab the backdrop is unchanged
+    np.testing.assert_allclose(img0[H // 2, 5], img4[H // 2, 5], atol=1e-3)
+
+
+def test_refraction_offscreen_falls_back_to_ibl():
+    """A refracted ray leaving the screen samples the prefiltered env
+    (fragment.wgsl falls back to IBL instead of clamping)."""
+    r = _refraction_scene(60.0)   # huge march: exit point far off screen
+    r.environment.prefiltered = r.environment.prefiltered * 0.0 + np.array(
+        [4.0, 0.0, 4.0, 1.0], F)  # magenta env, distinctive
+    r.environment.gpu_dirty = True
+    img = r.render()
+    c = img[H // 2, W // 2 + 4, :3]
+    assert np.isfinite(img).all()
+    # magenta fallback: red+blue transmitted, green stays low
+    assert c[0] > 0.3 and c[2] > 0.3 and c[1] < min(c[0], c[2])
