@@ -35,11 +35,17 @@ class PostProcessing:
 class AntiAliasing:
     """Reference: anti_alias.rs:9-99 (msaa None|4, smaa, mipmaps).
 
-    On TPU there is no hardware MSAA; `supersample` renders at 2x and
-    box-resolves, matching MSAA 4x sample count.
+    On TPU there is no hardware MSAA; two software equivalents:
+    - `msaa`: MSAA-4x semantics — coverage + depth rasterized at 2x2
+      samples per pixel (slim raster), shading ONCE per display pixel,
+      per-sample edge-aware resolve. The reference's
+      msaa_sample_count=4 cost model.
+    - `supersample`: brute-force SSAA — the full pipeline at 2x with a
+      box resolve (higher quality than MSAA 4x, ~4x the shading cost).
     """
 
     supersample: bool = False
+    msaa: bool = False
     smaa: bool = False
     mipmap: bool = True
 

@@ -950,6 +950,28 @@ def rasterize_rows(rows, *, width: int, height: int,
                             analytic_derivs=analytic_derivs)
 
 
+def rasterize_slim_rows(rows, *, width: int, height: int,
+                        interpret: bool | None = None,
+                        binned: bool | None = None):
+    """Coverage-only raster from row-major setup: (tri_id, depth) (H, W)
+    planes, no attribute resolve. Ids are setup-row indices (== original
+    pool ids in the unsorted prep_setup_rows layout), so they can gather
+    setup rows directly. This is the MSAA sample pass (see
+    rasterize16_slim)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if binned is None:
+        binned = not interpret
+    if binned:
+        col, depth = rasterize16_slim(rows, width=width, height=height,
+                                      interpret=interpret)
+        return col.reshape(height, width), depth.reshape(height, width)
+    out = _rasterize_dense(rows.T, width=width, height=height,
+                           interpret=interpret, slim=True,
+                           analytic_derivs=False)
+    return out["tri_id"], out["depth"]
+
+
 def rasterize_layers_rows(rows, opaque_depth, *, width: int, height: int,
                           n_layers: int, interpret: bool | None = None,
                           binned: bool | None = None,
@@ -1253,9 +1275,32 @@ def rasterize16(setup_rows, zlo=None, zhi=None, bins=None, *, width: int,
 
     if interpret is None:
         interpret = _interpret_default()
-    peel = zlo is not None
     names, _attr_rows = plane_layout(has_uv1, has_color, False,
                                      analytic_derivs)
+    col, depth = rasterize16_slim(
+        setup_rows, zlo, zhi, bins, width=width, height=height,
+        interpret=interpret, vis_cap=vis_cap, stash_cap=stash_cap)
+
+    resolved = resolve_planes_fused(
+        col, setup_rows, width=width, height_full=height_full or height,
+        row_offset=row_offset, interpret=interpret)
+    resolved["depth"] = depth
+    return {k: resolved[k].reshape(height, width) for k in names}
+
+
+def rasterize16_slim(setup_rows, zlo=None, zhi=None, bins=None, *,
+                     width: int, height: int,
+                     interpret: bool | None = None,
+                     vis_cap: int = 65536, stash_cap: int = 128):
+    """The v5 kernel's coverage stage alone: (winner column id, depth) as
+    flat (H*W,) planes, no attribute resolve. This is also the MSAA
+    sample pass — run at the supersampled resolution it gives per-sample
+    coverage at a fraction of a full supersampled shade (hardware MSAA
+    semantics: multi-sample depth/coverage, per-pixel shading —
+    anti_alias.rs msaa_sample_count=4)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    peel = zlo is not None
     T = setup_rows.shape[0]
     assert T % GROUP == 0, T
     W32 = -(-width // BT_W) * BT_W
@@ -1313,9 +1358,4 @@ def rasterize16(setup_rows, zlo=None, zhi=None, bins=None, *, width: int,
     )(*bins, *args)
     col = _deswizzle16(col, H32, W32)[:height, :width].reshape(-1)
     depth = _deswizzle16(depth, H32, W32)[:height, :width].reshape(-1)
-
-    resolved = resolve_planes_fused(
-        col, setup_rows, width=width, height_full=height_full or height,
-        row_offset=row_offset, interpret=interpret)
-    resolved["depth"] = depth
-    return {k: resolved[k].reshape(height, width) for k in names}
+    return col, depth

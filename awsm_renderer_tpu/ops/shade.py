@@ -38,6 +38,7 @@ from . import brdf
 from .cubemap import sample_env_batch_c
 from .texsample import (
     apply_texture_transform_c,
+    apply_texture_transform_with_grads_c,
     sample_texture_batch_c,
 )
 from .vertex import onehot_gather, onehot_gather_t
@@ -282,9 +283,11 @@ def split_bf16_tables(setup_rows):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height_full", "row_offset", "interpret"))
+    static_argnames=("width", "height_full", "row_offset", "interpret",
+                     "coord_scale"))
 def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
-                         row_offset=0, interpret: bool = False):
+                         row_offset=0, interpret: bool = False,
+                         coord_scale: int = 1):
     """Slim (tri_id) buffer -> full attribute planes, production path.
 
     TWO fast bf16-split gathers fetch each pixel's winner setup row at
@@ -305,7 +308,8 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     if interpret:
         planes = {"tri_id": tid}
         out = resolve_gbuffer(planes, setup_rows, width=width,
-                              height_full=height_full, row_offset=row_offset)
+                              height_full=height_full, row_offset=row_offset,
+                              coord_scale=coord_scale)
         return {k: out[k] for k in RESOLVE_NAMES}
 
     P = tid.shape[0]
@@ -327,8 +331,12 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
              + b1_ref[:].astype(jnp.float32)).T          # (C, blk)
         idx = (pid * blk
                + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
-        px = (idx % width).astype(jnp.float32) + 0.5
-        py = ((idx // width) + row_offset).astype(jnp.float32) + 0.5
+        # coord_scale > 1: ids were taken at every scale-th sample of a
+        # supersampled raster whose plane equations live in that space —
+        # evaluate them at the representative sample's supersampled center
+        px = (idx % width).astype(jnp.float32) * coord_scale + 0.5
+        py = (((idx // width) + row_offset).astype(jnp.float32)
+              * coord_scale + 0.5)
         class _Rows:
             def __getitem__(self, k):
                 return S[k]
@@ -364,7 +372,7 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
 
 
 def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
-                    row_offset=0):
+                    row_offset=0, coord_scale: int = 1):
     """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
 
     setup_rows: (T2, NSETUP) row-major (ids in the slim buffer are
@@ -385,9 +393,9 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     S = setup_rows[i]                                       # (P, NSETUP)
     ch = split_channels(S)
 
-    px = (jnp.arange(P, dtype=jnp.float32) % width) + 0.5
+    px = (jnp.arange(P, dtype=jnp.float32) % width) * coord_scale + 0.5
     py = (jnp.arange(P, dtype=jnp.float32) // width
-          + jnp.float32(row_offset)) + 0.5
+          + jnp.float32(row_offset)) * coord_scale + 0.5
 
     res = _resolve_math(ch, px, py)
     out = dict(planes)
@@ -533,8 +541,9 @@ def shade_surface(
         use1 = uv_set == 1.0
         u = jnp.where(use1, uv1[0], uv0[0])
         vv = jnp.where(use1, uv1[1], uv0[1])
-        u, vv = apply_texture_transform_c(ds["tex_transforms"], tform, u, vv)
-        taps.append((tex_id, (u, vv), duv if use_mips else None))
+        u, vv, tap_duv = apply_texture_transform_with_grads_c(
+            ds["tex_transforms"], tform, u, vv, duv if use_mips else None)
+        taps.append((tex_id, (u, vv), tap_duv))
     tex_cache = dict(zip(active_slots, sample_texture_batch_c(
         ds["texels"], ds["tex_desc"], taps, has_nearest=has_nearest)))
 

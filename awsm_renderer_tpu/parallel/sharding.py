@@ -37,7 +37,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ToneMapping
 from ..ops.raster import TILE_H, TILE_W
 from ..ops.shade import ALL_EXT, ALL_SLOTS
-from ..passes.frame import _finish_frame, _frame_band, _pad_to
+from ..passes.frame import (
+    _finish_frame, _frame_band, _msaa_edge_blend, _opaque_band,
+    _opaque_band_msaa, _overlay_band, _pad_to, _resolve_supersample,
+    _total_triangles,
+)
 
 
 def render_frame_sharded(
@@ -50,6 +54,7 @@ def render_frame_sharded(
     width: int,
     height: int,
     supersample: bool = False,
+    msaa: bool = False,
     tonemap: ToneMapping = ToneMapping.KHRONOS_PBR_NEUTRAL,
     use_mips: bool = True,
     has_morphs: bool = False,
@@ -79,18 +84,33 @@ def render_frame_sharded(
     """
     if ext is None:
         ext = ALL_EXT
+    assert not (supersample and msaa), "pick one AA mode"
     (axis,) = mesh.axis_names
     n = mesh.shape[axis]
     scale = 2 if supersample else 1
-    rw = _pad_to(width * scale, TILE_W)
-    rh = _pad_to(height * scale, TILE_H)
-    assert rh % (TILE_H * n) == 0, (
-        f"padded render height {rh} must split into TILE_H({TILE_H})-aligned "
+    rw2 = _pad_to(width * scale, TILE_W)
+    rh2 = _pad_to(height * scale, TILE_H)
+    rw1 = _pad_to(width, TILE_W)
+    rh1 = _pad_to(height, TILE_H)
+    assert rh2 % (TILE_H * n) == 0, (
+        f"padded render height {rh2} must split into TILE_H({TILE_H})-aligned "
         f"bands across {n} devices")
-    band_h = rh // n
+    band2_h = rh2 // n
+    if supersample or msaa:
+        assert rh1 % (TILE_H * n) == 0, (
+            f"padded display height {rh1} must split into TILE_H({TILE_H})-"
+            f"aligned bands across {n} devices for the 1x overlay pass")
+    band1_h = rh1 // n
 
     replicated = NamedSharding(mesh, P())
     row_sharded = NamedSharding(mesh, P(axis))
+
+    common = dict(
+        use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
+        slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
+        hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
+        ext=ext, has_uv1=has_uv1, has_color=has_color,
+    )
 
     @functools.partial(
         shard_map,
@@ -99,24 +119,84 @@ def render_frame_sharded(
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         check_rep=False,
     )
-    def _band(ds_rep, om, tm, hm):
-        y0 = jax.lax.axis_index(axis) * band_h
+    def _band_single_scale(ds_rep, om, tm, hm):
+        """Non-supersampled frame: opaque + overlay in one band pass."""
+        y0 = jax.lax.axis_index(axis) * band2_h
         hdr_ch, tri_id, depth = _frame_band(
             ds_rep, om,
             tm if has_transparent else None,
             hm if has_hud else None,
-            rw=rw, band_h=band_h, rh_full=rh, row_offset=y0,
+            rw=rw2, band_h=band2_h, rh_full=rh2, row_offset=y0,
             shift_rows=True,
-            use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
             has_transparent=has_transparent, has_hud=has_hud,
-            n_transparent_layers=n_transparent_layers, slot_mask=slot_mask,
-            solid_env=solid_env, debug_mode=debug_mode, interpret=interpret,
-            hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
-            ext=ext, has_uv1=has_uv1, has_color=has_color,
+            n_transparent_layers=n_transparent_layers,
+            debug_mode=debug_mode, **common,
         )
-        # channel planes → (band_h, rw) images for the row-sharded output
-        r, g, b, a = (c.reshape(band_h, rw) for c in hdr_ch)
+        r, g, b, a = (c.reshape(band2_h, rw2) for c in hdr_ch)
         return r, g, b, a, tri_id, depth
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    def _band_opaque(ds_rep, om):
+        """Supersampled opaque stage at 2x resolution."""
+        y0 = jax.lax.axis_index(axis) * band2_h
+        hdr_ch, tri_id, depth = _opaque_band(
+            ds_rep, om,
+            rw=rw2, band_h=band2_h, rh_full=rh2, row_offset=y0,
+            shift_rows=True, debug_mode=debug_mode, **common,
+        )
+        r, g, b, a = (c.reshape(band2_h, rw2) for c in hdr_ch)
+        return r, g, b, a, tri_id, depth
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=tuple(P(axis) for _ in range(9)),
+        check_rep=False,
+    )
+    def _band_opaque_msaa(ds_rep, om):
+        """MSAA opaque stage: 2x2-sample coverage raster per band, one
+        shade per display pixel (passes/frame.py::_opaque_band_msaa)."""
+        y0 = jax.lax.axis_index(axis) * band1_h
+        hdr_ch, samp, depth1 = _opaque_band_msaa(
+            ds_rep, om,
+            rw2=_pad_to(width * 2, TILE_W), band2_h=2 * band1_h,
+            rh2_full=2 * rh1,
+            rw1=rw1, band1_h=band1_h, rh1_full=rh1,
+            row_offset1=y0, shift_rows=True, debug_mode=debug_mode, **common,
+        )
+        r, g, b, a = (c.reshape(band1_h, rw1) for c in hdr_ch)
+        return (r, g, b, a, *samp, depth1)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    def _band_overlay(ds_rep, tm, hm, hdr_img, tri_id, depth):
+        """Transparent peel + HUD at display (1x) resolution over the
+        resolved opaque bands."""
+        y0 = jax.lax.axis_index(axis) * band1_h
+        hdr_ch = [hdr_img[..., c].reshape(band1_h * rw1) for c in range(4)]
+        hdr_ch, tri_id = _overlay_band(
+            hdr_ch, tri_id, depth, ds_rep,
+            tm if has_transparent else None,
+            hm if has_hud else None,
+            rw=rw1, band_h=band1_h, rh_full=rh1, row_offset=y0,
+            shift_rows=True,
+            has_transparent=has_transparent, has_hud=has_hud,
+            n_transparent_layers=n_transparent_layers, **common,
+        )
+        r, g, b, a = (c.reshape(band1_h, rw1) for c in hdr_ch)
+        return r, g, b, a, tri_id
 
     ds_rep = jax.device_put(ds, replicated)
     om = jax.device_put(jnp.asarray(opaque_mask), replicated)
@@ -129,14 +209,40 @@ def render_frame_sharded(
 
     @functools.partial(jax.jit, out_shardings=(row_sharded,) * 3)
     def _frame(ds_rep, om, tm, hm):
-        r, g, b, a, tri_id, depth = _band(ds_rep, om, tm, hm)
-        hdr_ch = [x.reshape(rh * rw) for x in (r, g, b, a)]
+        if msaa:
+            r, g, b, a, s0, s1, s2, s3, depth = _band_opaque_msaa(ds_rep, om)
+            # edge blend OUTSIDE shard_map: the rolls become GSPMD halo
+            # exchanges across band boundaries
+            hdr_ch = _msaa_edge_blend(
+                [x.reshape(rh1 * rw1) for x in (r, g, b, a)],
+                [s0, s1, s2, s3], rh1, rw1)
+            hdr_img = jnp.stack(
+                [c.reshape(rh1, rw1) for c in hdr_ch], axis=-1)
+            r, g, b, a, tri_id = _band_overlay(
+                ds_rep, tm, hm, hdr_img, s0, depth)
+            hdr_ch = [x.reshape(rh1 * rw1) for x in (r, g, b, a)]
+        elif scale == 2:
+            r, g, b, a, tri_id, depth = _band_opaque(ds_rep, om)
+            hdr_ch = [x for x in (r, g, b, a)]
+            # resolve to 1x between the stages — plain pjit'd image ops
+            # over the row-sharded planes; GSPMD handles the 2:1 reshard
+            hdr_ch, tri_id, depth = _resolve_supersample(
+                [c.reshape(rh2 * rw2) for c in hdr_ch], tri_id, depth,
+                width=width, height=height, rw2=rw2, rw1=rw1, rh1=rh1)
+            hdr_img = jnp.stack(
+                [c.reshape(rh1, rw1) for c in hdr_ch], axis=-1)
+            r, g, b, a, tri_id = _band_overlay(
+                ds_rep, tm, hm, hdr_img, tri_id, depth)
+            hdr_ch = [x.reshape(rh1 * rw1) for x in (r, g, b, a)]
+        else:
+            r, g, b, a, tri_id, depth = _band_single_scale(ds_rep, om, tm, hm)
+            hdr_ch = [x.reshape(rh1 * rw1) for x in (r, g, b, a)]
         ldr, tri_id, depth = _finish_frame(
             hdr_ch, tri_id, depth, ds_rep,
-            rw=rw, rh=rh, width=width, height=height, scale=scale,
+            rw=rw1, rh=rh1, width=width, height=height,
             tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=None,
         )
-        T_pool = ds_rep["tri_mesh"].shape[0]
+        T_pool = _total_triangles(ds_rep)
         tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
         return ldr, tri_id, depth
 

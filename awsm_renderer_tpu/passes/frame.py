@@ -24,7 +24,7 @@ from ..ops.effects import bloom as bloom_pass
 from ..ops.effects import depth_of_field, smaa as smaa_pass
 from ..ops.raster import (
     TILE_H, TILE_W, pad_setup, pad_setup_rows, rasterize, rasterize_layers,
-    rasterize_layers_rows, rasterize_rows,
+    rasterize_layers_rows, rasterize_rows, rasterize_slim_rows,
 )
 from ..ops.shade import (
     ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_layers_c,
@@ -126,8 +126,74 @@ def _shift_rows_band(rows: jnp.ndarray, y0) -> jnp.ndarray:
     return s
 
 
-def _frame_band(
-    ds, opaque_mask, transparent_mask, hud_mask,
+_CORNER_NAMES = ("c_pos", "c_norm", "c_tang", "c_uv0", "c_uv1", "c_color",
+                 "c_joints", "c_weights", "c_morph_base")
+
+
+def _combined_geometry(ds):
+    """Pool corners + instanced groups tiled across their instances.
+
+    Instanced groups (core/meshes.py _InstGroup; reference
+    instances.rs:22-203) store each resource's corners ONCE in ds; here
+    they are tiled I× with jnp.tile — a broadcast XLA fuses into the
+    vertex stage's (T,) consumers, so the duplication never round-trips
+    through HBM as a standalone buffer — and their per-triangle mesh row
+    comes from the tiny (I,) instance-row vector. Group order is gid
+    order (Meshes.inst_group_items), which picking mirrors."""
+    gids = sorted({int(k[4:].split("_", 1)[0]) for k in ds
+                   if k.startswith("inst") and "_" in k
+                   and k[4:].split("_", 1)[0].isdigit()})
+    if not gids:
+        return {n: ds[n] for n in _CORNER_NAMES}, ds["tri_mesh"]
+    parts = {n: [ds[n]] for n in _CORNER_NAMES}
+    tri = [ds["tri_mesh"]]
+    for g in gids:
+        rows = ds[f"inst{g}_rows"]          # (I,) i32 mesh rows
+        live = ds[f"inst{g}_live"]          # (Tp,) bool
+        n_inst = rows.shape[0]
+        tp = live.shape[0]
+        for n in _CORNER_NAMES:
+            parts[n].append(jnp.tile(ds[f"inst{g}_{n}"], (1, n_inst)))
+        tri.append(jnp.where(
+            jnp.tile(live, n_inst),
+            jnp.repeat(rows, tp, total_repeat_length=n_inst * tp),
+            jnp.int32(-1)))
+    return ({n: jnp.concatenate(parts[n], axis=1) for n in _CORNER_NAMES},
+            jnp.concatenate(tri))
+
+
+def _total_triangles(ds) -> int:
+    """Device triangle count of the combined stream: pool + instanced
+    groups (the clip doubling and picking modulo key off this)."""
+    t = ds["tri_mesh"].shape[0]
+    for k in ds:
+        if k.startswith("inst") and k.endswith("_rows"):
+            g = k[4:-5]
+            if g.isdigit():
+                t += ds[k].shape[0] * ds[f"inst{g}_live"].shape[0]
+    return t
+
+
+def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
+                has_morphs, skin_sets, needs_clip):
+    geo, tri_mesh = _combined_geometry(ds)
+    rows, key = vertex_stage(
+        geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
+        geo["c_uv1"], geo["c_color"], geo["c_joints"], geo["c_weights"],
+        geo["c_morph_base"],
+        ds["morph_deltas"], tri_mesh, ds["mesh_info"],
+        ds["morph_weights"], ds["world"], ds["normal_mat"],
+        ds["joint_matrices"], ds["camera"]["view_proj"], mask,
+        width=rw, height=rh_full, has_morphs=has_morphs,
+        skin_sets=skin_sets, needs_clip=needs_clip,
+    )
+    if shift_rows:
+        rows = _shift_rows_band(rows, row_offset)
+    return rows, key
+
+
+def _opaque_band(
+    ds, opaque_mask,
     *,
     rw: int,            # padded render width (supersampled space)
     band_h: int,        # this band's height (TILE_H multiple)
@@ -137,9 +203,6 @@ def _frame_band(
     use_mips: bool,
     has_morphs: bool,
     skin_sets: int,
-    has_transparent: bool,
-    has_hud: bool,
-    n_transparent_layers: int,
     slot_mask,
     solid_env: bool,
     debug_mode: str,
@@ -151,29 +214,14 @@ def _frame_band(
     has_uv1: bool,
     has_color: bool,
 ):
-    """Geometry + shading for one horizontal framebuffer band: vertex →
-    raster → deferred opaque shade → transparent peel → HUD, all in the
-    production channel-plane layout. The single-device frame is the
-    band_h == rh_full, row_offset == 0 case; the row-sharded frame maps
-    this over devices (parallel/sharding.py). Returns
+    """Opaque geometry + deferred shade for one framebuffer band: vertex →
+    raster → deferred opaque shade (render.rs steps 1, 6), in the
+    production channel-plane layout. Returns
     (hdr_ch [r,g,b,a] (band_h*rw,) planes, tri_id, depth (band_h, rw))."""
-
-    def run_vertex(mask):
-        rows, key = vertex_stage(
-            ds["c_pos"], ds["c_norm"], ds["c_tang"], ds["c_uv0"], ds["c_uv1"],
-            ds["c_color"], ds["c_joints"], ds["c_weights"], ds["c_morph_base"],
-            ds["morph_deltas"], ds["tri_mesh"], ds["mesh_info"],
-            ds["morph_weights"], ds["world"], ds["normal_mat"],
-            ds["joint_matrices"], ds["camera"]["view_proj"], mask,
-            width=rw, height=rh_full, has_morphs=has_morphs,
-            skin_sets=skin_sets, needs_clip=needs_clip,
-        )
-        if shift_rows:
-            rows = _shift_rows_band(rows, row_offset)
-        return rows, key
-
-    # ---- geometry + opaque shade (render.rs steps 1, 6) ---------------------
-    sorted_rows = prep_setup_rows(*run_vertex(opaque_mask))
+    sorted_rows = prep_setup_rows(*_run_vertex(
+        ds, opaque_mask, rw=rw, rh_full=rh_full, row_offset=row_offset,
+        shift_rows=shift_rows, has_morphs=has_morphs, skin_sets=skin_sets,
+        needs_clip=needs_clip))
     vis = rasterize_rows(sorted_rows, width=rw, height=band_h,
                          interpret=interpret, has_uv1=has_uv1,
                          has_color=has_color, analytic_derivs=False)
@@ -188,8 +236,46 @@ def _frame_band(
         solid_env=solid_env, has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode,
     )
-    tri_id = vis["tri_id"]
-    depth = vis["depth"]
+    return hdr_ch, vis["tri_id"], vis["depth"]
+
+
+def _overlay_band(
+    hdr_ch, tri_id, depth,
+    ds, transparent_mask, hud_mask,
+    *,
+    rw: int,
+    band_h: int,
+    rh_full: int,
+    row_offset,
+    shift_rows: bool,
+    use_mips: bool,
+    has_morphs: bool,
+    skin_sets: int,
+    has_transparent: bool,
+    has_hud: bool,
+    n_transparent_layers: int,
+    slot_mask,
+    solid_env: bool,
+    interpret,
+    hooks,
+    has_nearest: bool,
+    needs_clip: bool,
+    ext,
+    has_uv1: bool,
+    has_color: bool,
+):
+    """Transparent forward peel + HUD over the (already shaded) opaque band
+    (render.rs steps 9, 2/10). With supersampling on, this runs at DISPLAY
+    resolution on the resolved opaque image — the analog of the reference
+    resolving its MSAA opaque target at the opaque→transparent blit
+    (render.rs:224-261) — which keeps the K-layer peel O(display pixels).
+    Returns (hdr_ch, tri_id)."""
+
+    def run_vertex(mask):
+        return _run_vertex(
+            ds, mask, rw=rw, rh_full=rh_full, row_offset=row_offset,
+            shift_rows=shift_rows, has_morphs=has_morphs,
+            skin_sets=skin_sets, needs_clip=needs_clip)
 
     def _stack(ch):
         return jnp.stack(ch, axis=-1).reshape(band_h, rw, 4)
@@ -244,6 +330,192 @@ def _frame_band(
         hdr_ch = out
         tri_id = jnp.where(h_vis["tri_id"] >= 0, h_vis["tri_id"], tri_id)
 
+    return hdr_ch, tri_id
+
+
+def _frame_band(
+    ds, opaque_mask, transparent_mask, hud_mask,
+    *,
+    rw: int,
+    band_h: int,
+    rh_full: int,
+    row_offset,
+    shift_rows: bool,
+    use_mips: bool,
+    has_morphs: bool,
+    skin_sets: int,
+    has_transparent: bool,
+    has_hud: bool,
+    n_transparent_layers: int,
+    slot_mask,
+    solid_env: bool,
+    debug_mode: str,
+    interpret,
+    hooks,
+    has_nearest: bool,
+    needs_clip: bool,
+    ext,
+    has_uv1: bool,
+    has_color: bool,
+):
+    """Single-scale band pipeline: opaque + overlay at the same resolution
+    (the non-supersampled frame; the supersampled frame resolves between
+    the two stages — see render_frame). Returns
+    (hdr_ch planes, tri_id, depth (band_h, rw))."""
+    hdr_ch, tri_id, depth = _opaque_band(
+        ds, opaque_mask,
+        rw=rw, band_h=band_h, rh_full=rh_full, row_offset=row_offset,
+        shift_rows=shift_rows, use_mips=use_mips, has_morphs=has_morphs,
+        skin_sets=skin_sets, slot_mask=slot_mask, solid_env=solid_env,
+        debug_mode=debug_mode, interpret=interpret, hooks=hooks,
+        has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
+        has_uv1=has_uv1, has_color=has_color,
+    )
+    hdr_ch, tri_id = _overlay_band(
+        hdr_ch, tri_id, depth, ds, transparent_mask, hud_mask,
+        rw=rw, band_h=band_h, rh_full=rh_full, row_offset=row_offset,
+        shift_rows=shift_rows, use_mips=use_mips, has_morphs=has_morphs,
+        skin_sets=skin_sets, has_transparent=has_transparent,
+        has_hud=has_hud, n_transparent_layers=n_transparent_layers,
+        slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
+        hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
+        ext=ext, has_uv1=has_uv1, has_color=has_color,
+    )
+    return hdr_ch, tri_id, depth
+
+
+def _opaque_band_msaa(
+    ds, opaque_mask,
+    *,
+    rw2: int, band2_h: int, rh2_full: int,   # supersampled raster space
+    rw1: int, band1_h: int, rh1_full: int,   # display (shading) space
+    row_offset1,        # band start row in DISPLAY space
+    shift_rows: bool,
+    use_mips: bool,
+    has_morphs: bool,
+    skin_sets: int,
+    slot_mask,
+    solid_env: bool,
+    debug_mode: str,
+    interpret,
+    hooks,
+    has_nearest: bool,
+    needs_clip: bool,
+    ext,
+    has_uv1: bool,
+    has_color: bool,
+):
+    """MSAA-4x-equivalent opaque stage: coverage + depth at 2x2 samples
+    per display pixel (slim raster — ids and depth only), shading ONCE
+    per display pixel on the top-left sample. This is hardware MSAA's
+    actual cost model (multi-sample raster, per-pixel fragment shading —
+    reference anti_alias.rs msaa_sample_count = None|4), unlike the
+    brute-force `supersample` path which shades all 4 samples. The
+    per-sample ids feed _msaa_edge_blend after shading.
+
+    Returns (hdr_ch planes (band1_h*rw1,), samp = 4x (band1_h, rw1)
+    sample-id planes [top-left/tr/bl/br], depth1 (band1_h, rw1))."""
+    from ..ops.raster import _interpret_default
+
+    if interpret is None:
+        interpret = _interpret_default()
+    assert band2_h == 2 * band1_h, (band2_h, band1_h)
+    rows, key = _run_vertex(
+        ds, opaque_mask, rw=rw2, rh_full=rh2_full,
+        row_offset=2 * row_offset1, shift_rows=shift_rows,
+        has_morphs=has_morphs, skin_sets=skin_sets, needs_clip=needs_clip)
+    srows = prep_setup_rows(rows, key)
+    tid2, depth2 = rasterize_slim_rows(srows, width=rw2, height=band2_h,
+                                       interpret=interpret)
+
+    w_half = rw2 // 2
+    def _fit_cols(p, fill):
+        if w_half == rw1:
+            return p
+        if w_half > rw1:
+            return p[:, :rw1]
+        return jnp.pad(p, ((0, 0), (0, rw1 - w_half)),
+                       constant_values=fill)
+
+    samp = [_fit_cols(tid2[i::2, j::2], -1)
+            for i in (0, 1) for j in (0, 1)]
+    depth1 = _fit_cols(
+        depth2.reshape(band1_h, 2, w_half, 2).min(axis=(1, 3)), 1.0)
+
+    from ..ops.shade import RESOLVE_NAMES, resolve_planes_fused
+
+    rep = samp[0]
+    vis = resolve_planes_fused(
+        rep.reshape(band1_h * rw1), srows, width=rw1, height_full=rh1_full,
+        row_offset=0 if shift_rows else row_offset1, coord_scale=2,
+        interpret=interpret)
+    vis = {k: vis[k] for k in RESOLVE_NAMES}
+    vis["depth"] = depth1.reshape(band1_h * rw1)
+    if hooks and hooks.after_geometry:
+        vis = hooks.after_geometry(vis, ds)
+    hdr_ch = shade_deferred_c(
+        vis, ds,
+        width=rw1, height=band1_h, height_full=rh1_full,
+        row_offset=row_offset1,
+        use_mips=use_mips, slot_mask=slot_mask,
+        solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+        debug_mode=debug_mode,
+    )
+    return hdr_ch, samp, depth1
+
+
+def _msaa_edge_blend(hdr_ch, samp, H: int, W: int):
+    """Per-sample MSAA resolve in image space: each of a pixel's 4
+    coverage samples contributes the shaded color of the pixel whose
+    winner triangle matches it — its own pixel when the ids agree
+    (interior: all 4 match, the blend is the identity), otherwise the
+    nearest neighbor toward the sample's quadrant (axis neighbors first,
+    then the diagonal; fallback own pixel). Pure rolls + selects — the
+    TPU analog of the reference's MSAA edge-detect per-sample resolve
+    (material_opaque compute.wgsl MSAA variant). Runs OUTSIDE shard_map:
+    under pjit the rolls become GSPMD halo exchanges."""
+    rep = samp[0]
+    imgs = [c.reshape(H, W) for c in hdr_ch]
+    acc = [jnp.zeros_like(imgs[0]) for _ in range(4)]
+    for s_idx, (i, j) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        ts = samp[s_idx]
+        if s_idx == 0:
+            acc = [a + im for a, im in zip(acc, imgs)]   # ts == rep always
+            continue
+        dy = -1 if i == 0 else 1
+        dx = -1 if j == 0 else 1
+        chosen = list(imgs)
+        found = ts == rep
+        for (oy, ox) in ((0, dx), (dy, 0), (dy, dx)):
+            ntid = jnp.roll(rep, (-oy, -ox), axis=(0, 1))   # value at p+(oy,ox)
+            m = (~found) & (ntid == ts)
+            chosen = [jnp.where(m, jnp.roll(im, (-oy, -ox), axis=(0, 1)), c)
+                      for im, c in zip(imgs, chosen)]
+            found = found | m
+        acc = [a + c for a, c in zip(acc, chosen)]
+    return [(a * 0.25).reshape(H * W) for a in acc]
+
+
+def _resolve_supersample(hdr_ch, tri_id, depth, *, width: int, height: int,
+                         rw2: int, rw1: int, rh1: int):
+    """2×2 box-resolve of the supersampled opaque HDR down to display
+    resolution, re-padded onto the 1× raster grid. Linear-HDR resolve,
+    like the reference's MSAA resolve of its Rgba16float opaque target at
+    the opaque→transparent blit (render.rs:224-261). Depth resolves with
+    min (nearest sample — conservative occlusion for the transparent
+    peel); tri_id takes the top-left sample (picking is per display
+    pixel). Pads: tri_id=-1 (miss), depth=0.0 (fully occluded — no
+    transparent work lands in padding, which is cropped anyway)."""
+    h2, w2 = height * 2, width * 2
+    hdr_ch = [c.reshape(-1, rw2)[:h2, :w2]
+              .reshape(height, 2, width, 2).mean(axis=(1, 3))
+              for c in hdr_ch]
+    tri_id = tri_id[:h2:2, :w2:2]
+    depth = depth[:h2, :w2].reshape(height, 2, width, 2).min(axis=(1, 3))
+    pad = ((0, rh1 - height), (0, rw1 - width))
+    hdr_ch = [jnp.pad(c, pad).reshape(rh1 * rw1) for c in hdr_ch]
+    tri_id = jnp.pad(tri_id, pad, constant_values=-1)
+    depth = jnp.pad(depth, pad)
     return hdr_ch, tri_id, depth
 
 
@@ -252,26 +524,20 @@ def _finish_frame(
     *,
     rw: int, rh: int,
     width: int, height: int,
-    scale: int,
     tonemap: ToneMapping,
     bloom: bool, dof: bool, smaa: bool,
     hooks,
 ):
-    """Image-space frame tail: crop padding, supersample-resolve in linear
-    HDR, effects chain (bloom ping-pong, DoF — render.rs step 12), tonemap
-    display pass, SMAA. Pure image ops on (H, W) arrays — under pjit with a
+    """Image-space frame tail at display resolution: crop padding, effects
+    chain (bloom ping-pong, DoF — render.rs step 12), tonemap display
+    pass, SMAA. Pure image ops on (H, W) arrays — under pjit with a
     row-sharded input, GSPMD inserts the halo exchanges these stencils
     need, which is exactly the XLA-native replacement for hand-written
-    boundary passing."""
-    hdr_ch = [c.reshape(rh, rw)[: height * scale, : width * scale]
-              for c in hdr_ch]
-    tri_id = tri_id[: height * scale, : width * scale]
-    depth = depth[: height * scale, : width * scale]
-    if scale == 2:
-        hdr_ch = [c.reshape(height, 2, width, 2).mean(axis=(1, 3))
-                  for c in hdr_ch]
-        tri_id = tri_id[::2, ::2]
-        depth = depth.reshape(height, 2, width, 2).min(axis=(1, 3))
+    boundary passing. (The supersample resolve happens earlier, before
+    the transparent/HUD overlay — _resolve_supersample.)"""
+    hdr_ch = [c.reshape(rh, rw)[:height, :width] for c in hdr_ch]
+    tri_id = tri_id[:height, :width]
+    depth = depth[:height, :width]
 
     if bloom or dof:
         hdr = jnp.stack(hdr_ch, axis=-1)
@@ -294,7 +560,7 @@ def _finish_frame(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "supersample", "tonemap", "use_mips",
+        "width", "height", "supersample", "msaa", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
@@ -309,6 +575,7 @@ def render_frame(
     width: int,         # output width (pre-supersample)
     height: int,
     supersample: bool,
+    msaa: bool = False,
     tonemap: ToneMapping,
     use_mips: bool,
     has_morphs: bool,
@@ -343,27 +610,59 @@ def render_frame(
 
     if ext is None:
         ext = ALL_EXT
+    assert not (supersample and msaa), "pick one AA mode"
     scale = 2 if supersample else 1
-    rw = _pad_to(width * scale, TILE_W)
-    rh = _pad_to(height * scale, TILE_H)
+    rw2 = _pad_to(width * scale, TILE_W)
+    rh2 = _pad_to(height * scale, TILE_H)
+    rw1 = _pad_to(width, TILE_W)
+    rh1 = _pad_to(height, TILE_H)
 
-    hdr_ch, tri_id, depth = _frame_band(
-        ds, opaque_mask, transparent_mask, hud_mask,
-        rw=rw, band_h=rh, rh_full=rh, row_offset=0, shift_rows=False,
+    common = dict(
+        use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
+        slot_mask=slot_mask, solid_env=solid_env,
+        interpret=interpret, hooks=hooks, has_nearest=has_nearest,
+        needs_clip=needs_clip, ext=ext, has_uv1=has_uv1, has_color=has_color,
+    )
+    if msaa:
+        hdr_ch, samp, depth = _opaque_band_msaa(
+            ds, opaque_mask,
+            rw2=_pad_to(width * 2, TILE_W), band2_h=2 * rh1, rh2_full=2 * rh1,
+            rw1=rw1, band1_h=rh1, rh1_full=rh1,
+            row_offset1=0, shift_rows=False, debug_mode=debug_mode, **common,
+        )
+        hdr_ch = _msaa_edge_blend(hdr_ch, samp, rh1, rw1)
+        tri_id = samp[0]
+    else:
+        hdr_ch, tri_id, depth = _opaque_band(
+            ds, opaque_mask,
+            rw=rw2, band_h=rh2, rh_full=rh2, row_offset=0, shift_rows=False,
+            debug_mode=debug_mode, **common,
+        )
+    if scale == 2:
+        # resolve BEFORE the overlay: the transparent peel + HUD then run
+        # at display resolution (reference: MSAA opaque resolve at the
+        # opaque→transparent blit, render.rs:224-261). Also what keeps the
+        # K-layer peel's gathers O(display pixels) instead of O(4x).
+        hdr_ch, tri_id, depth = _resolve_supersample(
+            hdr_ch, tri_id, depth,
+            width=width, height=height, rw2=rw2, rw1=rw1, rh1=rh1)
+    hdr_ch, tri_id = _overlay_band(
+        hdr_ch, tri_id, depth, ds, transparent_mask, hud_mask,
+        rw=rw1, band_h=rh1, rh_full=rh1, row_offset=0, shift_rows=False,
         use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
         has_transparent=has_transparent, has_hud=has_hud,
         n_transparent_layers=n_transparent_layers, slot_mask=slot_mask,
-        solid_env=solid_env, debug_mode=debug_mode, interpret=interpret,
-        hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
-        ext=ext, has_uv1=has_uv1, has_color=has_color,
+        solid_env=solid_env, interpret=interpret, hooks=hooks,
+        has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
+        has_uv1=has_uv1, has_color=has_color,
     )
     ldr, tri_id, depth = _finish_frame(
         hdr_ch, tri_id, depth, ds,
-        rw=rw, rh=rh, width=width, height=height, scale=scale,
+        rw=rw1, rh=rh1, width=width, height=height,
         tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=hooks,
     )
 
     # picking ids in original triangle-pool space (clipping doubles columns)
-    T_pool = ds["tri_mesh"].shape[0]
+    T_pool = _total_triangles(ds)
     tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
     return ldr, tri_id, depth

@@ -51,11 +51,38 @@ class AwsmRendererTpu:
         self._last_tri_id = None   # device plane kept for picking
         self._mesh_row_to_key: Dict[int, int] = {}
         self._tri_mesh_device_order = None  # compact-order tri->mesh map
+        self._inst_tri_mesh = []            # per-group tri->mesh maps (appended)
+        self._mega = None                   # lazy MegaTexture atlas collection
         # per-pass spans gated like the reference's AwsmRendererLogging
         # { render_timings } (debug.rs:9-12; spans in render.rs:56-356)
         self.timings = RenderTimings(enabled=False)
 
     # ---- content helpers ----------------------------------------------------
+
+    @property
+    def mega_texture(self):
+        """Atlas collection over the shared texel pool (reference:
+        renderer-core texture/mega_texture.rs). Batch adds go through
+        this directly (add_image ... then finalize()); one-off adds can
+        use add_atlas_image below."""
+        if self._mega is None:
+            from .core.mega_texture import MegaTexture
+
+            self._mega = MegaTexture(self.textures)
+        return self._mega
+
+    def add_atlas_image(self, image, ttype=None, wrap: bool = True):
+        """Pack an image into the mega-texture atlas and return a
+        TextureRef usable in any material texture slot (the entry's UV
+        offset/scale ride the KHR-transform table; `wrap` keeps REPEAT
+        semantics inside the sub-rect)."""
+        from .core.mega_texture import TextureType
+
+        entry = self.mega_texture.add_image(
+            image, ttype if ttype is not None else TextureType.ALBEDO,
+            wrap=wrap)
+        self.mega_texture.finalize()
+        return entry.texture_ref
 
     def add_mesh(
         self,
@@ -101,15 +128,13 @@ class AwsmRendererTpu:
         MeshResource, one mesh record per instance)."""
         rk = self.meshes.insert_resource(geometry)
         mat = self.materials.get(material_key)
-        keys = []
-        for tr in transforms:
-            tk = self.transforms.insert(tr)
-            self.transforms.update_world()
-            keys.append(self.meshes.insert(
-                rk, self.transforms.row_of(tk), self.materials.row_of(material_key),
-                tk, material_key,
-                double_sided=getattr(mat, "double_sided", False),
-                transparent=self.materials.is_transparency_pass(material_key)))
+        tks = [self.transforms.insert(tr) for tr in transforms]
+        self.transforms.update_world()
+        keys = self.meshes.insert_instanced(
+            rk, [(self.transforms.row_of(t), t) for t in tks],
+            self.materials.row_of(material_key), material_key,
+            double_sided=getattr(mat, "double_sided", False),
+            transparent=self.materials.is_transparency_pass(material_key))
         self.meshes.update_world(self.transforms)
         return keys
 
@@ -188,26 +213,89 @@ class AwsmRendererTpu:
             # through the flushed tri_mesh, kept on self).
             mesh_span = self.timings.span("write_gpu/meshes")
             mesh_span.__enter__()
-            idx, dead = m.live_triangle_rows()
-            tu = idx.size
-            for name, comps in (
+            corners = (
                 ("c_pos", 3), ("c_norm", 3), ("c_tang", 4), ("c_uv0", 2),
                 ("c_uv1", 2), ("c_color", 4),
                 ("c_joints", None), ("c_weights", None),
-            ):
+            )
+
+            def _slice_cm(name, c, rows):
+                """(cnt,) host rows → component-major (3c, cnt) block."""
                 arr = getattr(m, name)
-                c = comps if comps is not None else arr.shape[1]
-                d[name] = jnp.asarray(np.ascontiguousarray(
-                    arr.reshape(-1, 3, c)[idx].transpose(1, 2, 0)
-                    .reshape(3 * c, tu)))
-            d["c_morph_base"] = jnp.asarray(
-                np.ascontiguousarray(m.c_morph_base.reshape(-1, 3)[idx].T))
-            tri_mesh_c = m.tri_mesh[idx].copy()
-            tri_mesh_c[dead] = -1
-            self._tri_mesh_device_order = tri_mesh_c
-            d["tri_mesh"] = jnp.asarray(tri_mesh_c)
-            for name in ("morph_deltas", "mesh_info", "morph_weights"):
+                cc = c if c is not None else arr.shape[1]
+                return np.ascontiguousarray(
+                    arr.reshape(-1, 3, cc)[rows].transpose(1, 2, 0)
+                    .reshape(3 * cc, rows.size))
+
+            plan = m.device_updates()
+            if plan[0] == "full":
+                _, idx, dead = plan
+                for name, c in corners:
+                    d[name] = jnp.asarray(_slice_cm(name, c, idx))
+                d["c_morph_base"] = jnp.asarray(
+                    np.ascontiguousarray(m.c_morph_base.reshape(-1, 3)[idx].T))
+                tri_mesh_c = m.tri_mesh[idx].copy()
+                tri_mesh_c[dead] = -1
+                self._tri_mesh_device_order = tri_mesh_c
+                d["tri_mesh"] = jnp.asarray(tri_mesh_c)
+            else:
+                # dirty-range updates: on-device dynamic_update_slice per
+                # edited span (buffer/helpers.rs semantics) — the full-pool
+                # host transpose + upload is NOT paid
+                for s, rows, dead in plan[1]:
+                    if rows is None:       # tombstone: mask the stale rows
+                        n = dead
+                        self._tri_mesh_device_order[s : s + n] = -1
+                        d["tri_mesh"] = jax.lax.dynamic_update_slice(
+                            d["tri_mesh"], jnp.full((n,), -1, jnp.int32), (s,))
+                        continue
+                    for name, c in corners:
+                        d[name] = jax.lax.dynamic_update_slice(
+                            d[name], jnp.asarray(_slice_cm(name, c, rows)),
+                            (0, s))
+                    d["c_morph_base"] = jax.lax.dynamic_update_slice(
+                        d["c_morph_base"],
+                        jnp.asarray(np.ascontiguousarray(
+                            m.c_morph_base.reshape(-1, 3)[rows].T)), (0, s))
+                    tri_mesh_c = m.tri_mesh[rows].copy()
+                    tri_mesh_c[dead] = -1
+                    self._tri_mesh_device_order[s : s + rows.size] = tri_mesh_c
+                    d["tri_mesh"] = jax.lax.dynamic_update_slice(
+                        d["tri_mesh"], jnp.asarray(tri_mesh_c), (s,))
+            if m.morph_pool_dirty or "morph_deltas" not in d:
+                d["morph_deltas"] = jnp.asarray(m.morph_deltas)
+                m.morph_pool_dirty = False
+            for name in ("mesh_info", "morph_weights"):
                 d[name] = jnp.asarray(getattr(m, name))
+
+            # instanced groups: ONE corner upload per group + a tiny
+            # per-instance mesh-row vector (instances.rs: one instance
+            # buffer, shared geometry). The frame tiles these at trace
+            # time (passes/frame.py::_combined_geometry).
+            if m.inst_groups_changed:
+                live_gids = {gid for gid, _ in m.inst_group_items()}
+                for k in [k for k in d
+                          if k.startswith("inst") and "_" in k
+                          and k[4:].split("_", 1)[0].isdigit()
+                          and int(k[4:].split("_", 1)[0]) not in live_gids]:
+                    del d[k]
+                m.inst_groups_changed = False
+            self._inst_tri_mesh = []
+            for gid, grp in m.inst_group_items():
+                rows = np.array(
+                    [m._mesh_alloc.row_of(k) for k in grp.mesh_keys], np.int32)
+                if grp.dirty or f"inst{gid}_rows" not in d:
+                    for name, arr in grp.corners.items():
+                        d[f"inst{gid}_{name}"] = jnp.asarray(arr)
+                    d[f"inst{gid}_live"] = jnp.asarray(grp.livemask)
+                    d[f"inst{gid}_rows"] = jnp.asarray(rows)
+                    grp.dirty = False
+                # host mirror for picking: device tri order appends the
+                # groups after the pool, instances in row order
+                tpl = np.where(grp.livemask, 0, -1).astype(np.int32)
+                self._inst_tri_mesh.append(
+                    np.where(np.tile(tpl, rows.size) < 0, -1,
+                             np.repeat(rows, grp.livemask.size)))
             m.gpu_dirty = False
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
             mesh_span.__exit__(None, None, None)
@@ -347,6 +435,7 @@ class AwsmRendererTpu:
             width=cfg.width,
             height=cfg.height,
             supersample=cfg.anti_aliasing.supersample,
+            msaa=cfg.anti_aliasing.msaa,
             tonemap=cfg.post_processing.tonemapping,
             use_mips=cfg.anti_aliasing.mipmap,
             has_morphs=bool(np.any(self.meshes.mesh_info[:, 3] > 0)),
@@ -399,9 +488,14 @@ class AwsmRendererTpu:
         if tid < 0:
             return None
         # tri ids are device (compact) order — map through the flushed
-        # tri_mesh, not the pool-order host mirror
+        # tri_mesh, not the pool-order host mirror; instanced groups
+        # append after the pool in gid order (_combined_geometry)
         tm = self._tri_mesh_device_order
-        if tm is None or tid >= tm.size:
+        if tm is None:
+            return None
+        if tid >= tm.size and self._inst_tri_mesh:
+            tm = np.concatenate([tm] + self._inst_tri_mesh)
+        if tid >= tm.size:
             return None
         mesh_row = int(tm[tid])
         return self._mesh_row_to_key.get(mesh_row)

@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--dof", action="store_true")
     p.add_argument("--smaa", action="store_true")
     p.add_argument("--supersample", action="store_true")
+    p.add_argument("--msaa", action="store_true",
+                   help="MSAA-4x equivalent (2x2 coverage, per-pixel shade)")
     p.add_argument("--no-mips", action="store_true")
     p.add_argument("--grid", action="store_true", help="editor ground grid")
     p.add_argument("--debug", choices=["none", "normals", "ibl", "punctual"],
@@ -70,7 +72,8 @@ def main(argv=None):
     r = AwsmRendererTpu(RendererConfig(
         width=args.width, height=args.height,
         post_processing=PostProcessing(tonemapping=tm, bloom=args.bloom, dof=args.dof),
-        anti_aliasing=AntiAliasing(supersample=args.supersample, smaa=args.smaa,
+        anti_aliasing=AntiAliasing(supersample=args.supersample,
+                                   msaa=args.msaa, smaa=args.smaa,
                                    mipmap=not args.no_mips),
     ))
 

@@ -44,7 +44,9 @@ def scene():
     return ds, mask
 
 
-WF, HF = 128, 32   # full-pipeline case: supersampled 256x64 = 8 bands of 8 rows
+WF, HF = 128, 64   # full-pipeline case: supersampled 256x128 = 8 bands of 16
+                   # rows AND display-res 128x64 = 8 overlay bands of 8 rows
+                   # (the transparent/HUD overlay runs at 1x post-resolve)
 
 
 @pytest.fixture(scope="module")
@@ -118,6 +120,30 @@ def test_sharded_full_pipeline_matches_single_device(full_scene):
                                atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_1), atol=1e-6)
     # every pass left a footprint
+    assert (np.asarray(tid_s) >= 0).sum() > 50
+
+
+def test_sharded_msaa_matches_single_device(full_scene):
+    """MSAA mode (2x2 coverage raster, per-pixel shade, halo-exchange edge
+    blend) sharded == single-device, with transparency + HUD on top."""
+    ds, masks = full_scene
+    n = min(8, len(jax.devices()))
+    mesh = _mesh(n)
+    om = jnp.asarray(masks["opaque"])
+    tm_ = jnp.asarray(masks["transparent"])
+    hm = jnp.asarray(masks["hud"])
+
+    kw = dict(width=WF, height=HF, msaa=True, supersample=False,
+              tonemap=TM.NONE, use_mips=True, has_morphs=False, skin_sets=0,
+              has_transparent=True, has_hud=True, n_transparent_layers=2)
+    ldr_s, tid_s, dep_s = render_frame_sharded(
+        mesh, ds, om, tm_, hm, **kw)
+    ldr_1, tid_1, dep_1 = render_frame(ds, om, tm_, hm, **kw)
+
+    np.testing.assert_array_equal(np.asarray(tid_s), np.asarray(tid_1))
+    np.testing.assert_allclose(np.asarray(ldr_s), np.asarray(ldr_1),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_1), atol=1e-6)
     assert (np.asarray(tid_s) >= 0).sum() > 50
 
 
