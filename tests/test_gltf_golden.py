@@ -1,0 +1,459 @@
+"""Real-asset parity goldens: binary .glb files through the FULL path.
+
+The reference's integration spine is the Khronos glTF sample catalog
+(crates/frontend/src/models/collections.rs:32-123) rendered and eyeballed.
+Here the same idea, automated and self-contained: each fixture below is a
+REAL binary GLB (12-byte header + JSON chunk + BIN chunk) written at test
+time, exercising one loader/populate feature the procedural probes can't —
+sparse accessors, interleaved vertex buffers, strip/fan topology,
+normalized integer attributes, EXT_mesh_gpu_instancing, mirrored-UV
+tangent generation (NormalTangentMirrorTest-class), embedded PNG textures.
+Every file goes load_gltf → populate_gltf → render at 256×128 and is
+compared against a checked-in golden.
+
+Regenerate after INTENTIONAL visual changes:
+    AWSM_UPDATE_GOLDENS=1 python -m pytest tests/test_gltf_golden.py
+"""
+
+import io
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from awsm_renderer_tpu import (
+    AwsmRendererTpu, PostProcessing, RendererConfig, ToneMapping,
+)
+from awsm_renderer_tpu.gltf.loader import load_gltf
+from awsm_renderer_tpu.gltf.populate import populate_gltf
+from awsm_renderer_tpu.utils import math3d as m3
+
+F = np.float32
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+UPDATE = os.environ.get("AWSM_UPDATE_GOLDENS") == "1"
+W, H = 256, 128
+
+_CTYPE = {
+    np.dtype(np.int8): 5120, np.dtype(np.uint8): 5121,
+    np.dtype(np.int16): 5122, np.dtype(np.uint16): 5123,
+    np.dtype(np.uint32): 5125, np.dtype(np.float32): 5126,
+}
+_TYPE = {1: "SCALAR", 2: "VEC2", 3: "VEC3", 4: "VEC4", 16: "MAT4"}
+
+
+class _GlbBuilder:
+    """Accumulates bufferViews/accessors over one BIN chunk, then packs a
+    spec-conformant GLB container (glTF 2.0 §4: magic 0x46546C67, JSON
+    chunk 0x4E4F534A, BIN chunk 0x004E4942, 4-byte chunk alignment)."""
+
+    def __init__(self):
+        self.bin = bytearray()
+        self.views = []
+        self.accessors = []
+        self.images = []
+
+    def view(self, data: bytes, stride=None):
+        self.bin += b"\x00" * ((-len(self.bin)) % 4)
+        v = {"buffer": 0, "byteOffset": len(self.bin), "byteLength": len(data)}
+        if stride is not None:
+            v["byteStride"] = stride
+        self.bin += data
+        self.views.append(v)
+        return len(self.views) - 1
+
+    def acc(self, arr, normalized=False, minmax=False, view=None,
+            byte_offset=0, count=None):
+        arr = np.ascontiguousarray(arr)
+        if view is None:
+            view = self.view(arr.tobytes())
+        ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+        a = {
+            "bufferView": view, "byteOffset": byte_offset,
+            "componentType": _CTYPE[arr.dtype],
+            "count": count if count is not None else arr.shape[0],
+            "type": _TYPE[ncomp],
+        }
+        if normalized:
+            a["normalized"] = True
+        if minmax:
+            a["min"] = np.min(arr.reshape(a["count"], -1), axis=0).tolist()
+            a["max"] = np.max(arr.reshape(a["count"], -1), axis=0).tolist()
+        self.accessors.append(a)
+        return len(self.accessors) - 1
+
+    def image_png(self, rgba: np.ndarray):
+        """Embed an RGBA uint8 image as a PNG in the BIN chunk."""
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, format="PNG")
+        self.images.append({
+            "bufferView": self.view(buf.getvalue()),
+            "mimeType": "image/png",
+        })
+        return len(self.images) - 1
+
+    def glb(self, gltf: dict) -> bytes:
+        gltf = dict(gltf)
+        gltf["asset"] = {"version": "2.0"}
+        self.bin += b"\x00" * ((-len(self.bin)) % 4)
+        gltf["buffers"] = [{"byteLength": len(self.bin)}]
+        gltf["bufferViews"] = self.views
+        gltf["accessors"] = self.accessors
+        if self.images:
+            gltf["images"] = self.images
+        js = json.dumps(gltf).encode()
+        js += b" " * ((-len(js)) % 4)
+        out = struct.pack("<4sII", b"glTF", 2,
+                          12 + 8 + len(js) + 8 + len(self.bin))
+        out += struct.pack("<II", len(js), 0x4E4F534A) + js
+        out += struct.pack("<II", len(self.bin), 0x004E4942) + bytes(self.bin)
+        return out
+
+
+def _checker_rgba(size=64, a=(220, 60, 40), b=(240, 230, 210)):
+    yy, xx = np.mgrid[0:size, 0:size]
+    c = ((yy // 8 + xx // 8) % 2).astype(bool)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.where(c[..., None], np.uint8(a), np.uint8(b))
+    img[..., 3] = 255
+    return img
+
+
+def _bump_normal_map(size=64):
+    """Tangent-space normal map: a grid of circular bumps."""
+    yy, xx = np.mgrid[0:size, 0:size] / size * 4 * np.pi
+    hx = np.cos(xx) * np.sin(yy) * 0.6
+    hy = np.sin(xx) * np.cos(yy) * 0.6
+    n = np.stack([-hx, -hy, np.ones_like(hx)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.clip((n * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+# ---------------------------------------------------------------- fixtures
+
+def glb_sparse_displaced():
+    """Sparse POSITION override: flat grid, sparse accessor raises the
+    center vertices into a pyramid (accessor.rs sparse substitution)."""
+    b = _GlbBuilder()
+    n = 7
+    g = np.mgrid[0:n, 0:n].astype(F) / (n - 1) - 0.5
+    pos = np.stack([g[1] * 2, np.zeros_like(g[0]), g[0] * 2],
+                   axis=-1).reshape(-1, 3)
+    quads = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            v = i * n + j
+            quads += [[v, v + n, v + 1], [v + 1, v + n, v + n + 1]]
+    idx = np.asarray(quads, np.uint16).reshape(-1)
+
+    # sparse: lift the 3x3 center block
+    sel = [i * n + j for i in range(2, 5) for j in range(2, 5)]
+    sp_idx = np.asarray(sel, np.uint16)
+    sp_val = pos[sel].copy()
+    sp_val[:, 1] = 0.55
+    sp_val[4, 1] = 0.9
+
+    pos_acc = b.acc(pos, minmax=True)
+    b.accessors[pos_acc]["sparse"] = {
+        "count": len(sel),
+        "indices": {"bufferView": b.view(sp_idx.tobytes()),
+                    "componentType": 5123},
+        "values": {"bufferView": b.view(sp_val.tobytes())},
+    }
+    idx_acc = b.acc(idx)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": pos_acc}, "indices": idx_acc,
+            "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.85, 0.2, 0.15, 1.0],
+            "roughnessFactor": 0.6, "metallicFactor": 0.0}}],
+    }), ((0.0, 2.2, 2.6), (0.0, 0.2, 0.0))
+
+
+def glb_mirrored_tangent():
+    """NormalTangentMirrorTest-class probe: two quads, the right one with
+    mirrored U, no TANGENT attribute → generated tangents must flip
+    handedness across the seam for the normal-mapped lighting to stay
+    continuous (gltf/buffers/tangents.rs mikktspace path)."""
+    b = _GlbBuilder()
+    #  quad L: u 0→1,  quad R: u 1→0 (mirror)
+    pos = np.array([
+        [-1, -0.5, 0], [0, -0.5, 0], [0, 0.5, 0], [-1, 0.5, 0],
+        [0, -0.5, 0], [1, -0.5, 0], [1, 0.5, 0], [0, 0.5, 0],
+    ], F)
+    uv = np.array([
+        [0, 1], [1, 1], [1, 0], [0, 0],
+        [1, 1], [0, 1], [0, 0], [1, 0],
+    ], F)
+    nrm = np.tile(np.array([[0, 0, 1]], F), (8, 1))
+    idx = np.array([0, 1, 2, 0, 2, 3, 4, 5, 6, 4, 6, 7], np.uint16)
+    img = b.image_png(_bump_normal_map())
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}},
+             "rotation": [-0.3826834, 0, 0, 0.9238795]},  # pitch -45°
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True),
+                           "NORMAL": b.acc(nrm), "TEXCOORD_0": b.acc(uv)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [0.6, 0.6, 0.65, 1.0],
+                "roughnessFactor": 0.35, "metallicFactor": 0.0},
+            "normalTexture": {"index": 0}}],
+        "textures": [{"source": img, "sampler": 0}],
+        "samplers": [{"magFilter": 9729, "minFilter": 9987,
+                      "wrapS": 10497, "wrapT": 10497}],
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "directional", "intensity": 3.0,
+             "color": [1.0, 0.95, 0.9]}]}},
+    }), ((0.0, 0.35, 2.1), (0.0, 0.0, 0.0))
+
+
+def glb_interleaved():
+    """One interleaved bufferView (byteStride=32: pos+normal+uv per
+    vertex) for a textured cube (accessor.rs interleaved stride path)."""
+    b = _GlbBuilder()
+    faces = []
+    for axis in range(3):
+        for sgn in (1.0, -1.0):
+            n = np.zeros(3, F)
+            n[axis] = sgn
+            u = np.zeros(3, F)
+            u[(axis + 1) % 3] = 1.0
+            v = np.cross(n, u)
+            c = n * 0.5
+            quad = [c - 0.5 * u - 0.5 * v, c + 0.5 * u - 0.5 * v,
+                    c + 0.5 * u + 0.5 * v, c - 0.5 * u + 0.5 * v]
+            faces.append((quad, n))
+    V = len(faces) * 4
+    inter = np.zeros((V, 8), F)
+    idx = []
+    for fi, (quad, n) in enumerate(faces):
+        for vi, p in enumerate(quad):
+            inter[fi * 4 + vi, :3] = p
+            inter[fi * 4 + vi, 3:6] = n
+            inter[fi * 4 + vi, 6:] = [(0, 1, 1, 0)[vi], (1, 1, 0, 0)[vi]]
+        v0 = fi * 4
+        idx += [v0, v0 + 1, v0 + 2, v0, v0 + 2, v0 + 3]
+    view = b.view(inter.tobytes(), stride=32)
+    pos_acc = b.acc(inter[:, :3], view=view, byte_offset=0, count=V)
+    b.accessors[pos_acc]["min"] = [-0.5, -0.5, -0.5]
+    b.accessors[pos_acc]["max"] = [0.5, 0.5, 0.5]
+    nrm_acc = b.acc(inter[:, 3:6], view=view, byte_offset=12, count=V)
+    uv_acc = b.acc(inter[:, 6:], view=view, byte_offset=24, count=V)
+    img = b.image_png(_checker_rgba())
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0,
+                   "rotation": [0.0, 0.3826834, 0.0, 0.9238795]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc,
+                           "TEXCOORD_0": uv_acc},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "roughnessFactor": 0.8, "metallicFactor": 0.0}}],
+        "textures": [{"source": img}],
+    }), ((1.2, 1.0, 1.8), (0.0, 0.0, 0.0))
+
+
+def glb_strip_fan():
+    """Two primitives: a triangle-strip ribbon (mode 5) and a
+    triangle-fan disk (mode 6) — accessor.rs triangulation paths."""
+    b = _GlbBuilder()
+    # strip: zig-zag ribbon along x
+    ns = 8
+    xs = np.linspace(-1.2, 1.2, ns, dtype=F)
+    strip = np.zeros((ns * 2, 3), F)
+    strip[0::2, 0] = xs
+    strip[1::2, 0] = xs
+    # top row first: GL strip convention (i, i+1, i+2, odd swapped) then
+    # yields CCW front faces toward +z
+    strip[0::2, 1] = -0.15 + 0.12 * np.sin(xs * 4)
+    strip[1::2, 1] = -0.55 + 0.12 * np.sin(xs * 4)
+    # fan: disk above
+    nf = 12
+    ang = np.linspace(0, 2 * np.pi, nf, dtype=F)
+    fan = np.zeros((nf + 1, 3), F)
+    fan[0] = [0, 0.45, 0]
+    fan[1:, 0] = 0.7 * np.cos(ang)
+    fan[1:, 1] = 0.45 + 0.45 * np.sin(ang)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": b.acc(strip, minmax=True)},
+             "mode": 5, "material": 0},
+            {"attributes": {"POSITION": b.acc(fan, minmax=True)},
+             "mode": 6, "material": 1},
+        ]}],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.2, 0.7, 0.3, 1.0],
+                "roughnessFactor": 0.7}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.6, 0.1, 1.0],
+                "roughnessFactor": 0.4}},
+        ],
+    }), ((0.0, 0.2, 2.6), (0.0, 0.1, 0.0))
+
+
+def glb_instanced():
+    """EXT_mesh_gpu_instancing: a 5x3 grid of one box via per-instance
+    TRANSLATION/ROTATION/SCALE accessors (instances.rs:22-203)."""
+    b = _GlbBuilder()
+    s = 0.22
+    pos = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                    for z in (-s, s)], F)
+    idx = np.array([0, 1, 3, 0, 3, 2, 4, 6, 7, 4, 7, 5,
+                    0, 4, 5, 0, 5, 1, 2, 3, 7, 2, 7, 6,
+                    0, 2, 6, 0, 6, 4, 1, 5, 7, 1, 7, 3], np.uint16)
+    nx, ny = 5, 3
+    t, rot, sc = [], [], []
+    for iy in range(ny):
+        for ix in range(nx):
+            t.append([(ix - (nx - 1) / 2) * 0.75,
+                      (iy - (ny - 1) / 2) * 0.75, 0.0])
+            a = 0.5 * (ix + iy * nx)
+            rot.append([0.0, np.sin(a / 2), 0.0, np.cos(a / 2)])
+            k = 0.6 + 0.4 * ((ix + iy) % 3) / 2
+            sc.append([k, k, k])
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "extensions": {"EXT_mesh_gpu_instancing": {
+            "attributes": {
+                "TRANSLATION": b.acc(np.asarray(t, F)),
+                "ROTATION": b.acc(np.asarray(rot, F)),
+                "SCALE": b.acc(np.asarray(sc, F)),
+            }}}}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.3, 0.45, 0.9, 1.0],
+            "roughnessFactor": 0.5, "metallicFactor": 0.3}}],
+        "extensionsUsed": ["EXT_mesh_gpu_instancing"],
+    }), ((0.0, 0.8, 3.4), (0.0, 0.0, 0.0))
+
+
+def glb_normalized_attrs():
+    """Normalized integer attributes: COLOR_0 as normalized u8 VEC4,
+    TEXCOORD_0 as normalized u16, u8 indices (accessor.rs normalize)."""
+    b = _GlbBuilder()
+    pos = np.array([[-1, -0.6, 0], [1, -0.6, 0], [1, 0.6, 0], [-1, 0.6, 0]], F)
+    col = np.array([[255, 40, 40, 255], [40, 255, 40, 255],
+                    [40, 40, 255, 255], [255, 255, 40, 255]], np.uint8)
+    uv = (np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F) * 65535).astype(np.uint16)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint8)
+    img = b.image_png(_checker_rgba(a=(200, 200, 200), b=(90, 90, 90)))
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True),
+                           "COLOR_0": b.acc(col, normalized=True),
+                           "TEXCOORD_0": b.acc(uv, normalized=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}, "roughnessFactor": 0.9}}],
+        "textures": [{"source": img}],
+    }), ((0.0, 0.0, 1.9), (0.0, 0.0, 0.0))
+
+
+FIXTURES = {
+    "glb-sparse-displaced": glb_sparse_displaced,
+    "glb-mirrored-tangent": glb_mirrored_tangent,
+    "glb-interleaved": glb_interleaved,
+    "glb-strip-fan": glb_strip_fan,
+    "glb-instanced": glb_instanced,
+    "glb-normalized-attrs": glb_normalized_attrs,
+}
+
+
+def _check(name, img):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.png")
+    from PIL import Image
+
+    if UPDATE or not os.path.exists(path):
+        Image.fromarray(img).save(path)
+        if not UPDATE:
+            pytest.skip(f"golden created: {path}")
+        return
+    golden = np.asarray(Image.open(path)).astype(np.int16)
+    got = img.astype(np.int16)
+    assert golden.shape == got.shape
+    diff = np.abs(golden - got)
+    frac_off = (diff > 4).mean()
+    assert frac_off < 0.005, (
+        f"{name}: {frac_off:.2%} of channel values differ by >4/255 "
+        f"(max diff {diff.max()})")
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_glb_golden(name, tmp_path):
+    glb_bytes, (eye, center) = FIXTURES[name]()
+    p = tmp_path / f"{name}.glb"
+    p.write_bytes(glb_bytes)
+
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H,
+        post_processing=PostProcessing(tonemapping=ToneMapping.KHRONOS_PBR_NEUTRAL)))
+    data = load_gltf(str(p))
+    populate_gltf(r, data)
+    view = m3.look_at(eye, center, (0, 1, 0))
+    proj = m3.perspective(np.pi / 3, W / H, 0.05, 100.0)
+    r.camera.update(view, proj)
+    img = r.render_u8()
+
+    # the scene must actually cover a meaningful part of the frame —
+    # a blank golden must never pass silently
+    sky = np.array([0.1, 0.1, 0.12])  # default clear, pre-tonemap
+    fg = (np.abs(img[..., :3].astype(np.float32) / 255
+                 - sky) > 0.08).any(axis=-1)
+    assert fg.mean() > 0.05, f"{name}: scene covers {fg.mean():.1%} of frame"
+    _check(name, img)
+
+
+def test_mirrored_tangent_handedness():
+    """The mirrored quad's generated tangents must flip handedness (w
+    sign) relative to the unmirrored one — the property mikktspace
+    guarantees and Lengyel averaging breaks at the seam."""
+    glb_bytes, _ = glb_mirrored_tangent()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.glb")
+        with open(p, "wb") as f:
+            f.write(glb_bytes)
+        data = load_gltf(p)
+    from awsm_renderer_tpu.gltf.accessors import read_accessor
+    from awsm_renderer_tpu.gltf.tangents import generate_tangents
+
+    g = data.gltf
+    attrs = g["meshes"][0]["primitives"][0]["attributes"]
+    pos = read_accessor(g, data.buffers, attrs["POSITION"]).astype(F)
+    nrm = read_accessor(g, data.buffers, attrs["NORMAL"]).astype(F)
+    uv = read_accessor(g, data.buffers, attrs["TEXCOORD_0"]).astype(F)
+    idx = read_accessor(g, data.buffers,
+                        g["meshes"][0]["primitives"][0]["indices"])
+    tang = generate_tangents(pos, nrm, uv, idx.astype(np.uint32))
+    left_w = tang[:4, 3]
+    right_w = tang[4:, 3]
+    assert np.all(left_w == left_w[0])
+    assert np.all(right_w == right_w[0])
+    assert left_w[0] == -right_w[0], (left_w[0], right_w[0])
