@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..errors import InstanceError, MeshError
 from ..utils.allocator import BuddyAllocator, SlotAllocator
 from .bounds import Aabb
 
@@ -120,14 +121,36 @@ class _Mesh:
     resource_key: int
     transform_key: int
     material_key: int
-    t_base: int
+    t_base: int               # -1 for instanced-group members (no pool rows)
     t_count: int
     double_sided: bool = False
     transparent: bool = False
     hud: bool = False
     hidden: bool = False
     skin_key: Optional[int] = None
+    inst_gid: Optional[int] = None   # instanced-group id, None = pooled
     world_aabb: Aabb = field(default_factory=Aabb.empty)
+
+
+@dataclass
+class _InstGroup:
+    """Shared-geometry instanced draw (reference: instances.rs:22-203 —
+    one vertex buffer of instance transforms, ONE copy of the geometry).
+
+    TPU-first shape: the resource's corner data is stored (and uploaded)
+    ONCE in component-major layout; at trace time the frame tiles it
+    across instances (an XLA broadcast the consumers fuse — no
+    materialized duplication in HBM) and the per-instance world matrices
+    ride the normal one-hot transform fetch via per-instance mesh rows.
+    Each instance keeps its own mesh record, so frustum culling, masks
+    and picking stay per-instance."""
+
+    resource_key: int
+    corners: Dict[str, np.ndarray]   # component-major (3c, Tp) device layout
+    livemask: np.ndarray             # (Tp,) bool — False on pad rows
+    tri_count: int                   # live triangles per instance
+    mesh_keys: List[int] = field(default_factory=list)
+    dirty: bool = True
 
 
 def _grow(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
@@ -159,6 +182,24 @@ class Meshes:
         self.uses_vertex_colors = False   # static shading specialization
         self.gpu_dirty = True
         self.capacity_changed = True
+        self.morph_pool_dirty = True
+
+        # device-layout tracking for dirty-range flushes (reference:
+        # buffer/helpers.rs coalesced dirty ranges). The device corner
+        # pools are a compacted gather of host rows; we remember that
+        # gather so later edits become range updates instead of a full
+        # re-upload (see device_updates).
+        self._dev_idx: Optional[np.ndarray] = None   # (extent,) host row per device row
+        self._dev_dead: Optional[np.ndarray] = None  # (extent,) bool
+        self._dev_spans: Dict[int, Tuple[int, int]] = {}  # mesh key -> (start, stop)
+        self._dev_tail = 0          # first free device row (GROUP-aligned)
+        self._dev_dead_count = 0
+        self._dev_events: List[tuple] = []
+
+        # shared-geometry instanced groups (instances.rs analog)
+        self._inst_groups: Dict[int, _InstGroup] = {}
+        self._inst_next_gid = 0
+        self.inst_groups_changed = False   # a group was created/deleted
 
     def _resize_corners(self, tri_capacity: int) -> None:
         n = 3 * tri_capacity
@@ -222,6 +263,14 @@ class Meshes:
         M = geo.morph_target_count
         morph_base = -1
         if M:
+            if M > MAX_MORPH_TARGETS:
+                import warnings
+
+                warnings.warn(
+                    f"mesh has {M} morph targets; only the first "
+                    f"{MAX_MORPH_TARGETS} are kept (static unroll bound "
+                    f"MAX_MORPH_TARGETS — reference morph.wgsl handles "
+                    f"arbitrary N)", RuntimeWarning, stacklevel=3)
             M = min(M, MAX_MORPH_TARGETS)
             morph_base = self._m_alloc.alloc(M * V)
             if self._m_alloc.take_needs_resize():
@@ -236,6 +285,7 @@ class Meshes:
             self.morph_deltas[morph_base : morph_base + M * V] = rows.reshape(M * V, 10)
             corners["morph_base"] = (morph_base + idx).astype(I)
             self.gpu_dirty = True
+            self.morph_pool_dirty = True
 
         key = self._res_alloc.insert()
         self._res_alloc.take_needs_resize()
@@ -323,6 +373,7 @@ class Meshes:
             hidden=hidden, skin_key=skin_key,
         )
         self.gpu_dirty = True
+        self._dev_events.append(("add", key))
         return key
 
     def insert_geometry(self, geo: MeshGeometry, transform_row: int, material_row: int,
@@ -331,10 +382,112 @@ class Meshes:
         rk = self.insert_resource(geo)
         return self.insert(rk, transform_row, material_row, transform_key, material_key, **kw)
 
+    def insert_instanced(
+        self, resource_key: int, instances, material_row: int,
+        material_key: int, *, double_sided: bool = False,
+        transparent: bool = False, hud: bool = False,
+        hidden: bool = False,
+    ) -> List[int]:
+        """Instanced draw over shared geometry — the reference's
+        EXT_mesh_gpu_instancing path (instances.rs:22-203): geometry is
+        stored ONCE, each instance contributes only a transform.
+
+        instances: iterable of (transform_row, transform_key). Returns one
+        mesh key per instance (each is a full mesh record: individually
+        cullable, pickable, hidable, removable). Morphs/skins are not
+        supported on instanced draws (neither does the reference combine
+        them with EXT_mesh_gpu_instancing)."""
+        try:
+            res = self._resources[resource_key]
+        except KeyError:
+            raise MeshError(f"unknown mesh resource {resource_key}") from None
+        if res.n_morph_targets or res.skin_sets:
+            raise InstanceError(
+                "instanced draws do not combine with morphs/skins "
+                "(EXT_mesh_gpu_instancing scope)")
+        T = res.tri_count
+        G = self.DEV_GROUP
+        Tp = -(-T // G) * G
+
+        def cm(arr, c):
+            """corner-major (3T, c) → component-major (3c, Tp), zero-pad."""
+            out = np.zeros((3 * c, Tp), arr.dtype)
+            out[:, :T] = (arr.reshape(T, 3, c).transpose(1, 2, 0)
+                          .reshape(3 * c, T))
+            return out
+
+        cr = res.corners
+        corners = {
+            "c_pos": cm(cr["pos"], 3),
+            "c_norm": cm(cr["norm"], 3),
+            "c_tang": cm(cr["tang"], 4),
+            "c_uv0": cm(cr["uv0"], 2),
+            "c_uv1": cm(cr["uv1"], 2),
+            "c_color": cm(cr["color"], 4),
+            "c_joints": np.zeros((3 * 4 * MAX_SKIN_SETS, Tp), I),
+            "c_weights": np.zeros((3 * 4 * MAX_SKIN_SETS, Tp), F),
+            "c_morph_base": np.full((3, Tp), -1, I),
+        }
+        livemask = np.zeros(Tp, bool)
+        livemask[:T] = True
+
+        gid = self._inst_next_gid
+        self._inst_next_gid += 1
+        grp = _InstGroup(resource_key=resource_key, corners=corners,
+                         livemask=livemask, tri_count=T)
+        self._inst_groups[gid] = grp
+
+        flags = (
+            (MESH_FLAG_HIDDEN if hidden else 0)
+            | (MESH_FLAG_HUD if hud else 0)
+            | (MESH_FLAG_DOUBLE_SIDED if double_sided else 0)
+            | (MESH_FLAG_TRANSPARENT if transparent else 0)
+        )
+        keys = []
+        for transform_row, transform_key in instances:
+            key = self._mesh_alloc.insert()
+            if self._mesh_alloc.take_needs_resize():
+                mc = self._mesh_alloc.capacity
+                self.mesh_info = _grow(self.mesh_info, mc)
+                self.morph_weights = _grow(self.morph_weights, mc)
+                self.capacity_changed = True
+            row = self._mesh_alloc.row_of(key)
+            self.mesh_info[row] = 0
+            self.mesh_info[row, MI_TRANSFORM_ROW] = transform_row
+            self.mesh_info[row, MI_MATERIAL_ROW] = material_row
+            self.mesh_info[row, MI_FLAGS] = flags
+            self.morph_weights[row] = 0.0
+            res.refcount += 1
+            self._meshes[key] = _Mesh(
+                resource_key=resource_key, transform_key=transform_key,
+                material_key=material_key, t_base=-1, t_count=T,
+                double_sided=double_sided, transparent=transparent,
+                hud=hud, hidden=hidden, inst_gid=gid,
+            )
+            grp.mesh_keys.append(key)
+            keys.append(key)
+        self.gpu_dirty = True
+        self.inst_groups_changed = True
+        return keys
+
+    def inst_group_items(self):
+        """(gid, group) pairs in deterministic (gid) order — the order the
+        frame concatenates instanced triangle blocks after the pool."""
+        return sorted(self._inst_groups.items())
+
     def remove(self, key: int) -> None:
         mesh = self._meshes.pop(key)
-        self.tri_mesh[mesh.t_base : mesh.t_base + mesh.t_count] = -1
-        self._t_alloc.free(mesh.t_base)
+        if mesh.inst_gid is not None:
+            grp = self._inst_groups[mesh.inst_gid]
+            grp.mesh_keys.remove(key)
+            grp.dirty = True
+            if not grp.mesh_keys:
+                del self._inst_groups[mesh.inst_gid]
+            self.inst_groups_changed = True
+        else:
+            self.tri_mesh[mesh.t_base : mesh.t_base + mesh.t_count] = -1
+            self._t_alloc.free(mesh.t_base)
+            self._dev_events.append(("remove", key))
         row = self._mesh_alloc.row_of(key)
         self.mesh_info[row] = 0
         self._mesh_alloc.remove(key)
@@ -348,7 +501,10 @@ class Meshes:
         self.gpu_dirty = True
 
     def get(self, key: int) -> _Mesh:
-        return self._meshes[key]
+        try:
+            return self._meshes[key]
+        except KeyError:
+            raise MeshError(f"unknown or removed mesh key {key}") from None
 
     def row_of(self, key: int) -> int:
         return self._mesh_alloc.row_of(key)
@@ -453,11 +609,98 @@ class Meshes:
         n = idx.size
         b = max(min(bucket, self._t_alloc.capacity), GROUP)
         tu = -(-n // b) * b
-        out = np.zeros(tu, dtype=np.int64)
+        out = np.full(tu, -1, dtype=np.int64)   # bucket tail rows are DEAD
         out[:n] = idx
         dead = out < 0
         out[dead] = 0
         return out, dead
+
+    # ---- dirty-range device updates (reference: buffer/helpers.rs) ---------
+
+    DEV_GROUP = 16             # raster fetch-group granularity
+    DEV_DEAD_RECOMPACT = 0.35  # tombstone fraction that forces recompaction
+    DEV_DEAD_MIN_ROWS = 2048   # below this, dead rows are cheaper than a
+                               # recompaction upload
+
+    def device_updates(self, bucket: int = 32768):
+        """Plan the device corner-pool update for this flush.
+
+        Returns ("full", idx, dead) — re-upload the whole compacted pool
+        (first flush, capacity growth, headroom exhausted, or too many
+        tombstones) — or ("ranges", ranges) where each range is either
+          (dev_start, host_idx (cnt,), dead (cnt,))  — append a new mesh
+          (dev_start, None, count)                   — tombstone a removed one
+        in event order. Tombstones only rewrite tri_mesh (-1 masks the
+        stale corner data, the same dead-row path buddy holes use);
+        appends gather + transpose only the new mesh's rows. This is the
+        analog of the reference's coalesced dirty-range uploads
+        (buffer/helpers.rs, transforms.rs:255-327): an edit to one mesh
+        in a large scene flushes in ~ms instead of re-uploading and
+        re-transposing every pool."""
+        G = self.DEV_GROUP
+        if self._dev_idx is None or self.capacity_changed:
+            return self._full_plan(bucket)
+
+        ranges = []
+        for ev in self._dev_events:
+            if ev[0] == "remove":
+                span = self._dev_spans.pop(ev[1], None)
+                if span is None:       # never uploaded (added+removed)
+                    continue
+                s, e = span
+                self._dev_dead_count += int((~self._dev_dead[s:e]).sum())
+                self._dev_dead[s:e] = True
+                ranges.append((s, None, e - s))
+            else:
+                mesh = self._meshes.get(ev[1])
+                if mesh is None:       # added then removed before flush
+                    continue
+                T = mesh.t_count
+                n = -(-T // G) * G
+                if self._dev_tail + n > self._dev_idx.size:
+                    return self._full_plan(bucket)   # headroom exhausted
+                s = self._dev_tail
+                self._dev_tail += n
+                host = np.arange(mesh.t_base, mesh.t_base + T, dtype=np.int64)
+                host = np.concatenate(
+                    [host, np.zeros(n - T, dtype=np.int64)])
+                dead = np.zeros(n, dtype=bool)
+                dead[T:] = True
+                self._dev_idx[s : s + n] = host
+                self._dev_dead[s : s + n] = dead
+                self._dev_spans[ev[1]] = (s, s + n)
+                ranges.append((s, host, dead))
+        self._dev_events.clear()
+        if (self._dev_dead_count >= self.DEV_DEAD_MIN_ROWS
+                and self._dev_dead_count
+                > self.DEV_DEAD_RECOMPACT * self._dev_tail):
+            return self._full_plan(bucket)
+        return ("ranges", ranges)
+
+    def _full_plan(self, bucket: int):
+        idx, dead = self.live_triangle_rows(bucket)
+        self._dev_idx = idx.copy()
+        self._dev_dead = dead.copy()
+        self._dev_events.clear()
+        self.capacity_changed = False
+        G = self.DEV_GROUP
+        live_pos = np.nonzero(~dead)[0]
+        self._dev_tail = (0 if live_pos.size == 0
+                          else -(-int(live_pos[-1] + 1) // G) * G)
+        # free headroom past the tail is not "dead work" — only in-use
+        # rows count toward the recompaction threshold
+        self._dev_dead_count = int(dead[: self._dev_tail].sum())
+        # span per mesh: contiguous run of its device rows, end rounded up
+        # to the group boundary (absorbing this mesh's own pad rows)
+        self._dev_spans = {}
+        mesh_of = np.where(dead, -1, self.tri_mesh[idx])
+        for key in self._meshes:
+            row = self._mesh_alloc.row_of(key)
+            pos = np.nonzero(mesh_of == row)[0]
+            if pos.size:
+                e = -(-int(pos[-1] + 1) // G) * G
+                self._dev_spans[key] = (int(pos[0]), e)
+        return ("full", idx, dead)
 
     @property
     def mesh_capacity(self) -> int:
