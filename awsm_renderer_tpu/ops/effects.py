@@ -109,34 +109,73 @@ def depth_of_field(hdr: jnp.ndarray, depth: jnp.ndarray, camera: dict) -> jnp.nd
     return jnp.concatenate([out, hdr[..., 3:4]], axis=-1)
 
 
+SMAA_THRESHOLD = 0.03       # smaa.wgsl SMAA_THRESHOLD
+SMAA_BLEND_STRENGTH = 0.6   # smaa.wgsl SMAA_BLEND_STRENGTH
+
+
 def smaa(img: jnp.ndarray) -> jnp.ndarray:
-    """Single-pass morphological AA (smaa.wgsl '~15-25 ALU ops per pixel'):
-    luma edge detection + directional neighborhood blend."""
+    """Single-pass morphological AA, full smaa.wgsl apply_smaa parity:
+    8-neighbor luma deltas in perceptual space, edge-orientation
+    classification (horizontal / vertical / diagonal), inverse-contrast
+    weighted neighborhood blending. Runs on the display (LDR,
+    sRGB-encoded) image — the perceptual space the reference converts
+    into for its edge detection. Branches become masked selects; the
+    textureLoads become 8 rolls that XLA fuses into one stencil."""
     rgb = img[..., :3]
-    luma = rgb @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    luma = rgb @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 
     def shift(x, dy, dx):
         return jnp.roll(x, (dy, dx), axis=(0, 1))
 
-    l_n = shift(luma, -1, 0)
-    l_s = shift(luma, 1, 0)
-    l_w = shift(luma, 0, -1)
-    l_e = shift(luma, 0, 1)
+    offs = {
+        "w": (0, -1), "e": (0, 1), "n": (-1, 0), "s": (1, 0),
+        "nw": (-1, -1), "ne": (-1, 1), "sw": (1, -1), "se": (1, 1),
+    }
+    l = {k: shift(luma, *o) for k, o in offs.items()}
+    d = {k: jnp.abs(luma - v) for k, v in l.items()}
 
-    grad_h = jnp.abs(l_w - l_e)
-    grad_v = jnp.abs(l_n - l_s)
-    edge = jnp.maximum(grad_h, grad_v)
-    threshold = 0.05
-    strength = jnp.clip((edge - threshold) * 4.0, 0.0, 0.75)
+    max_h = jnp.maximum(d["w"], d["e"])
+    max_v = jnp.maximum(d["n"], d["s"])
+    max_diag = jnp.maximum(jnp.maximum(d["nw"], d["ne"]),
+                           jnp.maximum(d["sw"], d["se"]))
+    max_delta = jnp.maximum(jnp.maximum(max_h, max_v), max_diag)
 
-    # blend perpendicular to the dominant gradient direction
-    horiz = grad_v >= grad_h  # horizontal edge -> blend vertically
-    c_n = shift(rgb, -1, 0)
-    c_s = shift(rgb, 1, 0)
-    c_w = shift(rgb, 0, -1)
-    c_e = shift(rgb, 0, 1)
-    blend_v = (c_n + c_s) * 0.5
-    blend_h = (c_w + c_e) * 0.5
-    neighbor = jnp.where(horiz[..., None], blend_v, blend_h)
-    out = rgb * (1.0 - strength[..., None]) + neighbor * strength[..., None]
+    no_edge = max_delta < SMAA_THRESHOLD
+    is_diag = max_diag > jnp.maximum(max_h, max_v)
+    is_horiz = max_h > max_v            # horizontal edge → blend vertically
+
+    c = {k: shift(rgb, *o) for k, o in offs.items()}
+
+    def inv_w(a, b):
+        wa = 1.0 / (a + 1e-3)
+        wb = 1.0 / (b + 1e-3)
+        t = wa + wb
+        return wa / t, wb / t
+
+    # horizontal edge: sequential mixes toward top then bottom
+    # (neighborhood_blending is_horizontal=true)
+    wt, wb = inv_w(d["n"], d["s"])
+    wt = (wt * SMAA_BLEND_STRENGTH)[..., None]
+    wb = (wb * SMAA_BLEND_STRENGTH)[..., None]
+    blended_h = rgb * (1 - wt) + c["n"] * wt
+    blended_h = blended_h * (1 - wb) + c["s"] * wb
+
+    # vertical edge: mixes toward left then right
+    wl, wr = inv_w(d["w"], d["e"])
+    wl = (wl * SMAA_BLEND_STRENGTH)[..., None]
+    wr = (wr * SMAA_BLEND_STRENGTH)[..., None]
+    blended_v = rgb * (1 - wl) + c["w"] * wl
+    blended_v = blended_v * (1 - wr) + c["e"] * wr
+
+    # diagonal edge: inverse-contrast weighted 4-diagonal average,
+    # mixed at the global strength (diagonal_blending)
+    ws = {k: 1.0 / (d[k] + 1e-3) for k in ("nw", "ne", "sw", "se")}
+    wtot = ws["nw"] + ws["ne"] + ws["sw"] + ws["se"]
+    nb = sum(c[k] * (ws[k] / wtot)[..., None]
+             for k in ("nw", "ne", "sw", "se"))
+    blended_d = rgb * (1 - SMAA_BLEND_STRENGTH) + nb * SMAA_BLEND_STRENGTH
+
+    out = jnp.where(is_horiz[..., None], blended_h, blended_v)
+    out = jnp.where(is_diag[..., None], blended_d, out)
+    out = jnp.where(no_edge[..., None], rgb, out)
     return jnp.concatenate([out, img[..., 3:4]], axis=-1)

@@ -209,3 +209,47 @@ def test_refraction_offscreen_falls_back_to_ibl():
     assert np.isfinite(img).all()
     # magenta fallback: red+blue transmitted, green stays low
     assert c[0] > 0.3 and c[2] > 0.3 and c[1] < min(c[0], c[2])
+
+
+class TestSmaaAlgorithm:
+    """Direct parity probes of the smaa.wgsl apply_smaa logic."""
+
+    def _run(self, rgb):
+        import jax.numpy as jnp
+
+        from awsm_renderer_tpu.ops.effects import smaa
+
+        img = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), F)], axis=-1)
+        return np.asarray(smaa(jnp.asarray(img)))[..., :3]
+
+    def test_flat_region_untouched(self):
+        rgb = np.full((16, 16, 3), 0.5, F)
+        out = self._run(rgb)
+        np.testing.assert_array_equal(out, rgb)
+
+    def test_below_threshold_untouched(self):
+        rgb = np.full((16, 16, 3), 0.5, F)
+        rgb[:, 8:] += 0.01          # delta-luma < SMAA_THRESHOLD (0.03)
+        out = self._run(rgb)
+        np.testing.assert_array_equal(out, rgb)
+
+    def test_vertical_edge_blends_horizontally(self):
+        rgb = np.zeros((16, 16, 3), F)
+        rgb[:, 8:] = 1.0
+        out = self._run(rgb)
+        # columns adjacent to the edge pull toward the other side...
+        assert 0.05 < out[8, 7, 0] < 0.95
+        assert 0.05 < out[8, 8, 0] < 0.95
+        # ...but rows far from any horizontal structure stay symmetric:
+        # no vertical bleed (blend is horizontal for a vertical edge)
+        np.testing.assert_allclose(out[4], out[12], atol=1e-6)
+
+    def test_diagonal_edge_blended(self):
+        rgb = np.zeros((16, 16, 3), F)
+        yy, xx = np.mgrid[0:16, 0:16]
+        rgb[yy > xx] = 1.0          # hard diagonal step
+        out = self._run(rgb)
+        on_diag = np.abs(yy - xx) <= 1
+        interior = (yy + xx > 6) & (yy + xx < 26) & on_diag
+        vals = out[..., 0][interior]
+        assert ((vals > 0.05) & (vals < 0.95)).mean() > 0.5
