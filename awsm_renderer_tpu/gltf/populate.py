@@ -116,7 +116,7 @@ def _convert_material(renderer, data: GltfData, mat_index: Optional[int],
                   "BLEND": AlphaMode.BLEND}[gm.get("alphaMode", "OPAQUE")]
 
     pbr = gm.get("pbrMetallicRoughness", {})
-    put(TS_BASE_COLOR, tex_cache.get(pbr.get("baseColorTexture"), True, MipmapKind.COLOR))
+    put(TS_BASE_COLOR, tex_cache.get(pbr.get("baseColorTexture"), True, MipmapKind.ALBEDO))
 
     if "KHR_materials_unlit" in ext:
         mat = UnlitMaterial(
@@ -131,8 +131,8 @@ def _convert_material(renderer, data: GltfData, mat_index: Optional[int],
     put(TS_METALLIC_ROUGHNESS,
         tex_cache.get(pbr.get("metallicRoughnessTexture"), False, MipmapKind.METALLIC_ROUGHNESS))
     put(TS_NORMAL, tex_cache.get(gm.get("normalTexture"), False, MipmapKind.NORMAL))
-    put(TS_OCCLUSION, tex_cache.get(gm.get("occlusionTexture"), False, MipmapKind.SCALAR))
-    put(TS_EMISSIVE, tex_cache.get(gm.get("emissiveTexture"), True, MipmapKind.COLOR))
+    put(TS_OCCLUSION, tex_cache.get(gm.get("occlusionTexture"), False, MipmapKind.OCCLUSION))
+    put(TS_EMISSIVE, tex_cache.get(gm.get("emissiveTexture"), True, MipmapKind.EMISSIVE))
 
     kw = dict(
         base_color_factor=np.array(pbr.get("baseColorFactor", [1, 1, 1, 1]), F),
@@ -170,19 +170,19 @@ def _convert_material(renderer, data: GltfData, mat_index: Optional[int],
     if "KHR_materials_transmission" in ext:
         tr = ext["KHR_materials_transmission"]
         kw["transmission_factor"] = tr.get("transmissionFactor", 0.0)
-        put(TS_TRANSMISSION, tex_cache.get(tr.get("transmissionTexture"), False, MipmapKind.SCALAR))
+        put(TS_TRANSMISSION, tex_cache.get(tr.get("transmissionTexture"), False, MipmapKind.TRANSMISSION))
     if "KHR_materials_volume" in ext:
         vol = ext["KHR_materials_volume"]
         kw["thickness"] = vol.get("thicknessFactor", 0.0)
         kw["attenuation_distance"] = vol.get("attenuationDistance", 0.0)
         kw["attenuation_color"] = np.array(vol.get("attenuationColor", [1, 1, 1]), F)
-        put(TS_THICKNESS, tex_cache.get(vol.get("thicknessTexture"), False, MipmapKind.SCALAR))
+        put(TS_THICKNESS, tex_cache.get(vol.get("thicknessTexture"), False, MipmapKind.VOLUME_THICKNESS))
     if "KHR_materials_specular" in ext:
         sp = ext["KHR_materials_specular"]
         kw["specular_factor"] = sp.get("specularFactor", 1.0)
         kw["specular_color"] = np.array(sp.get("specularColorFactor", [1, 1, 1]), F)
-        put(TS_SPECULAR, tex_cache.get(sp.get("specularTexture"), False, MipmapKind.SCALAR))
-        put(TS_SPECULAR_COLOR, tex_cache.get(sp.get("specularColorTexture"), True, MipmapKind.COLOR))
+        put(TS_SPECULAR, tex_cache.get(sp.get("specularTexture"), False, MipmapKind.SPECULAR))
+        put(TS_SPECULAR_COLOR, tex_cache.get(sp.get("specularColorTexture"), True, MipmapKind.SPECULAR_COLOR))
     if "KHR_materials_iridescence" in ext:
         ir = ext["KHR_materials_iridescence"]
         kw["iridescence_factor"] = ir.get("iridescenceFactor", 0.0)
@@ -389,21 +389,35 @@ def populate_gltf(renderer, data: GltfData, scene_index: Optional[int] = None,
             target_tks = instancing.get(node_index, [tk])
             resource = renderer.meshes.insert_resource(geo)
             prim_keys = []
-            for instance_tk in target_tks:
-                mk = renderer.meshes.insert(
+            if (node_index in instancing and skin_key is None
+                    and geo.morph_target_count == 0):
+                # shared-geometry instanced draw: corners stored/uploaded
+                # ONCE, per-instance transforms only (instances.rs:22-203)
+                prim_keys = renderer.meshes.insert_instanced(
                     resource,
-                    renderer.transforms.row_of(instance_tk),
-                    renderer.materials.row_of(mat_key),
-                    instance_tk, mat_key,
-                    double_sided=getattr(renderer.materials.get(mat_key), "double_sided", False),
+                    [(renderer.transforms.row_of(t), t) for t in target_tks],
+                    renderer.materials.row_of(mat_key), mat_key,
+                    double_sided=getattr(
+                        renderer.materials.get(mat_key), "double_sided", False),
                     transparent=renderer.materials.is_transparency_pass(mat_key),
                     hud=data.hud,
-                    skin_key=skin_key,
-                    skin_joint_rows=(renderer.skins.joint_rows(skin_key)
-                                     if skin_key is not None else None),
-                    initial_morph_weights=weights0,
                 )
-                prim_keys.append(mk)
+            else:
+                for instance_tk in target_tks:
+                    mk = renderer.meshes.insert(
+                        resource,
+                        renderer.transforms.row_of(instance_tk),
+                        renderer.materials.row_of(mat_key),
+                        instance_tk, mat_key,
+                        double_sided=getattr(renderer.materials.get(mat_key), "double_sided", False),
+                        transparent=renderer.materials.is_transparency_pass(mat_key),
+                        hud=data.hud,
+                        skin_key=skin_key,
+                        skin_joint_rows=(renderer.skins.joint_rows(skin_key)
+                                         if skin_key is not None else None),
+                        initial_morph_weights=weights0,
+                    )
+                    prim_keys.append(mk)
             mesh_keys.extend(prim_keys)
             lookups.mesh_primitives[(node["mesh"], pi)] = prim_keys
         lookups.node_meshes[node_index] = mesh_keys
