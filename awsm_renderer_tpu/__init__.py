@@ -44,4 +44,9 @@ __all__ = [
     "Interpolation", "LoopStyle", "TargetPath",
 ]
 
+from . import errors  # typed per-subsystem error hierarchy (error.rs analog)
+from .errors import AwsmError
+
+__all__ += ["errors", "AwsmError"]
+
 __version__ = "0.1.0"

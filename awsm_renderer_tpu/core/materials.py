@@ -18,6 +18,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ..errors import MaterialError
+
 from ..utils.allocator import SlotAllocator
 
 F = np.float32
@@ -293,7 +295,11 @@ class Materials:
         self._write(key)
 
     def get(self, key: int):
-        return self._materials[key]
+        try:
+            return self._materials[key]
+        except KeyError:
+            raise MaterialError(
+                f"unknown or removed material key {key}") from None
 
     def remove(self, key: int) -> None:
         del self._materials[key]

@@ -14,6 +14,8 @@ from typing import Dict, List, Optional, Set
 
 import numpy as np
 
+from ..errors import SkinError
+
 from ..utils.allocator import BuddyAllocator
 
 F = np.float32
@@ -55,7 +57,10 @@ class Skins:
         self._alloc.free(skin.base)
 
     def joint_rows(self, key: int) -> np.ndarray:
-        skin = self._skins[key]
+        try:
+            skin = self._skins[key]
+        except KeyError:
+            raise SkinError(f"unknown or removed skin key {key}") from None
         return skin.base + np.arange(len(skin.joint_keys), dtype=np.int32)
 
     @property

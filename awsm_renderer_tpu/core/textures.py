@@ -64,12 +64,44 @@ WRAP_MIRROR = 2
 
 
 class MipmapKind(enum.Enum):
-    """Condensed from the reference's 9 MipmapTextureKind variants."""
+    """Semantic texture kind for mip generation — the reference's 9
+    MipmapTextureKind variants (texture/mipmap.rs:26-62) plus the 4
+    condensed filter classes they resolve to. The reference's compute
+    shader box-filters every kind identically (mipmap/shader.wgsl); here
+    the semantic kind selects a FILTER CLASS that can do better:
+    NORMAL renormalizes per level, METALLIC_ROUGHNESS propagates
+    perceptual roughness, everything else box-filters (COLOR in linear
+    light, SCALAR componentwise — identical math, kept distinct for the
+    semantic mapping)."""
 
+    # filter classes (round-1 condensed kinds, still accepted everywhere)
     COLOR = 0
     NORMAL = 1
     METALLIC_ROUGHNESS = 2
     SCALAR = 3
+    # reference MipmapTextureKind variants (mipmap.rs Albedo..VolumeThickness)
+    ALBEDO = 10
+    OCCLUSION = 11
+    EMISSIVE = 12
+    SPECULAR = 13
+    SPECULAR_COLOR = 14
+    TRANSMISSION = 15
+    VOLUME_THICKNESS = 16
+
+    @property
+    def filter_class(self) -> "MipmapKind":
+        return _MIP_FILTER_CLASS.get(self, self)
+
+
+_MIP_FILTER_CLASS = {
+    MipmapKind.ALBEDO: MipmapKind.COLOR,
+    MipmapKind.EMISSIVE: MipmapKind.COLOR,
+    MipmapKind.SPECULAR_COLOR: MipmapKind.COLOR,
+    MipmapKind.OCCLUSION: MipmapKind.SCALAR,
+    MipmapKind.SPECULAR: MipmapKind.SCALAR,
+    MipmapKind.TRANSMISSION: MipmapKind.SCALAR,
+    MipmapKind.VOLUME_THICKNESS: MipmapKind.SCALAR,
+}
 
 
 @dataclass(frozen=True)
@@ -166,6 +198,7 @@ def _pack_rows(mip: np.ndarray, parent: np.ndarray, wrap_s: int,
 
 def generate_mip_chain(img: np.ndarray, kind: MipmapKind) -> List[np.ndarray]:
     """Full chain [level0, level1, ...] with semantic filtering per kind."""
+    kind = kind.filter_class
     img = np.asarray(img, dtype=F)
     h, w = img.shape[:2]
     chain = [img]

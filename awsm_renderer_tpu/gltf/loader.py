@@ -16,6 +16,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..errors import GltfError
+
 
 @dataclass
 class GltfData:
@@ -56,8 +58,10 @@ def load_gltf(path: str, hud: bool = False) -> GltfData:
     bin_chunk: Optional[bytes] = None
     if path.endswith(".glb") or raw[:4] == b"glTF":
         magic, version, _length = struct.unpack_from("<4sII", raw, 0)
-        assert magic == b"glTF", "bad GLB magic"
-        assert version == 2, f"unsupported GLB version {version}"
+        if magic != b"glTF":
+            raise GltfError("bad GLB magic")
+        if version != 2:
+            raise GltfError(f"unsupported GLB version {version}")
         offset = 12
         gltf = None
         while offset < len(raw):
@@ -68,7 +72,8 @@ def load_gltf(path: str, hud: bool = False) -> GltfData:
             elif chunk_type == 0x004E4942:  # BIN
                 bin_chunk = chunk
             offset += 8 + chunk_len + (-chunk_len) % 4
-        assert gltf is not None, "GLB missing JSON chunk"
+        if gltf is None:
+            raise GltfError("GLB missing JSON chunk")
     else:
         gltf = json.loads(raw)
 
@@ -77,7 +82,8 @@ def load_gltf(path: str, hud: bool = False) -> GltfData:
         if "uri" in buf:
             buffers.append(_decode_uri(buf["uri"], base_dir))
         else:
-            assert bin_chunk is not None, "buffer without uri outside GLB"
+            if bin_chunk is None:
+                raise GltfError("buffer without uri outside GLB")
             buffers.append(bin_chunk)
 
     images: List[np.ndarray] = []

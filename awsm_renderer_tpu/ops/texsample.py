@@ -375,6 +375,21 @@ def apply_texture_transform(tex_transforms, transform_id, uv):
 
 def apply_texture_transform_c(tex_transforms, transform_id, u, v):
     """Channel-column form of apply_texture_transform: (u, v) → (u', v')."""
+    uo, vo, _ = apply_texture_transform_with_grads_c(
+        tex_transforms, transform_id, u, v, None)
+    return uo, vo
+
+
+def apply_texture_transform_with_grads_c(tex_transforms, transform_id,
+                                         u, v, duv):
+    """apply_texture_transform_c + pushforward of the screen-space uv
+    gradients through the transform's LINEAR part (J = [[t0,t1],[t2,t3]]).
+
+    The mip estimator must see derivatives in the SAMPLED uv space: an
+    atlas entry scaling uv by 1/64 (MegaTexture sub-rect) otherwise reads
+    gradients 64x too large and drops ~6 mip levels deep, smearing the
+    whole page into the tap. One one-hot fetch serves both the affine map
+    and the Jacobian. duv = (du_dx, dv_dx, du_dy, dv_dy) or None."""
     from .relayout import split_rows
     from .vertex import onehot_gather_t
 
@@ -386,4 +401,15 @@ def apply_texture_transform_c(tex_transforms, transform_id, u, v):
     uo = t[0] * uw + t[1] * vw + t[4]
     vo = t[2] * uw + t[3] * vw + t[5]
     bound = transform_id >= 0
-    return jnp.where(bound, uo, u), jnp.where(bound, vo, v)
+    uo = jnp.where(bound, uo, u)
+    vo = jnp.where(bound, vo, v)
+    if duv is None:
+        return uo, vo, None
+    du_dx, dv_dx, du_dy, dv_dy = duv
+    out = (
+        jnp.where(bound, t[0] * du_dx + t[1] * dv_dx, du_dx),
+        jnp.where(bound, t[2] * du_dx + t[3] * dv_dx, dv_dx),
+        jnp.where(bound, t[0] * du_dy + t[1] * dv_dy, du_dy),
+        jnp.where(bound, t[2] * du_dy + t[3] * dv_dy, dv_dy),
+    )
+    return uo, vo, out

@@ -26,8 +26,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 
-class AllocatorError(Exception):
-    pass
+from ..errors import AllocatorError  # typed hierarchy (errors.py)
 
 
 @dataclass

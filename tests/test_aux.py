@@ -195,3 +195,82 @@ def test_load_hdr_image_ldr_png_is_linearized(tmp_path):
     assert img.max() <= 1.0 + 1e-6, "LDR file must be normalized to [0,1]"
     expect = srgb_to_linear(np.array([1.0, 128 / 255.0, 0.0], np.float32))
     np.testing.assert_allclose(img[0, 0], expect, atol=2e-3)
+
+
+class TestTypedErrors:
+    """Per-subsystem error hierarchy (reference error.rs:26-84 AwsmError):
+    every renderer failure is an AwsmError subclass, catchable at the
+    subsystem or root level."""
+
+    def test_mesh_key(self):
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu.errors import AwsmError, MeshError
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        with pytest.raises(MeshError):
+            r.meshes.get(999)
+        with pytest.raises(AwsmError):
+            r.meshes.get(999)
+
+    def test_material_key(self):
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu.errors import MaterialError
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        with pytest.raises(MaterialError):
+            r.materials.get(42)
+
+    def test_allocator_is_awsm_error(self):
+        import pytest
+
+        from awsm_renderer_tpu.errors import AllocatorError, AwsmError
+        from awsm_renderer_tpu.utils.allocator import SlotAllocator
+
+        a = SlotAllocator(4)
+        with pytest.raises(AllocatorError):
+            a.row_of(123)
+        assert issubclass(AllocatorError, AwsmError)
+
+    def test_glb_errors(self, tmp_path):
+        import pytest
+
+        from awsm_renderer_tpu.errors import GltfError
+        from awsm_renderer_tpu.gltf.loader import load_gltf
+
+        bad = tmp_path / "bad.glb"
+        bad.write_bytes(b"glTF" + b"\x03\x00\x00\x00" + b"\x00" * 8)
+        with pytest.raises(GltfError):
+            load_gltf(str(bad))
+
+    def test_instanced_constraint(self):
+        import numpy as np
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, PbrMaterial, RendererConfig
+        from awsm_renderer_tpu.errors import InstanceError
+        from awsm_renderer_tpu.geometry import box
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        geo = box(1.0)
+        geo.morph_positions = np.zeros((2, geo.vertex_count, 3), np.float32)
+        res = r.meshes.insert_resource(geo)
+        mat = r.materials.insert(PbrMaterial())
+        with pytest.raises(InstanceError):
+            r.meshes.insert_instanced(res, [(0, 0)], r.materials.row_of(mat), mat)
+
+    def test_morph_overflow_warns(self):
+        import numpy as np
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu.geometry import box
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        geo = box(1.0)
+        geo.morph_positions = np.zeros((12, geo.vertex_count, 3), np.float32)
+        with pytest.warns(RuntimeWarning, match="morph targets"):
+            r.meshes.insert_resource(geo)
