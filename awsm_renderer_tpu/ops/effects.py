@@ -124,14 +124,15 @@ def smaa(img: jnp.ndarray) -> jnp.ndarray:
     rgb = img[..., :3]
     luma = rgb @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 
-    def shift(x, dy, dx):
-        return jnp.roll(x, (dy, dx), axis=(0, 1))
+    def at_offset(x, dy, dx):
+        """Value at pixel (y+dy, x+dx), wrap-around borders."""
+        return jnp.roll(x, (-dy, -dx), axis=(0, 1))
 
     offs = {
         "w": (0, -1), "e": (0, 1), "n": (-1, 0), "s": (1, 0),
         "nw": (-1, -1), "ne": (-1, 1), "sw": (1, -1), "se": (1, 1),
     }
-    l = {k: shift(luma, *o) for k, o in offs.items()}
+    l = {k: at_offset(luma, *o) for k, o in offs.items()}
     d = {k: jnp.abs(luma - v) for k, v in l.items()}
 
     max_h = jnp.maximum(d["w"], d["e"])
@@ -144,7 +145,7 @@ def smaa(img: jnp.ndarray) -> jnp.ndarray:
     is_diag = max_diag > jnp.maximum(max_h, max_v)
     is_horiz = max_h > max_v            # horizontal edge → blend vertically
 
-    c = {k: shift(rgb, *o) for k, o in offs.items()}
+    c = {k: at_offset(rgb, *o) for k, o in offs.items()}
 
     def inv_w(a, b):
         wa = 1.0 / (a + 1e-3)

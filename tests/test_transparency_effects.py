@@ -233,23 +233,86 @@ class TestSmaaAlgorithm:
         out = self._run(rgb)
         np.testing.assert_array_equal(out, rgb)
 
-    def test_vertical_edge_blends_horizontally(self):
+    def test_binary_step_preserved(self):
+        """Inverse-contrast weighting pulls from the SIMILAR side, so a
+        clean binary step stays essentially a step (the reference's
+        design: SMAA targets shading/texture aliasing, not resolved
+        geometry edges)."""
         rgb = np.zeros((16, 16, 3), F)
         rgb[:, 8:] = 1.0
         out = self._run(rgb)
-        # columns adjacent to the edge pull toward the other side...
-        assert 0.05 < out[8, 7, 0] < 0.95
-        assert 0.05 < out[8, 8, 0] < 0.95
-        # ...but rows far from any horizontal structure stay symmetric:
-        # no vertical bleed (blend is horizontal for a vertical edge)
+        assert out[8, 7, 0] < 0.05 and out[8, 8, 0] > 0.95
+        # vertical edge → horizontal blend only: rows stay identical
         np.testing.assert_allclose(out[4], out[12], atol=1e-6)
 
-    def test_diagonal_edge_blended(self):
-        rgb = np.zeros((16, 16, 3), F)
-        yy, xx = np.mgrid[0:16, 0:16]
-        rgb[yy > xx] = 1.0          # hard diagonal step
+    def test_noisy_region_smoothed_within_bounds(self):
+        """2-D high-frequency content (shading/texture aliasing — SMAA's
+        actual target) gets blended, and every output stays inside its
+        3x3 neighborhood's value range (it is a convex combination)."""
+        rng = np.random.default_rng(3)
+        rgb = rng.random((16, 16, 3)).astype(F)
         out = self._run(rgb)
-        on_diag = np.abs(yy - xx) <= 1
-        interior = (yy + xx > 6) & (yy + xx < 26) & on_diag
-        vals = out[..., 0][interior]
-        assert ((vals > 0.05) & (vals < 0.95)).mean() > 0.5
+        changed = np.abs(out - rgb).max(axis=-1) > 1e-4
+        assert changed.mean() > 0.2
+        lo = rgb.copy()
+        hi = rgb.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                n = np.roll(rgb, (dy, dx), axis=(0, 1))
+                lo = np.minimum(lo, n)
+                hi = np.maximum(hi, n)
+        assert (out >= lo - 1e-5).all() and (out <= hi + 1e-5).all()
+
+    def test_matches_reference_formula(self):
+        """Pixel-exact parity with a scalar reimplementation of
+        smaa.wgsl apply_smaa (threshold 0.03, blend strength 0.6,
+        Rec.709 luma, wrap-around neighbors like jnp.roll)."""
+        rng = np.random.default_rng(7)
+        rgb = rng.random((12, 14, 3)).astype(F)
+        out = self._run(rgb)
+
+        TH, BS = 0.03, 0.6
+        luma = rgb @ np.array([0.2126, 0.7152, 0.0722], F)
+        H, W = luma.shape
+        exp = rgb.copy()
+        for y in range(H):
+            for x in range(W):
+                def L(dy, dx):
+                    return luma[(y + dy) % H, (x + dx) % W]
+
+                def C(dy, dx):
+                    return rgb[(y + dy) % H, (x + dx) % W]
+
+                c = luma[y, x]
+                d = {k: abs(c - L(*o)) for k, o in {
+                    "w": (0, -1), "e": (0, 1), "n": (-1, 0), "s": (1, 0),
+                    "nw": (-1, -1), "ne": (-1, 1),
+                    "sw": (1, -1), "se": (1, 1)}.items()}
+                mh = max(d["w"], d["e"])
+                mv = max(d["n"], d["s"])
+                md = max(d["nw"], d["ne"], d["sw"], d["se"])
+                if max(mh, mv, md) < TH:
+                    continue
+                if md > max(mh, mv):
+                    ws = {k: 1.0 / (d[k] + 1e-3)
+                          for k in ("nw", "ne", "sw", "se")}
+                    tot = sum(ws.values())
+                    nb = sum(C(*{"nw": (-1, -1), "ne": (-1, 1),
+                                 "sw": (1, -1), "se": (1, 1)}[k])
+                             * (w / tot) for k, w in ws.items())
+                    exp[y, x] = rgb[y, x] * (1 - BS) + nb * BS
+                elif mh > mv:
+                    wt = 1.0 / (d["n"] + 1e-3)
+                    wb = 1.0 / (d["s"] + 1e-3)
+                    t = wt + wb
+                    wt, wb = wt / t * BS, wb / t * BS
+                    r = rgb[y, x] * (1 - wt) + C(-1, 0) * wt
+                    exp[y, x] = r * (1 - wb) + C(1, 0) * wb
+                else:
+                    wl = 1.0 / (d["w"] + 1e-3)
+                    wr = 1.0 / (d["e"] + 1e-3)
+                    t = wl + wr
+                    wl, wr = wl / t * BS, wr / t * BS
+                    r = rgb[y, x] * (1 - wl) + C(0, -1) * wl
+                    exp[y, x] = r * (1 - wr) + C(0, 1) * wr
+        np.testing.assert_allclose(out, exp, atol=2e-6)
