@@ -53,6 +53,7 @@ class AwsmRendererTpu:
         self._tri_mesh_device_order = None  # compact-order tri->mesh map
         self._inst_tri_mesh = []            # per-group tri->mesh maps (appended)
         self._mega = None                   # lazy MegaTexture atlas collection
+        self._skipped_renderables = set()   # §5.3 skip-and-warn bookkeeping
         # per-pass spans gated like the reference's AwsmRendererLogging
         # { render_timings } (debug.rs:9-12; spans in render.rs:56-356)
         self.timings = RenderTimings(enabled=False)
@@ -355,6 +356,30 @@ class AwsmRendererTpu:
             for i, key in enumerate(keys):
                 mesh = self.meshes.get(key)
                 row = self.meshes.row_of(key)
+                # per-renderable failure recovery (SURVEY §5.3; reference
+                # render.rs warns and skips a renderable it cannot draw
+                # rather than killing the frame): bad bounds (NaN world
+                # matrix / degenerate geometry) or dangling store rows
+                # skip THIS mesh with a one-time warning
+                bad = None
+                if not (np.isfinite(mins[i]).all() and np.isfinite(maxs[i]).all()):
+                    bad = "non-finite world bounds"
+                elif not (0 <= self.meshes.mesh_info[row, 1]
+                          < max(self.materials.capacity, 1)):
+                    bad = f"material row {self.meshes.mesh_info[row, 1]} out of range"
+                elif not (0 <= self.meshes.mesh_info[row, 0]
+                          < max(self.transforms.capacity, 1)):
+                    bad = f"transform row {self.meshes.mesh_info[row, 0]} out of range"
+                if bad is not None:
+                    if key not in self._skipped_renderables:
+                        self._skipped_renderables.add(key)
+                        import warnings
+
+                        warnings.warn(
+                            f"skipping mesh {key}: {bad} (frame continues "
+                            f"without it)", RuntimeWarning, stacklevel=3)
+                    continue
+                self._skipped_renderables.discard(key)
                 if mesh.hidden:
                     continue
                 if mesh.hud:

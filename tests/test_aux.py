@@ -274,3 +274,65 @@ class TestTypedErrors:
         geo.morph_positions = np.zeros((12, geo.vertex_count, 3), np.float32)
         with pytest.warns(RuntimeWarning, match="morph targets"):
             r.meshes.insert_resource(geo)
+
+
+class TestFailureRecovery:
+    """Per-renderable skip-and-warn (SURVEY §5.3; reference render.rs
+    warns and continues when one renderable cannot be drawn)."""
+
+    def _scene(self):
+        import numpy as np
+
+        from awsm_renderer_tpu import (
+            AwsmRendererTpu, PbrMaterial, RendererConfig, Transform,
+        )
+        from awsm_renderer_tpu.geometry import box
+        from awsm_renderer_tpu.utils import math3d as m3
+
+        F = np.float32
+        r = AwsmRendererTpu(RendererConfig(width=64, height=32))
+        mat = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.8, 0.2, 0.2, 1], F)))
+        keys = []
+        for x in (-1.0, 1.0):
+            tk = r.transforms.insert(Transform(
+                translation=np.array([x, 0, 0], F)))
+            r.transforms.update_world()
+            keys.append(r.meshes.insert_geometry(
+                box(0.8), r.transforms.row_of(tk), r.materials.row_of(mat),
+                tk, mat))
+        r.meshes.update_world(r.transforms)
+        view = m3.look_at([0, 1, 4], [0, 0, 0], [0, 1, 0])
+        r.camera.update(view, m3.perspective(np.pi / 3, 2.0, 0.1, 100.0))
+        return r, keys
+
+    def test_nan_bounds_skipped_with_warning(self):
+        import numpy as np
+        import pytest
+
+        r, keys = self._scene()
+        img0 = r.render()
+        # corrupt one mesh's world bounds (NaN transform analog)
+        bad = r.meshes.get(keys[0])
+        bad.world_aabb.min[:] = np.nan
+        with pytest.warns(RuntimeWarning, match="skipping mesh"):
+            img1 = r.render()
+        assert np.isfinite(img1).all()
+        # other mesh still renders
+        assert (np.abs(img1 - img0) > 0.01).any()
+        assert (img1[..., 0] > 0.2).sum() > 10
+
+    def test_recovers_after_fix(self):
+        import numpy as np
+        import pytest
+
+        r, keys = self._scene()
+        img0 = r.render()
+        bad = r.meshes.get(keys[0])
+        saved = bad.world_aabb.min.copy()
+        bad.world_aabb.min[:] = np.nan
+        with pytest.warns(RuntimeWarning):
+            r.render()
+        bad.world_aabb.min[:] = saved
+        img2 = r.render()
+        np.testing.assert_array_equal(img2, img0)
