@@ -251,6 +251,15 @@ class Meshes:
         if geo.joints is not None and geo.weights is not None:
             j = np.asarray(geo.joints, I).reshape(V, -1)
             w = np.asarray(geo.weights, F).reshape(V, -1)
+            if j.shape[1] // 4 > MAX_SKIN_SETS:
+                import warnings
+
+                warnings.warn(
+                    f"mesh has {j.shape[1] // 4} joint-influence sets; only "
+                    f"the first {MAX_SKIN_SETS} are kept (fixed corner-pool "
+                    f"width keeps the vertex stage gather-free; reference "
+                    f"skins.rs handles arbitrary sets)", RuntimeWarning,
+                    stacklevel=3)
             skin_sets = min(MAX_SKIN_SETS, j.shape[1] // 4)
             jj = np.zeros((3 * T, 4 * MAX_SKIN_SETS), I)
             ww = np.zeros((3 * T, 4 * MAX_SKIN_SETS), F)

@@ -15,10 +15,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOOM_BLUR_PASSES = 3   # reference: BLOOM_BLUR_PASSES const
-BLOOM_THRESHOLD = 1.0
-BLOOM_INTENSITY = 0.35
+BLOOM_THRESHOLD = 0.8   # bloom.wgsl BLOOM_THRESHOLD
+BLOOM_INTENSITY = 0.5   # bloom.wgsl BLOOM_INTENSITY
+BLOOM_RADIUS = 2.0      # bloom.wgsl BLOOM_RADIUS
 
 
 def _gaussian_kernel(radius: int, sigma: float) -> jnp.ndarray:
@@ -45,18 +47,53 @@ def _blur_separable(img: jnp.ndarray, radius: int, sigma: float) -> jnp.ndarray:
     return blur_axis(blur_axis(img, 0), 1)
 
 
+def _bloom_threshold(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Soft-knee brightness extract (bloom.wgsl bloom_threshold)."""
+    brightness = rgb @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+    contribution = jnp.maximum(brightness - BLOOM_THRESHOLD, 0.0)
+    soft_threshold = BLOOM_THRESHOLD * 0.8
+    knee = BLOOM_THRESHOLD - soft_threshold
+    soft = jnp.clip((brightness - soft_threshold) / knee, 0.0, 1.0)
+    factor = contribution / jnp.maximum(brightness, 1e-4) * soft
+    return rgb * factor[..., None]
+
+
+def _bloom_blur(img: jnp.ndarray) -> jnp.ndarray:
+    """Circular-masked gaussian stencil (bloom.wgsl blur_sample:
+    5x5 neighborhood, corners beyond BLOOM_RADIUS skipped, edge clamp).
+    Shift-accumulate rolls on a clamp-padded image — XLA fuses the whole
+    kernel into one stencil pass."""
+    sigma = BLOOM_RADIUS
+    r = int(np.ceil(BLOOM_RADIUS))
+    taps = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            dist_sq = float(dy * dy + dx * dx)
+            if dist_sq > BLOOM_RADIUS * BLOOM_RADIUS + 0.5:
+                continue
+            taps.append((dy, dx, np.exp(-dist_sq / (2.0 * sigma * sigma))))
+    total = sum(w for _, _, w in taps)
+    pad = [(r, r), (r, r)] + [(0, 0)] * (img.ndim - 2)
+    xp = jnp.pad(img, pad, mode="edge")
+    H, W = img.shape[:2]
+    out = jnp.zeros_like(img)
+    for dy, dx, w in taps:
+        out = out + xp[r + dy : r + dy + H, r + dx : r + dx + W] * (w / total)
+    return out
+
+
 def bloom(hdr: jnp.ndarray) -> jnp.ndarray:
-    """Extract → blur xN at half resolution → blend (effects pass phases)."""
+    """Reference bloom pipeline (effects pipeline.rs:25-27 — 1 extract +
+    BLOOM_BLUR_PASSES ping-pong blurs + 1 blend, all full-resolution):
+    soft-knee extract-with-blur, N circular-gaussian blur passes, then
+    original + blurred * BLOOM_INTENSITY."""
     rgb = hdr[..., :3]
-    lum = jnp.max(rgb, axis=-1, keepdims=True)
-    bright = jnp.where(lum > BLOOM_THRESHOLD, rgb * (lum - BLOOM_THRESHOLD) / jnp.maximum(lum, 1e-5), 0.0)
-    H, W = bright.shape[:2]
-    half = bright[: H // 2 * 2, : W // 2 * 2].reshape(H // 2, 2, W // 2, 2, 3).mean(axis=(1, 3))
+    # extract pass: blur of thresholded neighborhood (bloom_extract)
+    b = _bloom_blur(_bloom_threshold(rgb))
     for _ in range(BLOOM_BLUR_PASSES):
-        half = _blur_separable(half, radius=4, sigma=2.5)
-    up = jnp.repeat(jnp.repeat(half, 2, axis=0), 2, axis=1)
-    up = jnp.pad(up, ((0, H - up.shape[0]), (0, W - up.shape[1]), (0, 0)), mode="edge")
-    out = rgb + BLOOM_INTENSITY * up
+        b = _bloom_blur(b)
+    # blend pass blurs once more before adding (bloom_blend blur_sample)
+    out = rgb + _bloom_blur(b) * BLOOM_INTENSITY
     return jnp.concatenate([out, hdr[..., 3:4]], axis=-1)
 
 

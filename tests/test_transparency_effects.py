@@ -316,3 +316,78 @@ class TestSmaaAlgorithm:
                     r = rgb[y, x] * (1 - wl) + C(0, -1) * wl
                     exp[y, x] = r * (1 - wr) + C(0, 1) * wr
         np.testing.assert_allclose(out, exp, atol=2e-6)
+
+
+class TestBloomAlgorithm:
+    """Parity probes of the bloom.wgsl pipeline (soft-knee extract,
+    circular gaussian, 1 extract + N blur + 1 blend passes)."""
+
+    def _run(self, rgb):
+        import jax.numpy as jnp
+
+        from awsm_renderer_tpu.ops.effects import bloom
+
+        img = np.concatenate([rgb, np.ones((*rgb.shape[:2], 1), F)], axis=-1)
+        return np.asarray(bloom(jnp.asarray(img)))[..., :3]
+
+    def test_dark_image_untouched(self):
+        rgb = np.full((16, 16, 3), 0.3, F)   # below soft threshold 0.64
+        out = self._run(rgb)
+        np.testing.assert_allclose(out, rgb, atol=1e-6)
+
+    def test_bright_spot_spreads(self):
+        rgb = np.zeros((24, 24, 3), F)
+        rgb[12, 12] = 8.0
+        out = self._run(rgb)
+        added = out - rgb
+        # energy leaks to pixels several taps away (5 blur applications
+        # of radius 2 reach ~10 px), decaying with distance
+        assert added[12, 12, 0] > 0
+        assert added[12, 16, 0] > 0
+        assert added[12, 16, 0] > added[12, 20, 0] >= 0
+        # far corner untouched
+        assert added[0, 0, 0] < 1e-4
+
+    def test_matches_reference_formula_small(self):
+        """Pixel-exact vs a scalar reimplementation of bloom.wgsl
+        (threshold 0.8 soft knee, circular r=2 gaussian, clamp borders,
+        1 extract + 3 blur + 1 blend)."""
+        rng = np.random.default_rng(11)
+        rgb = (rng.random((10, 12, 3)) * 2.0).astype(F)
+        out = self._run(rgb)
+
+        TH, INT, RAD = 0.8, 0.5, 2.0
+        H, W = rgb.shape[:2]
+
+        def thresh(c):
+            b = c @ np.array([0.2126, 0.7152, 0.0722])
+            contribution = max(b - TH, 0.0)
+            softt = TH * 0.8
+            knee = TH - softt
+            soft = min(max((b - softt) / knee, 0.0), 1.0)
+            return c * (contribution / max(b, 1e-4) * soft)
+
+        taps = [(dy, dx, np.exp(-(dy * dy + dx * dx) / (2 * RAD * RAD)))
+                for dy in range(-2, 3) for dx in range(-2, 3)
+                if dy * dy + dx * dx <= RAD * RAD + 0.5]
+        tot = sum(w for _, _, w in taps)
+
+        def blur(img):
+            o = np.zeros_like(img)
+            for y in range(H):
+                for x in range(W):
+                    acc = np.zeros(3)
+                    for dy, dx, w in taps:
+                        yy = min(max(y + dy, 0), H - 1)
+                        xx = min(max(x + dx, 0), W - 1)
+                        acc += img[yy, xx] * w
+                    o[y, x] = acc / tot
+            return o
+
+        ext = np.stack([np.stack([thresh(rgb[y, x]) for x in range(W)])
+                        for y in range(H)])
+        b = blur(ext)
+        for _ in range(3):
+            b = blur(b)
+        exp = rgb + blur(b) * INT
+        np.testing.assert_allclose(out, exp.astype(F), atol=3e-5)
