@@ -374,6 +374,169 @@ def glb_normalized_attrs():
     }), ((0.0, 0.0, 1.9), (0.0, 0.0, 0.0))
 
 
+def glb_skinned():
+    """RiggedSimple-class: a 2-bone vertical strip, skin with
+    inverseBindMatrices + a rotation animation on the top bone (skins
+    pass 3 + animations pass 4 through real GLB accessors)."""
+    b = _GlbBuilder()
+    # strip of quads along +y, weights blend from bone0 to bone1
+    n = 5
+    pos, jnts, wts = [], [], []
+    for i in range(n + 1):
+        y = i / n * 2.0
+        w1 = i / n
+        for x in (-0.25, 0.25):
+            pos.append([x, y, 0])
+            jnts.append([0, 1, 0, 0])
+            wts.append([1 - w1, w1, 0, 0])
+    idx = []
+    for i in range(n):
+        v = i * 2
+        idx += [v, v + 1, v + 3, v, v + 3, v + 2]
+    ibm = np.stack([np.eye(4, dtype=F), np.eye(4, dtype=F)])
+    ibm[1][1, 3] = -1.0      # bone1 sits at y=1
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(2, 16)
+    t_in = np.array([0.0, 1.0], F)
+    ang = np.pi / 4
+    t_out = np.array([[0, 0, 0, 1],
+                      [0, 0, np.sin(ang / 2), np.cos(ang / 2)]], F)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},                       # bone0 (root)
+            {"translation": [0, 1, 0]},              # bone1
+        ],
+        "skins": [{"joints": [1, 2],
+                   "inverseBindMatrices": b.acc(ibm_cm.reshape(2, 16))}],
+        "meshes": [{"primitives": [{
+            "attributes": {
+                "POSITION": b.acc(np.asarray(pos, F), minmax=True),
+                "JOINTS_0": b.acc(np.asarray(jnts, np.uint8)),
+                "WEIGHTS_0": b.acc(np.asarray(wts, F))},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.8, 0.4, 0.1, 1.0],
+            "roughnessFactor": 0.6}}],
+        "animations": [{
+            "samplers": [{"input": b.acc(t_in), "interpolation": "LINEAR",
+                          "output": b.acc(t_out)}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 2, "path": "rotation"}}]}],
+    }), ((0.4, 1.2, 3.2), (0.0, 1.0, 0.0))
+
+
+def glb_morphed():
+    """MorphPrimitivesTest-class: a quad with two POSITION morph targets
+    and non-zero initial mesh weights, plus a weights animation."""
+    b = _GlbBuilder()
+    pos = np.array([[-1, -0.5, 0], [1, -0.5, 0], [1, 0.5, 0], [-1, 0.5, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    t0 = np.array([[0, 0.8, 0], [0, 0, 0], [0, 0, 0], [0, 0.8, 0]], F)
+    t1 = np.array([[0, 0, 0], [0, 0.8, 0], [0, 0.8, 0], [0, 0, 0]], F)
+    t_in = np.array([0.0, 1.0], F)
+    t_out = np.array([0.0, 0.0, 1.0, 0.4], F)   # (t, weights[2]) pairs
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": b.acc(pos, minmax=True)},
+                "indices": b.acc(idx), "material": 0,
+                "targets": [{"POSITION": b.acc(t0, minmax=True)},
+                            {"POSITION": b.acc(t1, minmax=True)}]}],
+            "weights": [0.3, 0.0]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.2, 0.6, 0.8, 1.0],
+            "roughnessFactor": 0.5}}],
+        "animations": [{
+            "samplers": [{"input": b.acc(t_in), "interpolation": "LINEAR",
+                          "output": b.acc(t_out)}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "weights"}}]}],
+    }), ((0.0, 0.6, 2.6), (0.0, 0.2, 0.0))
+
+
+def glb_texture_transform():
+    """TextureTransformTest-class: same texture bound with three
+    different KHR_texture_transform (offset / scale / rotation)."""
+    b = _GlbBuilder()
+    img = b.image_png(_checker_rgba(a=(30, 90, 200), b=(240, 240, 240)))
+    quad = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0],
+                     [0.5, 0.5, 0], [-0.5, 0.5, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    quad_acc = b.acc(quad, minmax=True)
+    uv_acc = b.acc(uv)
+    idx_acc = b.acc(idx)
+    transforms = [
+        {"offset": [0.25, 0.25]},
+        {"scale": [2.0, 2.0]},
+        {"rotation": 0.6},
+    ]
+    mats, meshes, nodes = [], [], []
+    for i, tf in enumerate(transforms):
+        mats.append({"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0,
+                                 "extensions": {"KHR_texture_transform": tf}},
+            "roughnessFactor": 0.9}})
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": quad_acc, "TEXCOORD_0": uv_acc},
+            "indices": idx_acc, "material": i}]})
+        nodes.append({"mesh": i, "translation": [(i - 1) * 1.15, 0, 0]})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(3))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": [{"source": img}],
+        "extensionsUsed": ["KHR_texture_transform"],
+    }), ((0.0, 0.25, 2.2), (0.0, 0.0, 0.0))
+
+
+def glb_alpha_modes():
+    """AlphaBlendModeTest-class: OPAQUE / MASK(cutoff) / BLEND side by
+    side over a backdrop."""
+    b = _GlbBuilder()
+    # checker with alpha variation: red squares are translucent (90/255)
+    rgba = _checker_rgba(a=(255, 60, 60), b=(60, 200, 60))
+    rgba[..., 3] = np.where(rgba[..., 0] > 128, 90, 255).astype(np.uint8)
+    img = b.image_png(rgba)
+    quad = np.array([[-0.45, -0.45, 0], [0.45, -0.45, 0],
+                     [0.45, 0.45, 0], [-0.45, 0.45, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    quad_acc = b.acc(quad, minmax=True)
+    uv_acc = b.acc(uv)
+    idx_acc = b.acc(idx)
+    modes = [{"alphaMode": "OPAQUE"},
+             {"alphaMode": "MASK", "alphaCutoff": 0.5},
+             {"alphaMode": "BLEND"}]
+    mats, meshes, nodes = [], [], []
+    for i, m in enumerate(modes):
+        mats.append({"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "baseColorFactor": [1, 1, 1, 0.7] if m["alphaMode"] == "BLEND"
+            else [1, 1, 1, 1],
+            "roughnessFactor": 0.9}, **m})
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": quad_acc, "TEXCOORD_0": uv_acc},
+            "indices": idx_acc, "material": i}]})
+        nodes.append({"mesh": i, "translation": [(i - 1) * 1.05, 0, 0]})
+    # backdrop
+    back = np.array([[-2, -1, -0.5], [2, -1, -0.5],
+                     [2, 1, -0.5], [-2, 1, -0.5]], F)
+    meshes.append({"primitives": [{
+        "attributes": {"POSITION": b.acc(back, minmax=True)},
+        "indices": idx_acc, "material": 3}]})
+    mats.append({"pbrMetallicRoughness": {
+        "baseColorFactor": [0.9, 0.8, 0.2, 1.0], "roughnessFactor": 0.9}})
+    nodes.append({"mesh": 3})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(4))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": [{"source": img}],
+    }), ((0.0, 0.0, 2.4), (0.0, 0.0, 0.0))
+
+
 FIXTURES = {
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,
@@ -381,6 +544,10 @@ FIXTURES = {
     "glb-strip-fan": glb_strip_fan,
     "glb-instanced": glb_instanced,
     "glb-normalized-attrs": glb_normalized_attrs,
+    "glb-skinned": glb_skinned,
+    "glb-morphed": glb_morphed,
+    "glb-texture-transform": glb_texture_transform,
+    "glb-alpha-modes": glb_alpha_modes,
 }
 
 
@@ -417,7 +584,7 @@ def test_glb_golden(name, tmp_path):
     populate_gltf(r, data)
     view = m3.look_at(eye, center, (0, 1, 0))
     proj = m3.perspective(np.pi / 3, W / H, 0.05, 100.0)
-    r.camera.update(view, proj)
+    r.update_all(0.35, view, proj)   # advance autoplayed animations off t=0
     img = r.render_u8()
 
     # the scene must actually cover a meaningful part of the frame —
