@@ -51,8 +51,17 @@ MESH_FLAG_HUD = 2
 MESH_FLAG_DOUBLE_SIDED = 4
 MESH_FLAG_TRANSPARENT = 8
 
-MAX_MORPH_TARGETS = 8  # static unroll bound (reference morph.wgsl unrolls then loops)
-MAX_SKIN_SETS = 2      # JOINTS_0/JOINTS_1 (reference supports multiple sets, skins.rs)
+MAX_MORPH_TARGETS = 8  # INITIAL morph bucket; the weights table widens in
+                       # pow2 buckets to the scene's max target count, and
+                       # the vertex stage unrolls to the table width — so
+                       # arbitrary N is supported (reference morph.wgsl
+                       # unrolls then loops); a width change is a shape
+                       # change, which re-specializes the frame jit.
+MAX_SKIN_SETS = 2      # INITIAL joint-influence-set bucket (JOINTS_0/1);
+                       # like the morph bucket, the corner joint/weight
+                       # pools widen in pow2 set buckets to the scene's
+                       # max (reference skins.rs handles arbitrary sets),
+                       # re-specializing the frame jit on change.
 
 
 @dataclass
@@ -203,16 +212,57 @@ class Meshes:
 
     def _resize_corners(self, tri_capacity: int) -> None:
         n = 3 * tri_capacity
+        sw = (self.c_joints.shape[1] if hasattr(self, "c_joints")
+              else 4 * MAX_SKIN_SETS)      # keep a widened skin bucket
         self.c_pos = np.zeros((n, 3), dtype=F)
         self.c_norm = np.zeros((n, 3), dtype=F)
         self.c_tang = np.zeros((n, 4), dtype=F)
         self.c_uv0 = np.zeros((n, 2), dtype=F)
         self.c_uv1 = np.zeros((n, 2), dtype=F)
         self.c_color = np.ones((n, 4), dtype=F)
-        self.c_joints = np.zeros((n, 4 * MAX_SKIN_SETS), dtype=I)
-        self.c_weights = np.zeros((n, 4 * MAX_SKIN_SETS), dtype=F)
+        self.c_joints = np.zeros((n, sw), dtype=I)
+        self.c_weights = np.zeros((n, sw), dtype=F)
         self.c_morph_base = np.full(n, -1, dtype=I)
         self.tri_mesh = np.full(tri_capacity, -1, dtype=I)
+
+    def _ensure_morph_width(self, n_targets: int) -> None:
+        """Widen the per-mesh weights table to the next pow2 bucket that
+        fits `n_targets` (reference morph.wgsl handles arbitrary N; here
+        the static unroll bound is the table width, so widening it is how
+        a >bucket mesh gets full morph support)."""
+        w = self.morph_weights.shape[1]
+        if n_targets <= w:
+            return
+        new_w = max(MAX_MORPH_TARGETS, 1 << (n_targets - 1).bit_length())
+        wide = np.zeros((self.morph_weights.shape[0], new_w), dtype=F)
+        wide[:, :w] = self.morph_weights
+        self.morph_weights = wide
+        self.gpu_dirty = True
+
+    def _ensure_skin_width(self, n_sets: int) -> None:
+        """Widen the corner joint/weight pools to the next pow2 bucket of
+        influence SETS that fits `n_sets` (reference skins.rs supports
+        arbitrary JOINTS_n/WEIGHTS_n sets). The transposed device layout
+        changes shape, so the remembered range-update plan is dropped."""
+        cur = self.c_joints.shape[1] // 4
+        if n_sets <= cur:
+            return
+        new_sets = max(MAX_SKIN_SETS, 1 << (n_sets - 1).bit_length())
+        for name, dt in (("c_joints", I), ("c_weights", F)):
+            old = getattr(self, name)
+            wide = np.zeros((old.shape[0], 4 * new_sets), dtype=dt)
+            wide[:, : old.shape[1]] = old
+            setattr(self, name, wide)
+        # instanced-group corner blocks are component-major (3*4*S, Tp)
+        # and concatenate with the pool on the triangle axis — rebuild
+        # them at the new row count (always all-zero: instanced draws
+        # exclude skins, see insert_instanced)
+        for grp in self._inst_groups.values():
+            tp = grp.corners["c_joints"].shape[1]
+            grp.corners["c_joints"] = np.zeros((3 * 4 * new_sets, tp), I)
+            grp.corners["c_weights"] = np.zeros((3 * 4 * new_sets, tp), F)
+        self.capacity_changed = True
+        self.invalidate_device()
 
     def _grow_corners(self) -> None:
         tc = self._t_alloc.capacity
@@ -251,36 +301,18 @@ class Meshes:
         if geo.joints is not None and geo.weights is not None:
             j = np.asarray(geo.joints, I).reshape(V, -1)
             w = np.asarray(geo.weights, F).reshape(V, -1)
-            if j.shape[1] // 4 > MAX_SKIN_SETS:
-                import warnings
-
-                warnings.warn(
-                    f"mesh has {j.shape[1] // 4} joint-influence sets; only "
-                    f"the first {MAX_SKIN_SETS} are kept (fixed corner-pool "
-                    f"width keeps the vertex stage gather-free; reference "
-                    f"skins.rs handles arbitrary sets)", RuntimeWarning,
-                    stacklevel=3)
-            skin_sets = min(MAX_SKIN_SETS, j.shape[1] // 4)
-            jj = np.zeros((3 * T, 4 * MAX_SKIN_SETS), I)
-            ww = np.zeros((3 * T, 4 * MAX_SKIN_SETS), F)
-            jj[:, : skin_sets * 4] = j[idx, : skin_sets * 4]
-            ww[:, : skin_sets * 4] = w[idx, : skin_sets * 4]
-            corners["joints"] = jj
-            corners["weights"] = ww
+            # keep EVERY set at natural width; the corner pools widen to
+            # fit on insert (_ensure_skin_width — reference skins.rs
+            # handles arbitrary JOINTS_n/WEIGHTS_n sets)
+            skin_sets = j.shape[1] // 4
+            corners["joints"] = j[idx, : skin_sets * 4]
+            corners["weights"] = w[idx, : skin_sets * 4]
 
         # morph targets: shared per-vertex pool; corners point at their row
         M = geo.morph_target_count
         morph_base = -1
         if M:
-            if M > MAX_MORPH_TARGETS:
-                import warnings
-
-                warnings.warn(
-                    f"mesh has {M} morph targets; only the first "
-                    f"{MAX_MORPH_TARGETS} are kept (static unroll bound "
-                    f"MAX_MORPH_TARGETS — reference morph.wgsl handles "
-                    f"arbitrary N)", RuntimeWarning, stacklevel=3)
-            M = min(M, MAX_MORPH_TARGETS)
+            self._ensure_morph_width(M)
             morph_base = self._m_alloc.alloc(M * V)
             if self._m_alloc.take_needs_resize():
                 self.morph_deltas = _grow(self.morph_deltas, self._m_alloc.capacity)
@@ -339,15 +371,20 @@ class Meshes:
             self.c_morph_base[c] = cr["morph_base"]
         else:
             self.c_morph_base[c] = -1
+        if "joints" in cr:
+            self._ensure_skin_width(res.skin_sets)
         if "joints" in cr and skin_joint_rows is not None and res.skin_sets:
             rows = np.asarray(skin_joint_rows, I)
-            local = np.clip(cr["joints"][:, : res.skin_sets * 4], 0, len(rows) - 1)
+            local = np.clip(cr["joints"], 0, len(rows) - 1)
             self.c_joints[c] = 0
-            self.c_joints[c][:, : res.skin_sets * 4] = rows[local]
-            self.c_weights[c] = cr["weights"]
+            self.c_joints[c, : res.skin_sets * 4] = rows[local]
+            self.c_weights[c] = 0.0
+            self.c_weights[c, : res.skin_sets * 4] = cr["weights"]
         elif "joints" in cr:
-            self.c_joints[c] = cr["joints"]
-            self.c_weights[c] = cr["weights"]
+            self.c_joints[c] = 0
+            self.c_joints[c, : res.skin_sets * 4] = cr["joints"]
+            self.c_weights[c] = 0.0
+            self.c_weights[c, : res.skin_sets * 4] = cr["weights"]
         else:
             self.c_joints[c] = 0
             self.c_weights[c] = 0.0
@@ -367,8 +404,9 @@ class Meshes:
         self.mesh_info[row, MI_MORPH_STRIDE] = res.vertex_count
         self.mesh_info[row, MI_SKIN_SETS] = res.skin_sets
         if initial_morph_weights is not None:
-            w = np.zeros(MAX_MORPH_TARGETS, dtype=F)
-            n = min(len(initial_morph_weights), MAX_MORPH_TARGETS)
+            self._ensure_morph_width(len(initial_morph_weights))
+            w = np.zeros(self.morph_weights.shape[1], dtype=F)
+            n = min(len(initial_morph_weights), w.size)
             w[:n] = initial_morph_weights[:n]
             self.morph_weights[row] = w
         else:
@@ -433,8 +471,8 @@ class Meshes:
             "c_uv0": cm(cr["uv0"], 2),
             "c_uv1": cm(cr["uv1"], 2),
             "c_color": cm(cr["color"], 4),
-            "c_joints": np.zeros((3 * 4 * MAX_SKIN_SETS, Tp), I),
-            "c_weights": np.zeros((3 * 4 * MAX_SKIN_SETS, Tp), F),
+            "c_joints": np.zeros((3 * self.c_joints.shape[1], Tp), I),
+            "c_weights": np.zeros((3 * self.c_joints.shape[1], Tp), F),
             "c_morph_base": np.full((3, Tp), -1, I),
         }
         livemask = np.zeros(Tp, bool)
@@ -531,8 +569,9 @@ class Meshes:
     def update_morph_weights(self, key: int, weights) -> None:
         """Reference: morphs.rs update_morph_weights_with."""
         row = self._mesh_alloc.row_of(key)
-        w = np.zeros(MAX_MORPH_TARGETS, dtype=F)
-        n = min(len(weights), MAX_MORPH_TARGETS)
+        self._ensure_morph_width(len(weights))
+        w = np.zeros(self.morph_weights.shape[1], dtype=F)
+        n = min(len(weights), w.size)
         w[:n] = np.asarray(weights, F)[:n]
         self.morph_weights[row] = w
         self.gpu_dirty = True
@@ -625,6 +664,23 @@ class Meshes:
         return out, dead
 
     # ---- dirty-range device updates (reference: buffer/helpers.rs) ---------
+
+    def invalidate_device(self) -> None:
+        """Forget the remembered device layout: the next flush re-uploads
+        the full compacted pool. Needed whenever the device dict this plan
+        was built against is gone (snapshot load into a fresh renderer,
+        device reset) — range updates would patch arrays that don't exist."""
+        self._dev_idx = None
+        self._dev_dead = None
+        self._dev_spans = {}
+        self._dev_tail = 0
+        self._dev_dead_count = 0
+        self._dev_events.clear()
+        for grp in self._inst_groups.values():
+            grp.dirty = True
+        self.inst_groups_changed = True
+        self.gpu_dirty = True
+        self.morph_pool_dirty = True
 
     DEV_GROUP = 16             # raster fetch-group granularity
     DEV_DEAD_RECOMPACT = 0.35  # tombstone fraction that forces recompaction

@@ -33,6 +33,7 @@ class Skins:
         self._alloc = BuddyAllocator(initial_capacity, min_block=16)
         self.joint_matrices = np.tile(np.eye(4, dtype=F), (self._alloc.capacity, 1, 1))
         self._skins: Dict[int, _Skin] = {}
+        self._pending: Set[int] = set()   # inserted, matrices not yet computed
         self._next_key = 1
         self.gpu_dirty = True
         self.capacity_changed = False
@@ -49,6 +50,13 @@ class Skins:
         key = self._next_key
         self._next_key += 1
         self._skins[key] = _Skin(list(joint_transform_keys), ibm, base)
+        # joint matrices can't be computed here (no transform graph in
+        # scope): mark pending so the next flush_pending/update_transforms
+        # initializes them from the CURRENT pose — without this, a skin
+        # inserted over an already-posed skeleton renders bind-pose until
+        # some joint happens to move (reference skins.rs computes joint
+        # matrices on creation)
+        self._pending.add(key)
         self.gpu_dirty = True
         return key
 
@@ -67,13 +75,23 @@ class Skins:
     def capacity(self) -> int:
         return self._alloc.capacity
 
+    def flush_pending(self, transforms) -> None:
+        """Initialize joint matrices for skins inserted since the last
+        update (called at render start — a new skin must reflect the
+        skeleton's CURRENT pose, not bind pose)."""
+        if self._pending:
+            self.update_transforms(transforms, set())
+
     def update_transforms(self, transforms, changed_keys: Optional[Set[int]] = None) -> None:
         """Recompute joint matrices for skins touched by `changed_keys`
-        (all skins when None). Reference: skins.rs update_transforms."""
-        for skin in self._skins.values():
-            if changed_keys is not None and not any(k in changed_keys for k in skin.joint_keys):
+        (all skins when None); pending (newly inserted) skins always
+        recompute. Reference: skins.rs update_transforms."""
+        for key, skin in self._skins.items():
+            if (changed_keys is not None and key not in self._pending
+                    and not any(k in changed_keys for k in skin.joint_keys)):
                 continue
             J = len(skin.joint_keys)
             worlds = np.stack([transforms.world_of(k) for k in skin.joint_keys])
             self.joint_matrices[skin.base : skin.base + J] = worlds @ skin.inverse_bind
             self.gpu_dirty = True
+        self._pending.clear()

@@ -37,7 +37,10 @@ def load_scene(path: str, config=None):
     r = AwsmRendererTpu(config or state["config"])
     for name in _STORES:
         setattr(r, name, state[name])
-    # force full device re-upload on next render
+    # force full device re-upload on next render (the pickled Meshes
+    # remembers a device layout for arrays that don't exist in this
+    # fresh renderer — drop it or range updates would patch nothing)
+    r.meshes.invalidate_device()
     r.transforms.gpu_dirty = True
     r.meshes.gpu_dirty = True
     r.materials.gpu_dirty = True

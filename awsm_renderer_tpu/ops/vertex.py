@@ -42,7 +42,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.meshes import (
-    MAX_MORPH_TARGETS,
     MI_FLAGS,
     MI_MATERIAL_ROW,
     MI_N_MORPH_TARGETS,
@@ -339,10 +338,13 @@ def vertex_stage(
     if has_morphs:
         n_targets = minfo_f[:, MI_N_MORPH_TARGETS].astype(jnp.int32)
         stride = minfo_f[:, 4].astype(jnp.int32)  # MI_MORPH_STRIDE
-        wts = onehot_gather(mesh, morph_weights)             # (T, MAXT)
+        # unroll bound = weights-table width (a static shape): the table
+        # widens in pow2 buckets to the scene's max target count
+        # (core/meshes.py _ensure_morph_width), so arbitrary N works
+        wts = onehot_gather(mesh, morph_weights)             # (T, bucket)
         for c in range(3):
             base_c = c_morph_base[c]
-            for m in range(MAX_MORPH_TARGETS):
+            for m in range(morph_weights.shape[1]):
                 rows = jnp.clip(base_c + m * stride, 0, morph_deltas.shape[0] - 1)
                 delta = morph_deltas[rows]                   # (T,10) gather
                 mmask = ((m < n_targets) & (base_c >= 0)).astype(jnp.float32)

@@ -330,6 +330,7 @@ class AwsmRendererTpu:
             d["irradiance"] = jnp.asarray(pack_cubemap(e.irradiance))
             e.gpu_dirty = False
 
+        self.skins.flush_pending(self.transforms)
         if self.skins.gpu_dirty or "joint_matrices" not in d:
             d["joint_matrices"] = jnp.asarray(self.skins.joint_matrices)
             self.skins.gpu_dirty = False

@@ -262,18 +262,71 @@ class TestTypedErrors:
         with pytest.raises(InstanceError):
             r.meshes.insert_instanced(res, [(0, 0)], r.materials.row_of(mat), mat)
 
-    def test_morph_overflow_warns(self):
+    def test_morph_targets_beyond_initial_bucket_render(self):
+        """12 morph targets (> the initial 8-wide bucket): activating ONLY
+        target #11 must displace geometry — arbitrary-N parity with the
+        reference's morph.wgsl unroll-then-loop."""
         import numpy as np
-        import pytest
 
-        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu import (
+            AwsmRendererTpu, RendererConfig, UnlitMaterial,
+        )
         from awsm_renderer_tpu.geometry import box
+        from awsm_renderer_tpu.utils import math3d as m3
 
-        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        F = np.float32
+        r = AwsmRendererTpu(RendererConfig(width=64, height=32))
         geo = box(1.0)
-        geo.morph_positions = np.zeros((12, geo.vertex_count, 3), np.float32)
-        with pytest.warns(RuntimeWarning, match="morph targets"):
-            r.meshes.insert_resource(geo)
+        # target i pushes the box +2z*(i==11): only the last one matters
+        deltas = np.zeros((12, geo.vertex_count, 3), F)
+        deltas[11, :, 0] = 100.0          # off-screen when active
+        geo.morph_positions = deltas
+        mat = r.materials.insert(UnlitMaterial(
+            base_color_factor=np.array([1, 0, 0, 1], F)))
+        k = r.add_mesh(geo, mat)
+        r.camera.update(m3.look_at([0.5, 0.5, 4], [0.5, 0.5, 0.5], [0, 1, 0]),
+                        m3.perspective(np.pi / 3, 2.0, 0.1, 50.0))
+        visible = r.render()
+        assert visible[..., 0].max() > 0.5              # red box on screen
+        r.meshes.update_morph_weights(k, [0.0] * 11 + [1.0])
+        gone = r.render()
+        assert gone[..., 0].max() < 0.5                 # pushed off-screen
+
+    def test_skin_sets_beyond_initial_bucket_render(self):
+        """3 joint-influence sets (> the initial 2-set bucket): all weight
+        rides influence #8 (the first joint of SET 3) — moving that joint
+        must move the mesh. Arbitrary-set parity with skins.rs."""
+        import numpy as np
+
+        from awsm_renderer_tpu import (
+            AwsmRendererTpu, RendererConfig, Transform, UnlitMaterial,
+        )
+        from awsm_renderer_tpu.geometry import box
+        from awsm_renderer_tpu.utils import math3d as m3
+
+        F = np.float32
+        r = AwsmRendererTpu(RendererConfig(width=64, height=32))
+        geo = box(1.0)
+        V = geo.vertex_count
+        geo.joints = np.tile(np.arange(12, dtype=np.int32), (V, 1))
+        w = np.zeros((V, 12), F)
+        w[:, 8] = 1.0                       # set-3 joint only
+        geo.weights = w
+        joint_tks = [r.transforms.insert(Transform()) for _ in range(12)]
+        ibm = np.tile(np.eye(4, dtype=F)[None], (12, 1, 1))
+        sk = r.skins.insert(joint_tks, ibm)
+        mat = r.materials.insert(UnlitMaterial(
+            base_color_factor=np.array([1, 0, 0, 1], F)))
+        r.add_mesh(geo, mat, skin_key=sk)
+        r.camera.update(m3.look_at([0.5, 0.5, 4], [0.5, 0.5, 0.5], [0, 1, 0]),
+                        m3.perspective(np.pi / 3, 2.0, 0.1, 50.0))
+        visible = r.render()
+        assert visible[..., 0].max() > 0.5              # red box on screen
+        r.transforms.set_local(
+            joint_tks[8], Transform(translation=np.array([100, 0, 0], F)))
+        r.update_all(0.0)
+        gone = r.render()
+        assert gone[..., 0].max() < 0.5                 # rode joint 8 away
 
 
 class TestFailureRecovery:

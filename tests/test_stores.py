@@ -217,6 +217,56 @@ class TestMeshes:
         # target 1 at base + stride (V=3)
         np.testing.assert_allclose(m.morph_deltas[base + 3, 0:3], [1, 0, 0])
 
+    def test_morph_bucket_widens_past_initial_bound(self):
+        # 12 targets > the initial 8-wide bucket: the weights table must
+        # widen (pow2) and keep EVERY target addressable — the reference
+        # (morph.wgsl) handles arbitrary N, truncation is not parity
+        geo = _tri_geometry()
+        geo.morph_positions = np.array(
+            [[[0, 0, float(i + 1)]] * 3 for i in range(12)], np.float32)
+        m = Meshes()
+        w0 = [0.0] * 12
+        w0[11] = 1.0                     # only the LAST target active
+        k = m.insert_geometry(geo, 0, 0, 1, 1, initial_morph_weights=w0)
+        assert m.morph_weights.shape[1] == 16
+        row = m.row_of(k)
+        np.testing.assert_allclose(m.morph_weights[row, 11], 1.0)
+        from awsm_renderer_tpu.core.meshes import MI_N_MORPH_TARGETS
+        assert m.mesh_info[row, MI_N_MORPH_TARGETS] == 12
+        mesh = m.get(k)
+        base = m.c_morph_base[3 * mesh.t_base]
+        # target 11's delta is intact in the pool (stride = V = 3)
+        np.testing.assert_allclose(m.morph_deltas[base + 11 * 3, 0:3],
+                                   [0, 0, 12.0])
+        # a later width-16 update keeps earlier meshes' rows zero-padded
+        m.update_morph_weights(k, [0.0] * 11 + [0.5])
+        np.testing.assert_allclose(m.morph_weights[row, 11], 0.5)
+
+    def test_skin_bucket_widens_past_initial_sets(self):
+        # 3 influence sets (12 joints/vertex) > the initial 2-set bucket:
+        # the corner joint/weight pools must widen (pow2 sets) and keep
+        # every influence — reference skins.rs handles arbitrary sets
+        geo = _tri_geometry()
+        V = geo.vertex_count
+        geo.joints = np.tile(np.arange(12, dtype=np.int32), (V, 1))
+        geo.weights = np.full((V, 12), 1.0 / 12.0, np.float32)
+        m = Meshes()
+        assert m.c_joints.shape[1] == 8            # initial 2-set bucket
+        k = m.insert_geometry(geo, 0, 0, 1, 1)
+        assert m.c_joints.shape[1] == 16           # widened to 4 sets
+        from awsm_renderer_tpu.core.meshes import MI_SKIN_SETS
+        row = m.row_of(k)
+        assert m.mesh_info[row, MI_SKIN_SETS] == 3
+        mesh = m.get(k)
+        c0 = 3 * mesh.t_base
+        np.testing.assert_array_equal(m.c_joints[c0, :12], np.arange(12))
+        np.testing.assert_allclose(m.c_weights[c0, :12], 1.0 / 12.0)
+        np.testing.assert_allclose(m.c_weights[c0, 12:], 0.0)
+        # a later unskinned mesh still inserts fine at the wide bucket
+        k2 = m.insert_geometry(_tri_geometry(), 0, 0, 2, 1)
+        c2 = 3 * m.get(k2).t_base
+        np.testing.assert_allclose(m.c_weights[c2], 0.0)
+
     def test_world_aabb_culling_inputs(self):
         t = Transforms()
         tk = t.insert(Transform(translation=np.array([5, 0, 0], np.float32)))
@@ -249,6 +299,27 @@ class TestSkins:
         rows = s.joint_rows(key)
         np.testing.assert_allclose(s.joint_matrices[rows[0]][:3, 3], [0, 1, 0])
         np.testing.assert_allclose(s.joint_matrices[rows[1]][:3, 3], [0, 0, 0], atol=1e-6)
+
+    def test_insert_over_posed_skeleton_flushes_pending(self):
+        # a skin inserted AFTER its joints were posed must pick up the
+        # current pose at the next flush — not stay bind-pose identity
+        # until some joint happens to move again
+        t = Transforms()
+        j = t.insert(Transform(translation=np.array([5, 0, 0], np.float32)))
+        t.update_world()
+        s = Skins()
+        key = s.insert([j], np.eye(4, dtype=np.float32)[None])
+        rows = s.joint_rows(key)
+        # not yet flushed: identity
+        np.testing.assert_allclose(s.joint_matrices[rows[0]][:3, 3], [0, 0, 0])
+        s.flush_pending(t)   # what renderer._flush does each frame
+        np.testing.assert_allclose(s.joint_matrices[rows[0]][:3, 3], [5, 0, 0])
+        # update_transforms with an unrelated changed-set must not skip
+        # a pending skin either
+        key2 = s.insert([j], np.eye(4, dtype=np.float32)[None])
+        s.update_transforms(t, set())
+        rows2 = s.joint_rows(key2)
+        np.testing.assert_allclose(s.joint_matrices[rows2[0]][:3, 3], [5, 0, 0])
 
 
 class TestAnimation:
