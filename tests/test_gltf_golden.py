@@ -537,7 +537,62 @@ def glb_alpha_modes():
     }), ((0.0, 0.0, 2.4), (0.0, 0.0, 0.0))
 
 
+def glb_many_influences():
+    """MorphStressTest-class arbitrary-N probe: 12 POSITION morph targets
+    (only #11 active) AND 3 joint-influence sets (JOINTS_0/1/2) where half
+    the weight rides a SET-3 joint — both beyond the initial pow2 buckets
+    (core/meshes.py _ensure_morph_width/_ensure_skin_width; reference
+    morph.wgsl unroll-then-loop + skins.rs arbitrary sets). If either the
+    12th target or the third set were truncated, the quad would render at
+    the wrong place/size."""
+    b = _GlbBuilder()
+    quad = np.array([[-0.6, -0.4, 0], [0.6, -0.4, 0],
+                     [0.6, 0.4, 0], [-0.6, 0.4, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    nv = 4
+    # morph targets: #11 lifts +0.5y, all earlier ones would sink -5y
+    # (so accidentally activating a truncated-away index is visible too)
+    zero = np.zeros((nv, 3), F)
+    sink = np.tile(np.array([0, -5.0, 0], F), (nv, 1))
+    lift = np.tile(np.array([0, 0.5, 0], F), (nv, 1))
+    targets = [{"POSITION": b.acc(sink if t < 11 else lift, minmax=True)}
+               for t in range(12)]
+    # 12 joints over 3 sets; influence 0 (set 1, joint 0 = identity) and
+    # influence 8 (SET 3, joint 8 translated +0.4x+0.6y) split the weight:
+    # final = p + 0.5*(0.4, 0.6) — set-3 truncation would halve the quad
+    j0 = np.tile(np.array([0, 0, 0, 0], np.uint8), (nv, 1))
+    w0 = np.tile(np.array([0.5, 0, 0, 0], F), (nv, 1))
+    j2 = np.tile(np.array([8, 0, 0, 0], np.uint8), (nv, 1))
+    w2 = np.tile(np.array([0.5, 0, 0, 0], F), (nv, 1))
+    jz = np.zeros((nv, 4), np.uint8)
+    wz = np.zeros((nv, 4), F)
+    ibm = np.tile(np.eye(4, dtype=F)[None], (12, 1, 1))
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(12, 16)
+    joint_nodes = [{"translation": [0.4, 0.6, 0.0]} if j == 8 else {}
+                   for j in range(12)]
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(13))}],
+        "nodes": [{"mesh": 0, "skin": 0}] + joint_nodes,
+        "skins": [{"joints": list(range(1, 13)),
+                   "inverseBindMatrices": b.acc(ibm_cm)}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {
+                    "POSITION": b.acc(quad, minmax=True),
+                    "JOINTS_0": b.acc(j0), "WEIGHTS_0": b.acc(w0),
+                    "JOINTS_1": b.acc(jz), "WEIGHTS_1": b.acc(wz),
+                    "JOINTS_2": b.acc(j2), "WEIGHTS_2": b.acc(w2)},
+                "indices": b.acc(idx), "material": 0,
+                "targets": targets}],
+            "weights": [0.0] * 11 + [1.0]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.85, 0.3, 0.5, 1.0],
+            "roughnessFactor": 0.6}}],
+    }), ((0.2, 0.6, 2.6), (0.2, 0.55, 0.0))
+
+
 FIXTURES = {
+    "glb-many-influences": glb_many_influences,
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,
     "glb-interleaved": glb_interleaved,
