@@ -30,7 +30,9 @@ from .core.animation import (
     Interpolation, LoopStyle, TargetPath,
 )
 from .core.lights import Light, LightKind
-from .core.materials import AlphaMode, PbrMaterial, TextureRef, UnlitMaterial
+from .core.materials import (
+    AlphaMode, PbrDebug, PbrMaterial, TextureRef, UnlitMaterial,
+)
 from .core.meshes import MeshGeometry
 from .core.textures import MipmapKind, Sampler
 from .core.transforms import Transform
@@ -39,7 +41,7 @@ from .renderer import AwsmRendererTpu
 __all__ = [
     "AwsmRendererTpu", "RendererConfig", "AntiAliasing", "PostProcessing",
     "ToneMapping", "Transform", "MeshGeometry", "PbrMaterial", "UnlitMaterial",
-    "AlphaMode", "TextureRef", "Light", "LightKind", "Sampler", "MipmapKind",
+    "AlphaMode", "PbrDebug", "TextureRef", "Light", "LightKind", "Sampler", "MipmapKind",
     "AnimationPlayer", "AnimationClip", "AnimationChannel", "AnimationSampler",
     "Interpolation", "LoopStyle", "TargetPath",
 ]

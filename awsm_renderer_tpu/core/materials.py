@@ -102,6 +102,21 @@ class AlphaMode(enum.Enum):
     BLEND = 2
 
 
+class PbrDebug(enum.IntFlag):
+    """Per-material debug visualization bits for ``debug_mask``
+    (reference: materials/pbr.rs:53-77 PbrMaterialDebug::bitmask;
+    consumed by the shading path's ``material`` debug variant,
+    pbr_material_color.wgsl:30-51 — lowest set bit wins)."""
+
+    NONE = 0
+    BASE_COLOR = 1 << 0
+    METALLIC_ROUGHNESS = 1 << 1
+    NORMALS = 1 << 2
+    OCCLUSION = 1 << 3
+    EMISSIVE = 1 << 4
+    SPECULAR = 1 << 5
+
+
 @dataclass
 class TextureRef:
     """A bound texture: descriptor id + uv set + optional KHR_texture_transform id."""

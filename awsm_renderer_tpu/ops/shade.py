@@ -424,6 +424,8 @@ def shade_surface(
     has_nearest: bool = True,
     ext: Tuple[bool, ...] = ALL_EXT,
     debug_mode: str = "none",   # none | ibl | punctual (template.rs:46-65)
+                                # | material (per-material bitmask,
+                                #   pbr.rs:54-79)
     transparent_pass: bool = False,
     background: Optional[jnp.ndarray] = None,   # (P,3) opaque color behind
     setup_rows: Optional[jnp.ndarray] = None,   # (T2, NSETUP) for slim planes
@@ -511,6 +513,8 @@ def shade_surface(
                for c in range(3)]
     needed += [M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_KIND,
                M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_ALPHA_MODE]
+    if debug_mode == "material":
+        needed.append(M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_DEBUG_MASK)
     pos = {idx: p for p, idx in enumerate(needed)}
     cols = split_rows(onehot_gather_t(
         mat_row, table[:, jnp.array(needed, jnp.int32)]))
@@ -749,6 +753,25 @@ def shade_surface(
         pbr_color = ambient
     elif debug_mode == "punctual":
         pbr_color = direct
+    elif debug_mode == "material":
+        # per-MATERIAL debug bitmask (reference materials/pbr.rs:54-79 +
+        # pbr_material_color.wgsl:30-51): replace the PBR output with the
+        # selected channel; lowest set bit wins, mirroring the reference's
+        # early-return chain (selects applied high→low so bit 0 lands last)
+        dbg = mflag(M.MI_DEBUG_MASK).astype(jnp.int32)
+        spec_vis = [spec_color[c] * spec_color_tex[c] * spec_amt
+                    for c in range(3)]
+        views = (
+            base[:3],                                         # BaseColor
+            [metallic, roughness, jnp.zeros_like(metallic)],  # Metal/Rough
+            [n_final[c] * 0.5 + 0.5 for c in range(3)],       # Normals
+            [occlusion] * 3,                                  # Occlusion
+            emissive,                                         # Emissive
+            spec_vis,                                         # Specular
+        )
+        for b in range(5, -1, -1):
+            hit = ((dbg >> b) & 1) == 1
+            pbr_color = v_where(hit, views[b], pbr_color)
 
     # ---- alpha per mode (OPAQUE=1, MASK=cutoff test, BLEND=base.a) ------------
     alpha_mode = mflag(M.MI_ALPHA_MODE)
@@ -875,7 +898,9 @@ def shade_deferred_c(
         width=W, height=H, height_full=H_full, row_offset=row_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest, ext=ext,
-        debug_mode=debug_mode if debug_mode in ("ibl", "punctual") else "none",
+        debug_mode=(debug_mode
+                    if debug_mode in ("ibl", "punctual", "material")
+                    else "none"),
         setup_rows=setup_rows, want_sky=True,
     )
 

@@ -441,6 +441,14 @@ class AwsmRendererTpu:
         GPU — no host readback)."""
         cfg = self.config
         self.camera.next_frame()
+        if debug_mode == "none":
+            # any material carrying a debug bitmask switches the shade
+            # specialization to the per-material debug variant (reference:
+            # PbrMaterialDebug recompiles the opaque shader template)
+            from .core import materials as _M
+
+            if (self.materials.flags[:, _M.MI_DEBUG_MASK] != 0).any():
+                debug_mode = "material"
         # spans mirror the reference's render() tracing (render.rs:56-69:
         # one span per write_gpu + per pass); the jitted frame is a single
         # dispatch here, so in-frame pass splits live in the XLA profile

@@ -44,6 +44,49 @@ def test_debug_lighting_isolation():
     assert full[m][0] >= max(ibl[m][0], punc[m][0]) - 0.3
 
 
+def test_debug_material_bitmask():
+    """Per-material debug bits (reference PbrMaterialDebug,
+    pbr.rs:53-77): a BASE_COLOR-masked material renders its flat base
+    color regardless of lighting; an unmasked material in the same scene
+    shades normally; lowest set bit wins."""
+    from awsm_renderer_tpu import PbrDebug, Transform
+    from awsm_renderer_tpu.geometry import box
+
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H,
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    dbg_mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.2, 0.5, 0.8, 1], F),
+        roughness_factor=0.6, debug_mask=int(PbrDebug.BASE_COLOR)))
+    lit_mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.2, 0.5, 0.8, 1], F),
+        roughness_factor=0.6))
+    r.add_mesh(box(0.8), dbg_mat, Transform(translation=np.array([-0.8, 0, 0], F)))
+    r.add_mesh(box(0.8), lit_mat, Transform(translation=np.array([0.8, 0, 0], F)))
+    r.lights.insert(Light.directional([0.4, -0.3, -1], intensity=3.0))
+    r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, W / H, 0.1, 100.0))
+    img = r.render()
+    # display applies linear->sRGB even with tonemapping NONE
+    lin = np.array([0.2, 0.5, 0.8])
+    srgb = np.where(lin <= 0.0031308, lin * 12.92,
+                    1.055 * lin ** (1 / 2.4) - 0.055)
+    # aspect 4:1 view half-width at z=3 is ~6.9 world units: the boxes at
+    # x = ±0.8 project ~7 px either side of center
+    dbg_px = img[H // 2, W // 2 - 7, :3]
+    lit_px = img[H // 2, W // 2 + 7, :3]
+    np.testing.assert_allclose(dbg_px, srgb, atol=0.02)
+    assert not np.allclose(lit_px, srgb, atol=0.02)  # actually shaded
+
+    # normals bit: same geometry shows the +z face encoding ~(.5,.5,1)
+    r.materials.update(dbg_mat, PbrMaterial(
+        base_color_factor=np.array([0.2, 0.5, 0.8, 1], F),
+        roughness_factor=0.6, debug_mask=int(PbrDebug.NORMALS)))
+    img2 = r.render()
+    c = img2[H // 2, W // 2 - 7, :3]
+    assert c[2] > 0.9 and abs(c[0] - c[1]) < 0.05
+
+
 def test_compatibility_report():
     r = _scene()
     rep = check_compatibility(r)
