@@ -1,0 +1,606 @@
+"""Sample-model catalog: spec-conformant binary GLBs generated in-process.
+
+The reference frontend's integration spine is a catalog of ~80 Khronos
+glTF sample assets fetched over the network
+(crates/frontend/src/models/collections.rs:32-123). This TPU build runs
+with zero egress, so the catalog is GENERATED: each entry below builds a
+real binary GLB (12-byte header + JSON chunk + BIN chunk, glTF 2.0 §4)
+probing one loader/populate feature — sparse accessors, interleaved
+vertex buffers, strip/fan topology, normalized integer attributes,
+EXT_mesh_gpu_instancing, mirrored-UV tangent generation
+(NormalTangentMirrorTest-class), skinning + animation, morph targets,
+KHR_texture_transform, alpha modes, arbitrary morph/skin-set counts.
+
+Used by the demo app (``python -m demo.app --scene glb-skinned``) and the
+golden test suite (tests/test_gltf_golden.py). Every builder returns
+``(glb_bytes, (eye, center))`` — the bytes plus a camera framing.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import numpy as np
+
+F = np.float32
+
+_CTYPE = {
+    np.dtype(np.int8): 5120, np.dtype(np.uint8): 5121,
+    np.dtype(np.int16): 5122, np.dtype(np.uint16): 5123,
+    np.dtype(np.uint32): 5125, np.dtype(np.float32): 5126,
+}
+_TYPE = {1: "SCALAR", 2: "VEC2", 3: "VEC3", 4: "VEC4", 16: "MAT4"}
+
+
+class _GlbBuilder:
+    """Accumulates bufferViews/accessors over one BIN chunk, then packs a
+    spec-conformant GLB container (glTF 2.0 §4: magic 0x46546C67, JSON
+    chunk 0x4E4F534A, BIN chunk 0x004E4942, 4-byte chunk alignment)."""
+
+    def __init__(self):
+        self.bin = bytearray()
+        self.views = []
+        self.accessors = []
+        self.images = []
+
+    def view(self, data: bytes, stride=None):
+        self.bin += b"\x00" * ((-len(self.bin)) % 4)
+        v = {"buffer": 0, "byteOffset": len(self.bin), "byteLength": len(data)}
+        if stride is not None:
+            v["byteStride"] = stride
+        self.bin += data
+        self.views.append(v)
+        return len(self.views) - 1
+
+    def acc(self, arr, normalized=False, minmax=False, view=None,
+            byte_offset=0, count=None):
+        arr = np.ascontiguousarray(arr)
+        if view is None:
+            view = self.view(arr.tobytes())
+        ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+        a = {
+            "bufferView": view, "byteOffset": byte_offset,
+            "componentType": _CTYPE[arr.dtype],
+            "count": count if count is not None else arr.shape[0],
+            "type": _TYPE[ncomp],
+        }
+        if normalized:
+            a["normalized"] = True
+        if minmax:
+            a["min"] = np.min(arr.reshape(a["count"], -1), axis=0).tolist()
+            a["max"] = np.max(arr.reshape(a["count"], -1), axis=0).tolist()
+        self.accessors.append(a)
+        return len(self.accessors) - 1
+
+    def image_png(self, rgba: np.ndarray):
+        """Embed an RGBA uint8 image as a PNG in the BIN chunk."""
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgba).save(buf, format="PNG")
+        self.images.append({
+            "bufferView": self.view(buf.getvalue()),
+            "mimeType": "image/png",
+        })
+        return len(self.images) - 1
+
+    def glb(self, gltf: dict) -> bytes:
+        gltf = dict(gltf)
+        gltf["asset"] = {"version": "2.0"}
+        self.bin += b"\x00" * ((-len(self.bin)) % 4)
+        gltf["buffers"] = [{"byteLength": len(self.bin)}]
+        gltf["bufferViews"] = self.views
+        gltf["accessors"] = self.accessors
+        if self.images:
+            gltf["images"] = self.images
+        js = json.dumps(gltf).encode()
+        js += b" " * ((-len(js)) % 4)
+        out = struct.pack("<4sII", b"glTF", 2,
+                          12 + 8 + len(js) + 8 + len(self.bin))
+        out += struct.pack("<II", len(js), 0x4E4F534A) + js
+        out += struct.pack("<II", len(self.bin), 0x004E4942) + bytes(self.bin)
+        return out
+
+
+def _checker_rgba(size=64, a=(220, 60, 40), b=(240, 230, 210)):
+    yy, xx = np.mgrid[0:size, 0:size]
+    c = ((yy // 8 + xx // 8) % 2).astype(bool)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.where(c[..., None], np.uint8(a), np.uint8(b))
+    img[..., 3] = 255
+    return img
+
+
+def _bump_normal_map(size=64):
+    """Tangent-space normal map: a grid of circular bumps."""
+    yy, xx = np.mgrid[0:size, 0:size] / size * 4 * np.pi
+    hx = np.cos(xx) * np.sin(yy) * 0.6
+    hy = np.sin(xx) * np.cos(yy) * 0.6
+    n = np.stack([-hx, -hy, np.ones_like(hx)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.clip((n * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+# ---------------------------------------------------------------- fixtures
+
+def glb_sparse_displaced():
+    """Sparse POSITION override: flat grid, sparse accessor raises the
+    center vertices into a pyramid (accessor.rs sparse substitution)."""
+    b = _GlbBuilder()
+    n = 7
+    g = np.mgrid[0:n, 0:n].astype(F) / (n - 1) - 0.5
+    pos = np.stack([g[1] * 2, np.zeros_like(g[0]), g[0] * 2],
+                   axis=-1).reshape(-1, 3)
+    quads = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            v = i * n + j
+            quads += [[v, v + n, v + 1], [v + 1, v + n, v + n + 1]]
+    idx = np.asarray(quads, np.uint16).reshape(-1)
+
+    # sparse: lift the 3x3 center block
+    sel = [i * n + j for i in range(2, 5) for j in range(2, 5)]
+    sp_idx = np.asarray(sel, np.uint16)
+    sp_val = pos[sel].copy()
+    sp_val[:, 1] = 0.55
+    sp_val[4, 1] = 0.9
+
+    pos_acc = b.acc(pos, minmax=True)
+    b.accessors[pos_acc]["sparse"] = {
+        "count": len(sel),
+        "indices": {"bufferView": b.view(sp_idx.tobytes()),
+                    "componentType": 5123},
+        "values": {"bufferView": b.view(sp_val.tobytes())},
+    }
+    idx_acc = b.acc(idx)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": pos_acc}, "indices": idx_acc,
+            "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.85, 0.2, 0.15, 1.0],
+            "roughnessFactor": 0.6, "metallicFactor": 0.0}}],
+    }), ((0.0, 2.2, 2.6), (0.0, 0.2, 0.0))
+
+
+def glb_mirrored_tangent():
+    """NormalTangentMirrorTest-class probe: two quads, the right one with
+    mirrored U, no TANGENT attribute → generated tangents must flip
+    handedness across the seam for the normal-mapped lighting to stay
+    continuous (gltf/buffers/tangents.rs mikktspace path)."""
+    b = _GlbBuilder()
+    #  quad L: u 0→1,  quad R: u 1→0 (mirror)
+    pos = np.array([
+        [-1, -0.5, 0], [0, -0.5, 0], [0, 0.5, 0], [-1, 0.5, 0],
+        [0, -0.5, 0], [1, -0.5, 0], [1, 0.5, 0], [0, 0.5, 0],
+    ], F)
+    uv = np.array([
+        [0, 1], [1, 1], [1, 0], [0, 0],
+        [1, 1], [0, 1], [0, 0], [1, 0],
+    ], F)
+    nrm = np.tile(np.array([[0, 0, 1]], F), (8, 1))
+    idx = np.array([0, 1, 2, 0, 2, 3, 4, 5, 6, 4, 6, 7], np.uint16)
+    img = b.image_png(_bump_normal_map())
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}},
+             "rotation": [-0.3826834, 0, 0, 0.9238795]},  # pitch -45°
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True),
+                           "NORMAL": b.acc(nrm), "TEXCOORD_0": b.acc(uv)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorFactor": [0.6, 0.6, 0.65, 1.0],
+                "roughnessFactor": 0.35, "metallicFactor": 0.0},
+            "normalTexture": {"index": 0}}],
+        "textures": [{"source": img, "sampler": 0}],
+        "samplers": [{"magFilter": 9729, "minFilter": 9987,
+                      "wrapS": 10497, "wrapT": 10497}],
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "directional", "intensity": 3.0,
+             "color": [1.0, 0.95, 0.9]}]}},
+    }), ((0.0, 0.35, 2.1), (0.0, 0.0, 0.0))
+
+
+def glb_interleaved():
+    """One interleaved bufferView (byteStride=32: pos+normal+uv per
+    vertex) for a textured cube (accessor.rs interleaved stride path)."""
+    b = _GlbBuilder()
+    faces = []
+    for axis in range(3):
+        for sgn in (1.0, -1.0):
+            n = np.zeros(3, F)
+            n[axis] = sgn
+            u = np.zeros(3, F)
+            u[(axis + 1) % 3] = 1.0
+            v = np.cross(n, u)
+            c = n * 0.5
+            quad = [c - 0.5 * u - 0.5 * v, c + 0.5 * u - 0.5 * v,
+                    c + 0.5 * u + 0.5 * v, c - 0.5 * u + 0.5 * v]
+            faces.append((quad, n))
+    V = len(faces) * 4
+    inter = np.zeros((V, 8), F)
+    idx = []
+    for fi, (quad, n) in enumerate(faces):
+        for vi, p in enumerate(quad):
+            inter[fi * 4 + vi, :3] = p
+            inter[fi * 4 + vi, 3:6] = n
+            inter[fi * 4 + vi, 6:] = [(0, 1, 1, 0)[vi], (1, 1, 0, 0)[vi]]
+        v0 = fi * 4
+        idx += [v0, v0 + 1, v0 + 2, v0, v0 + 2, v0 + 3]
+    view = b.view(inter.tobytes(), stride=32)
+    pos_acc = b.acc(inter[:, :3], view=view, byte_offset=0, count=V)
+    b.accessors[pos_acc]["min"] = [-0.5, -0.5, -0.5]
+    b.accessors[pos_acc]["max"] = [0.5, 0.5, 0.5]
+    nrm_acc = b.acc(inter[:, 3:6], view=view, byte_offset=12, count=V)
+    uv_acc = b.acc(inter[:, 6:], view=view, byte_offset=24, count=V)
+    img = b.image_png(_checker_rgba())
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0,
+                   "rotation": [0.0, 0.3826834, 0.0, 0.9238795]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc,
+                           "TEXCOORD_0": uv_acc},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "roughnessFactor": 0.8, "metallicFactor": 0.0}}],
+        "textures": [{"source": img}],
+    }), ((1.2, 1.0, 1.8), (0.0, 0.0, 0.0))
+
+
+def glb_strip_fan():
+    """Two primitives: a triangle-strip ribbon (mode 5) and a
+    triangle-fan disk (mode 6) — accessor.rs triangulation paths."""
+    b = _GlbBuilder()
+    # strip: zig-zag ribbon along x
+    ns = 8
+    xs = np.linspace(-1.2, 1.2, ns, dtype=F)
+    strip = np.zeros((ns * 2, 3), F)
+    strip[0::2, 0] = xs
+    strip[1::2, 0] = xs
+    # top row first: GL strip convention (i, i+1, i+2, odd swapped) then
+    # yields CCW front faces toward +z
+    strip[0::2, 1] = -0.15 + 0.12 * np.sin(xs * 4)
+    strip[1::2, 1] = -0.55 + 0.12 * np.sin(xs * 4)
+    # fan: disk above
+    nf = 12
+    ang = np.linspace(0, 2 * np.pi, nf, dtype=F)
+    fan = np.zeros((nf + 1, 3), F)
+    fan[0] = [0, 0.45, 0]
+    fan[1:, 0] = 0.7 * np.cos(ang)
+    fan[1:, 1] = 0.45 + 0.45 * np.sin(ang)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": b.acc(strip, minmax=True)},
+             "mode": 5, "material": 0},
+            {"attributes": {"POSITION": b.acc(fan, minmax=True)},
+             "mode": 6, "material": 1},
+        ]}],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.2, 0.7, 0.3, 1.0],
+                "roughnessFactor": 0.7}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.6, 0.1, 1.0],
+                "roughnessFactor": 0.4}},
+        ],
+    }), ((0.0, 0.2, 2.6), (0.0, 0.1, 0.0))
+
+
+def glb_instanced():
+    """EXT_mesh_gpu_instancing: a 5x3 grid of one box via per-instance
+    TRANSLATION/ROTATION/SCALE accessors (instances.rs:22-203)."""
+    b = _GlbBuilder()
+    s = 0.22
+    pos = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                    for z in (-s, s)], F)
+    idx = np.array([0, 1, 3, 0, 3, 2, 4, 6, 7, 4, 7, 5,
+                    0, 4, 5, 0, 5, 1, 2, 3, 7, 2, 7, 6,
+                    0, 2, 6, 0, 6, 4, 1, 5, 7, 1, 7, 3], np.uint16)
+    nx, ny = 5, 3
+    t, rot, sc = [], [], []
+    for iy in range(ny):
+        for ix in range(nx):
+            t.append([(ix - (nx - 1) / 2) * 0.75,
+                      (iy - (ny - 1) / 2) * 0.75, 0.0])
+            a = 0.5 * (ix + iy * nx)
+            rot.append([0.0, np.sin(a / 2), 0.0, np.cos(a / 2)])
+            k = 0.6 + 0.4 * ((ix + iy) % 3) / 2
+            sc.append([k, k, k])
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "extensions": {"EXT_mesh_gpu_instancing": {
+            "attributes": {
+                "TRANSLATION": b.acc(np.asarray(t, F)),
+                "ROTATION": b.acc(np.asarray(rot, F)),
+                "SCALE": b.acc(np.asarray(sc, F)),
+            }}}}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.3, 0.45, 0.9, 1.0],
+            "roughnessFactor": 0.5, "metallicFactor": 0.3}}],
+        "extensionsUsed": ["EXT_mesh_gpu_instancing"],
+    }), ((0.0, 0.8, 3.4), (0.0, 0.0, 0.0))
+
+
+def glb_normalized_attrs():
+    """Normalized integer attributes: COLOR_0 as normalized u8 VEC4,
+    TEXCOORD_0 as normalized u16, u8 indices (accessor.rs normalize)."""
+    b = _GlbBuilder()
+    pos = np.array([[-1, -0.6, 0], [1, -0.6, 0], [1, 0.6, 0], [-1, 0.6, 0]], F)
+    col = np.array([[255, 40, 40, 255], [40, 255, 40, 255],
+                    [40, 40, 255, 255], [255, 255, 40, 255]], np.uint8)
+    uv = (np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F) * 65535).astype(np.uint16)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint8)
+    img = b.image_png(_checker_rgba(a=(200, 200, 200), b=(90, 90, 90)))
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True),
+                           "COLOR_0": b.acc(col, normalized=True),
+                           "TEXCOORD_0": b.acc(uv, normalized=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}, "roughnessFactor": 0.9}}],
+        "textures": [{"source": img}],
+    }), ((0.0, 0.0, 1.9), (0.0, 0.0, 0.0))
+
+
+def glb_skinned():
+    """RiggedSimple-class: a 2-bone vertical strip, skin with
+    inverseBindMatrices + a rotation animation on the top bone (skins
+    pass 3 + animations pass 4 through real GLB accessors)."""
+    b = _GlbBuilder()
+    # strip of quads along +y, weights blend from bone0 to bone1
+    n = 5
+    pos, jnts, wts = [], [], []
+    for i in range(n + 1):
+        y = i / n * 2.0
+        w1 = i / n
+        for x in (-0.25, 0.25):
+            pos.append([x, y, 0])
+            jnts.append([0, 1, 0, 0])
+            wts.append([1 - w1, w1, 0, 0])
+    idx = []
+    for i in range(n):
+        v = i * 2
+        idx += [v, v + 1, v + 3, v, v + 3, v + 2]
+    ibm = np.stack([np.eye(4, dtype=F), np.eye(4, dtype=F)])
+    ibm[1][1, 3] = -1.0      # bone1 sits at y=1
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(2, 16)
+    t_in = np.array([0.0, 1.0], F)
+    ang = np.pi / 4
+    t_out = np.array([[0, 0, 0, 1],
+                      [0, 0, np.sin(ang / 2), np.cos(ang / 2)]], F)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},                       # bone0 (root)
+            {"translation": [0, 1, 0]},              # bone1
+        ],
+        "skins": [{"joints": [1, 2],
+                   "inverseBindMatrices": b.acc(ibm_cm.reshape(2, 16))}],
+        "meshes": [{"primitives": [{
+            "attributes": {
+                "POSITION": b.acc(np.asarray(pos, F), minmax=True),
+                "JOINTS_0": b.acc(np.asarray(jnts, np.uint8)),
+                "WEIGHTS_0": b.acc(np.asarray(wts, F))},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.8, 0.4, 0.1, 1.0],
+            "roughnessFactor": 0.6}}],
+        "animations": [{
+            "samplers": [{"input": b.acc(t_in), "interpolation": "LINEAR",
+                          "output": b.acc(t_out)}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 2, "path": "rotation"}}]}],
+    }), ((0.4, 1.2, 3.2), (0.0, 1.0, 0.0))
+
+
+def glb_morphed():
+    """MorphPrimitivesTest-class: a quad with two POSITION morph targets
+    and non-zero initial mesh weights, plus a weights animation."""
+    b = _GlbBuilder()
+    pos = np.array([[-1, -0.5, 0], [1, -0.5, 0], [1, 0.5, 0], [-1, 0.5, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    t0 = np.array([[0, 0.8, 0], [0, 0, 0], [0, 0, 0], [0, 0.8, 0]], F)
+    t1 = np.array([[0, 0, 0], [0, 0.8, 0], [0, 0.8, 0], [0, 0, 0]], F)
+    t_in = np.array([0.0, 1.0], F)
+    t_out = np.array([0.0, 0.0, 1.0, 0.4], F)   # (t, weights[2]) pairs
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {"POSITION": b.acc(pos, minmax=True)},
+                "indices": b.acc(idx), "material": 0,
+                "targets": [{"POSITION": b.acc(t0, minmax=True)},
+                            {"POSITION": b.acc(t1, minmax=True)}]}],
+            "weights": [0.3, 0.0]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.2, 0.6, 0.8, 1.0],
+            "roughnessFactor": 0.5}}],
+        "animations": [{
+            "samplers": [{"input": b.acc(t_in), "interpolation": "LINEAR",
+                          "output": b.acc(t_out)}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "weights"}}]}],
+    }), ((0.0, 0.6, 2.6), (0.0, 0.2, 0.0))
+
+
+def glb_texture_transform():
+    """TextureTransformTest-class: same texture bound with three
+    different KHR_texture_transform (offset / scale / rotation)."""
+    b = _GlbBuilder()
+    img = b.image_png(_checker_rgba(a=(30, 90, 200), b=(240, 240, 240)))
+    quad = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0],
+                     [0.5, 0.5, 0], [-0.5, 0.5, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    quad_acc = b.acc(quad, minmax=True)
+    uv_acc = b.acc(uv)
+    idx_acc = b.acc(idx)
+    transforms = [
+        {"offset": [0.25, 0.25]},
+        {"scale": [2.0, 2.0]},
+        {"rotation": 0.6},
+    ]
+    mats, meshes, nodes = [], [], []
+    for i, tf in enumerate(transforms):
+        mats.append({"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0,
+                                 "extensions": {"KHR_texture_transform": tf}},
+            "roughnessFactor": 0.9}})
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": quad_acc, "TEXCOORD_0": uv_acc},
+            "indices": idx_acc, "material": i}]})
+        nodes.append({"mesh": i, "translation": [(i - 1) * 1.15, 0, 0]})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(3))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": [{"source": img}],
+        "extensionsUsed": ["KHR_texture_transform"],
+    }), ((0.0, 0.25, 2.2), (0.0, 0.0, 0.0))
+
+
+def glb_alpha_modes():
+    """AlphaBlendModeTest-class: OPAQUE / MASK(cutoff) / BLEND side by
+    side over a backdrop."""
+    b = _GlbBuilder()
+    # checker with alpha variation: red squares are translucent (90/255)
+    rgba = _checker_rgba(a=(255, 60, 60), b=(60, 200, 60))
+    rgba[..., 3] = np.where(rgba[..., 0] > 128, 90, 255).astype(np.uint8)
+    img = b.image_png(rgba)
+    quad = np.array([[-0.45, -0.45, 0], [0.45, -0.45, 0],
+                     [0.45, 0.45, 0], [-0.45, 0.45, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    quad_acc = b.acc(quad, minmax=True)
+    uv_acc = b.acc(uv)
+    idx_acc = b.acc(idx)
+    modes = [{"alphaMode": "OPAQUE"},
+             {"alphaMode": "MASK", "alphaCutoff": 0.5},
+             {"alphaMode": "BLEND"}]
+    mats, meshes, nodes = [], [], []
+    for i, m in enumerate(modes):
+        mats.append({"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "baseColorFactor": [1, 1, 1, 0.7] if m["alphaMode"] == "BLEND"
+            else [1, 1, 1, 1],
+            "roughnessFactor": 0.9}, **m})
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": quad_acc, "TEXCOORD_0": uv_acc},
+            "indices": idx_acc, "material": i}]})
+        nodes.append({"mesh": i, "translation": [(i - 1) * 1.05, 0, 0]})
+    # backdrop
+    back = np.array([[-2, -1, -0.5], [2, -1, -0.5],
+                     [2, 1, -0.5], [-2, 1, -0.5]], F)
+    meshes.append({"primitives": [{
+        "attributes": {"POSITION": b.acc(back, minmax=True)},
+        "indices": idx_acc, "material": 3}]})
+    mats.append({"pbrMetallicRoughness": {
+        "baseColorFactor": [0.9, 0.8, 0.2, 1.0], "roughnessFactor": 0.9}})
+    nodes.append({"mesh": 3})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(4))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": [{"source": img}],
+    }), ((0.0, 0.0, 2.4), (0.0, 0.0, 0.0))
+
+
+def glb_many_influences():
+    """MorphStressTest-class arbitrary-N probe: 12 POSITION morph targets
+    (only #11 active) AND 3 joint-influence sets (JOINTS_0/1/2) where half
+    the weight rides a SET-3 joint — both beyond the initial pow2 buckets
+    (core/meshes.py _ensure_morph_width/_ensure_skin_width; reference
+    morph.wgsl unroll-then-loop + skins.rs arbitrary sets). If either the
+    12th target or the third set were truncated, the quad would render at
+    the wrong place/size."""
+    b = _GlbBuilder()
+    quad = np.array([[-0.6, -0.4, 0], [0.6, -0.4, 0],
+                     [0.6, 0.4, 0], [-0.6, 0.4, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    nv = 4
+    # morph targets: #11 lifts +0.5y, all earlier ones would sink -5y
+    # (so accidentally activating a truncated-away index is visible too)
+    zero = np.zeros((nv, 3), F)
+    sink = np.tile(np.array([0, -5.0, 0], F), (nv, 1))
+    lift = np.tile(np.array([0, 0.5, 0], F), (nv, 1))
+    targets = [{"POSITION": b.acc(sink if t < 11 else lift, minmax=True)}
+               for t in range(12)]
+    # 12 joints over 3 sets; influence 0 (set 1, joint 0 = identity) and
+    # influence 8 (SET 3, joint 8 translated +0.4x+0.6y) split the weight:
+    # final = p + 0.5*(0.4, 0.6) — set-3 truncation would halve the quad
+    j0 = np.tile(np.array([0, 0, 0, 0], np.uint8), (nv, 1))
+    w0 = np.tile(np.array([0.5, 0, 0, 0], F), (nv, 1))
+    j2 = np.tile(np.array([8, 0, 0, 0], np.uint8), (nv, 1))
+    w2 = np.tile(np.array([0.5, 0, 0, 0], F), (nv, 1))
+    jz = np.zeros((nv, 4), np.uint8)
+    wz = np.zeros((nv, 4), F)
+    ibm = np.tile(np.eye(4, dtype=F)[None], (12, 1, 1))
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(12, 16)
+    joint_nodes = [{"translation": [0.4, 0.6, 0.0]} if j == 8 else {}
+                   for j in range(12)]
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(13))}],
+        "nodes": [{"mesh": 0, "skin": 0}] + joint_nodes,
+        "skins": [{"joints": list(range(1, 13)),
+                   "inverseBindMatrices": b.acc(ibm_cm)}],
+        "meshes": [{
+            "primitives": [{
+                "attributes": {
+                    "POSITION": b.acc(quad, minmax=True),
+                    "JOINTS_0": b.acc(j0), "WEIGHTS_0": b.acc(w0),
+                    "JOINTS_1": b.acc(jz), "WEIGHTS_1": b.acc(wz),
+                    "JOINTS_2": b.acc(j2), "WEIGHTS_2": b.acc(w2)},
+                "indices": b.acc(idx), "material": 0,
+                "targets": targets}],
+            "weights": [0.0] * 11 + [1.0]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.85, 0.3, 0.5, 1.0],
+            "roughnessFactor": 0.6}}],
+    }), ((0.2, 0.6, 2.6), (0.2, 0.55, 0.0))
+
+
+
+SAMPLES = {
+    "glb-many-influences": glb_many_influences,
+    "glb-sparse-displaced": glb_sparse_displaced,
+    "glb-mirrored-tangent": glb_mirrored_tangent,
+    "glb-interleaved": glb_interleaved,
+    "glb-strip-fan": glb_strip_fan,
+    "glb-instanced": glb_instanced,
+    "glb-normalized-attrs": glb_normalized_attrs,
+    "glb-skinned": glb_skinned,
+    "glb-morphed": glb_morphed,
+    "glb-texture-transform": glb_texture_transform,
+    "glb-alpha-modes": glb_alpha_modes,
+}
+
+
+def write_sample(name: str, path: str) -> tuple:
+    """Build catalog entry `name` as a .glb file; returns (eye, center)."""
+    glb_bytes, cam = SAMPLES[name]()
+    with open(path, "wb") as f:
+        f.write(glb_bytes)
+    return cam

@@ -55,10 +55,13 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
     from demo.scenes import SCENES
 
     if args.list:
         for name in SCENES:
+            print(name)
+        for name in SAMPLES:      # generated GLB catalog (collections.rs analog)
             print(name)
         return 0
 
@@ -78,6 +81,21 @@ def main(argv=None):
     ))
 
     eye, center = (2.5, 1.8, 3.5), (0, 0, 0)
+    catalog_cam = False
+    if not args.gltf and args.scene in SAMPLES:
+        # generated sample-model catalog entry: write the GLB and route it
+        # through the real loader path, exactly like --gltf (the reference
+        # frontend fetches its catalog models the same way)
+        import tempfile
+
+        from awsm_renderer_tpu.gltf.samples import write_sample
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".glb", delete=False)
+        tmp.close()
+        cam = write_sample(args.scene, tmp.name)
+        args.gltf = tmp.name
+        eye, center = cam
+        catalog_cam = True    # keep the catalog's tuned framing
     if args.gltf:
         from awsm_renderer_tpu.gltf.loader import load_gltf
         from awsm_renderer_tpu.gltf.populate import populate_gltf
@@ -89,7 +107,7 @@ def main(argv=None):
               file=sys.stderr)
         # frame the scene by its bounds (frontend AABB-fit camera)
         mins, maxs, _ = r.meshes.world_bounds()
-        if len(mins):
+        if len(mins) and not catalog_cam:
             c = (mins.min(axis=0) + maxs.max(axis=0)) / 2
             radius = float(np.linalg.norm(maxs.max(axis=0) - mins.min(axis=0)) / 2) or 1.0
             center = c

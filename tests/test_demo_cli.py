@@ -120,3 +120,22 @@ def test_demo_cli_scene_catalog(tmp_path):
                "--frames", "1", "--out", out_dir])
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "frame_0000.png"))
+
+
+def test_demo_cli_glb_sample_catalog(tmp_path):
+    """A generated GLB catalog entry (gltf/samples.py — the reference
+    frontend's model-catalog analog) loads through the real loader path
+    and renders non-blank with the catalog's tuned camera."""
+    from demo.app import main
+
+    out_dir = str(tmp_path / "frames")
+    rc = main(["--scene", "glb-strip-fan", "--width", "128", "--height", "64",
+               "--frames", "1", "--out", out_dir])
+    assert rc == 0
+    from PIL import Image
+
+    f0 = np.asarray(Image.open(os.path.join(out_dir, "frame_0000.png")))
+    assert f0.shape == (64, 128, 4)
+    sky = f0[2, 2, :3].astype(int)
+    center = f0[32, 64, :3].astype(int)
+    assert np.abs(center - sky).max() > 20   # geometry on screen
