@@ -616,12 +616,13 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "max_bins", "interpret",
                               "has_uv1", "has_color", "slim",
-                              "analytic_derivs")
+                              "analytic_derivs", "bins_B")
 )
 def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
                      max_bins: int = 128, interpret: bool | None = None,
                      has_uv1: bool = True, has_color: bool = True,
-                     slim: bool = False, analytic_derivs: bool = True):
+                     slim: bool = False, analytic_derivs: bool = True,
+                     bins3=None, bins_B: int | None = None):
     """Binned rasterizer: per-tile chunk lists, square swizzled tiles.
 
     The scalar-prefetched bin table tells each (BT_H, BT_W) logical tile
@@ -643,9 +644,15 @@ def rasterize_binned(setup, zlo=None, zhi=None, *, width: int, height: int,
     n_ty, n_tx = H32 // BT_H, W32 // BT_W
     n_tiles = n_ty * n_tx
     npx = BT_H * BT_W
-    bins, counts, B, zmin = build_bins(setup, width=W32, height=H32,
-                                       max_bins=max_bins,
-                                       tile_w=BT_W, tile_h=BT_H)
+    if bins3 is None:
+        bins, counts, B, zmin = build_bins(
+            setup, width=W32, height=H32, max_bins=max_bins,
+            tile_w=BT_W, tile_h=BT_H)
+    else:
+        # prebuilt bins (the K-layer peel builds them once); B must ride
+        # as a STATIC arg — an int inside a traced tuple would become a
+        # tracer the Pallas kernel can't close over
+        (bins, counts, zmin), B = bins3, bins_B
 
     def tile_map(t, bin_ref, cnt_ref, zmin_ref):
         return (t, 0, 0)
@@ -880,20 +887,42 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
 
     Returns dict of (K, H*W) flat arrays. Exact order-independent
     transparency for up to K overlapping fragments per pixel. The peel
-    loop is a lax.scan so the Pallas kernel compiles once, not K times."""
+    loop is UNROLLED (K is a static config) and the per-tile bin lists
+    are built ONCE and reused across all K passes — the setup never
+    changes between peels, only the zlo plane does. A lax.scan version
+    of this loop measured ~23 ms of while-carry copies at 1080p/K=4
+    (each iteration re-copied the (K, P) stacked output planes), plus a
+    redundant build_bins top_k sort per layer (~1.5 ms each)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    binned = not interpret
+    bins3, bins_B = None, None
+    if binned:
+        W32 = -(-width // BT_W) * BT_W
+        H32 = -(-height // BT_H) * BT_H
+        bins, counts, bins_B, zmin = build_bins(
+            setup, width=W32, height=H32, max_bins=128,
+            tile_w=BT_W, tile_h=BT_H)
+        bins3 = (bins, counts, zmin)
 
-    def peel(zlo, _):
-        layer = rasterize_peel(setup, zlo, opaque_depth,
-                               width=width, height=height, interpret=interpret,
-                               has_uv1=has_uv1, has_color=has_color, slim=slim,
-                               analytic_derivs=analytic_derivs)
-        zlo_next = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
-        flat = {k: v.reshape(-1) for k, v in layer.items()}
-        return zlo_next, flat
-
-    zlo0 = jnp.full((height, width), -1.0, jnp.float32)
-    _, layers = jax.lax.scan(peel, zlo0, None, length=n_layers)
-    return layers
+    zlo = jnp.full((height, width), -1.0, jnp.float32)
+    per_layer = []
+    for _k in range(n_layers):
+        if binned:
+            layer = rasterize_binned(
+                setup, zlo, opaque_depth, width=width, height=height,
+                interpret=interpret, has_uv1=has_uv1, has_color=has_color,
+                slim=slim, analytic_derivs=analytic_derivs, bins3=bins3,
+                bins_B=bins_B)
+        else:
+            layer = rasterize_peel(
+                setup, zlo, opaque_depth, width=width, height=height,
+                interpret=interpret, has_uv1=has_uv1, has_color=has_color,
+                slim=slim, analytic_derivs=analytic_derivs)
+        zlo = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
+        per_layer.append({k: v.reshape(-1) for k, v in layer.items()})
+    return {k: jnp.stack([lay[k] for lay in per_layer])
+            for k in per_layer[0]}
 
 
 def pad_setup(setup: jnp.ndarray) -> jnp.ndarray:
@@ -1039,15 +1068,17 @@ def _group_zmin(setup_rows: jnp.ndarray, n_groups: int) -> jnp.ndarray:
 
 
 def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
-                 vis_cap: int = 65536, stash_cap: int = 128):
+                 vis_cap: int = 65536, stash_cap: int = 128,
+                 tile_h: int = BT_H, tile_w: int = BT_W):
     """Sort-based (tile, group) pair binning for the v5 kernel.
 
     setup_rows: (T, NSETUP) row-major, T a GROUP multiple. Coarse tiles
-    are BT_H x BT_W (32x32). For every group whose bbox spans <= K_SLOTS
-    coarse tiles, emit one pair per spanned tile, keyed
-    (tile << rank_bits) | zmin_rank so each tile's list comes out
-    near-to-far (hi-Z); the value packs (group << 4) | subtile_mask.
-    ONE device-wide sort orders the pairs; searchsorted yields per-tile
+    are tile_h x tile_w (32x32 default; the MSAA kernel bins 64x64
+    supersampled-space tiles = 32x32 display tiles). For every group
+    whose bbox spans <= K_SLOTS coarse tiles, emit one pair per spanned
+    tile, keyed (tile << rank_bits) | zmin_rank so each tile's list
+    comes out near-to-far (hi-Z); the value packs the group id. ONE
+    device-wide sort orders the pairs; searchsorted yields per-tile
     offsets/counts. Groups spanning more tiles go to the big list.
 
     Returns (entries (vis_cap,) i32, offsets (n_tiles,) i32,
@@ -1058,7 +1089,8 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
     T = setup_rows.shape[0]
     assert T % GROUP == 0
     G = T // GROUP
-    n_ty, n_tx = height // BT_H, width // BT_W
+    BT_H_, BT_W_ = tile_h, tile_w
+    n_ty, n_tx = height // BT_H_, width // BT_W_
     n_tiles = n_ty * n_tx
     rank_bits = _ceil_log2(G)
     assert _ceil_log2(n_tiles) + rank_bits <= 30, (n_tiles, G)
@@ -1070,12 +1102,12 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
     zmin_g = _group_zmin(setup_rows, G)
     nonempty = minx <= maxx
 
-    tx0 = jnp.clip(jnp.floor(minx / BT_W).astype(jnp.int32), 0, n_tx - 1)
-    ty0 = jnp.clip(jnp.floor(miny / BT_H).astype(jnp.int32), 0, n_ty - 1)
+    tx0 = jnp.clip(jnp.floor(minx / BT_W_).astype(jnp.int32), 0, n_tx - 1)
+    ty0 = jnp.clip(jnp.floor(miny / BT_H_).astype(jnp.int32), 0, n_ty - 1)
     # bbox max exactly on a tile boundary belongs to the lower tile only
     # (coverage test is px > maxx-exclusive at pixel centers)
-    tx1 = jnp.clip(jnp.ceil(maxx / BT_W).astype(jnp.int32) - 1, 0, n_tx - 1)
-    ty1 = jnp.clip(jnp.ceil(maxy / BT_H).astype(jnp.int32) - 1, 0, n_ty - 1)
+    tx1 = jnp.clip(jnp.ceil(maxx / BT_W_).astype(jnp.int32) - 1, 0, n_tx - 1)
+    ty1 = jnp.clip(jnp.ceil(maxy / BT_H_).astype(jnp.int32) - 1, 0, n_ty - 1)
     tx1 = jnp.maximum(tx1, tx0)
     ty1 = jnp.maximum(ty1, ty0)
     sw = tx1 - tx0 + 1
@@ -1359,3 +1391,244 @@ def rasterize16_slim(setup_rows, zlo=None, zhi=None, bins=None, *,
     col = _deswizzle16(col, H32, W32)[:height, :width].reshape(-1)
     depth = _deswizzle16(depth, H32, W32)[:height, :width].reshape(-1)
     return col, depth
+
+
+# ======================================================================
+# MSAA-4x-native v5 kernel: one sweep over 32x32 DISPLAY tiles, four
+# per-sample (z, winner) states per pixel.
+#
+# The naive MSAA path (rasterize16_slim at 2x2 the display resolution,
+# then stride-2 slice out the 4 sample planes) measured 63 ms of raster
+# + ~100 ms of de-interleave at 1080p on v5e: XLA lowers [i::2, j::2]
+# lane-strided slices as 2M-row gathers (~24 ms EACH), and the 4x tile
+# count quadruples binning pairs, DMA bursts and tile iterations. This
+# kernel instead evaluates each triangle's plane equations at the 2x2
+# supersampled sample positions INCREMENTALLY (sample spacing is 1.0 in
+# supersampled coordinates, so E(s+1) = E(s) + A — one vector add per
+# edge instead of two madds), keeps 4 winner states, and writes the 4
+# sample-id planes + the min sample depth directly at display layout.
+# Hardware-MSAA cost model (anti_alias.rs msaa_sample_count=4): 4x
+# coverage/depth tests, 1x everything else.
+# ======================================================================
+
+
+def _merge_subgroup_msaa(P, px, py, states, col_base):
+    """Merge SUB triangles into 4 per-sample winner states.
+
+    px/py: (1, npx) SUPERSAMPLED coordinates of each display pixel's
+    top-left sample center; sample (i, j) sits at (px + j, py + i).
+    states: tuple of 4 (z (1,npx) f32, col (1,npx) i32), sample order
+    [top-left, top-right, bottom-left, bottom-right] (matching the
+    frame's `samp` list). Top-left fill rule + depth-tie column order
+    identical to _merge_subgroup."""
+    npx = px.shape[1]
+
+    def col(r):
+        return P[:, r : r + 1]
+
+    zero = jnp.float32(0.0)
+    edges = []
+    for ra, rb, rc in ((S_E0A, S_E0B, S_E0C), (S_E1A, S_E1B, S_E1C),
+                       (S_E2A, S_E2B, S_E2C)):
+        a, b, c = col(ra), col(rb), col(rc)
+        e00 = a * px + (b * py + c)
+        tl = (a > 0) | ((a == 0) & (b > 0))
+        thr = jnp.where(tl, zero, jnp.float32(_FMIN))
+        edges.append((e00, a, b, thr))
+    za, zb = col(S_ZA), col(S_ZB)
+    z00 = za * px + (zb * py + col(S_ZC))
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
+    out = []
+    for s, (i, j) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        cover = None
+        for (e00, a, b, thr) in edges:
+            e = e00
+            if j:
+                e = e + a
+            if i:
+                e = e + b
+            c_ = e >= thr
+            cover = c_ if cover is None else (cover & c_)
+        z = z00
+        if j:
+            z = z + za
+        if i:
+            z = z + zb
+        cover = cover & (z >= 0.0) & (z <= 1.0)
+        zc = jnp.where(cover, z, _BIG)
+        zmin = jnp.min(zc, axis=0, keepdims=True)
+        idx_m = jnp.where(zc == zmin, local, SUB)
+        win = jnp.min(idx_m, axis=0, keepdims=True)
+        zs, cs = states[s]
+        take = zmin < zs
+        out.append((jnp.where(take, zmin, zs),
+                    jnp.where(take, col_base + win, cs)))
+    return tuple(out)
+
+
+def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
+    """grid = (display tiles,); outputs 4 sample-id planes + min depth.
+
+    Stash is a PREFETCH-slot ring (the DMA pipeline only ever has
+    `prefetch` copies in flight; slot b%prefetch was fully consumed at
+    iteration b-prefetch), so per-tile entry counts are unbounded — no
+    silent stash_cap clamp. Slot `prefetch` is the big-group scratch."""
+    npx = BT_H * BT_W
+
+    def _kernel(entries_ref, off_ref, cnt_ref, zmin_ref,
+                bigp_ref, bigid_ref, nbig_ref, setup_ref, *refs):
+        outs = refs[:5]
+        stash, sem = refs[5], refs[6]
+
+        t = pl.program_id(0)
+        cnt = cnt_ref[t]
+        off = off_ref[t]
+        tile_x = t % n_tx
+        tile_y = t // n_tx
+
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxd = (tile_x * BT_W + flat % BT_W).astype(jnp.float32)
+        pyd = (tile_y * BT_H + flat // BT_W).astype(jnp.float32)
+        px = 2.0 * pxd + 0.5      # supersampled coords of sample (0,0)
+        py = 2.0 * pyd + 0.5
+
+        def start(b):
+            g = entries_ref[off + b]
+            pltpu.make_async_copy(
+                setup_ref.at[g], stash.at[jax.lax.rem(b, prefetch)],
+                sem.at[jax.lax.rem(b, prefetch)]
+            ).start()
+
+        def wait(b):
+            pltpu.make_async_copy(
+                setup_ref.at[0], stash.at[jax.lax.rem(b, prefetch)],
+                sem.at[jax.lax.rem(b, prefetch)]
+            ).wait()
+
+        for w in range(prefetch - 1):
+            @pl.when(w < cnt)
+            def _prefetch(w=w):
+                start(w)
+
+        miss = jnp.full((1, npx), -1, jnp.int32)
+        one = jnp.full((1, npx), 1.0, jnp.float32)
+        states0 = tuple((one, miss) for _ in range(4))
+
+        def body(b, states):
+            @pl.when(b + prefetch - 1 < cnt)
+            def _next():
+                start(b + prefetch - 1)
+
+            wait(b)
+            g = entries_ref[off + b]
+            P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
+            for h in range(GROUP // SUB):
+                states = _merge_subgroup_msaa(
+                    P16[h * SUB:(h + 1) * SUB], px, py, states,
+                    col_base=g * GROUP + h * SUB)
+            return states
+
+        states = jax.lax.fori_loop(0, cnt, body, states0)
+
+        def bigbody(i, states):
+            g = bigid_ref[i]
+            bb = bigp_ref[i]
+            gx0 = bb & 255
+            gy0 = (bb >> 8) & 255
+            gx1 = (bb >> 16) & 255
+            gy1 = (bb >> 24) & 255
+            hit = ((gx0 <= tile_x) & (tile_x <= gx1)
+                   & (gy0 <= tile_y) & (tile_y <= gy1))
+
+            def m(states, g=g):
+                dma = pltpu.make_async_copy(
+                    setup_ref.at[g], stash.at[prefetch], sem.at[0])
+                dma.start()
+                dma.wait()
+                P16 = stash[prefetch][:, :NSETUP]
+                for h in range(GROUP // SUB):
+                    states = _merge_subgroup_msaa(
+                        P16[h * SUB:(h + 1) * SUB], px, py, states,
+                        col_base=g * GROUP + h * SUB)
+                return states
+
+            return jax.lax.cond(hit, m, lambda st: st, states)
+
+        states = jax.lax.fori_loop(0, nbig_ref[0], bigbody, states)
+
+        zmin = jnp.minimum(jnp.minimum(states[0][0], states[1][0]),
+                           jnp.minimum(states[2][0], states[3][0]))
+        for s in range(4):
+            outs[s][0] = states[s][1].reshape(8, 128)
+        outs[4][0] = zmin.reshape(8, 128)
+
+    return _kernel
+
+
+def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
+                     interpret: bool | None = None, vis_cap: int = 65536):
+    """MSAA-4x coverage raster from row-major setup in SUPERSAMPLED
+    coordinates (width2 = 2x display width, even).
+
+    Returns (samp [4 x (H1, W1) i32 sample-winner planes, order
+    tl/tr/bl/br], depth1 (H1, W1) f32 min-sample depth) at display
+    resolution H1 = height2 // 2, W1 = width2 // 2. Ids are setup-row
+    indices (== original pool ids in the unsorted prep_setup_rows
+    layout), exactly like rasterize_slim_rows' tid plane."""
+    if interpret is None:
+        interpret = _interpret_default()
+    H1, W1 = height2 // 2, width2 // 2
+    if interpret:
+        # interpret-mode fallback: dense slim raster at 2x + host-style
+        # slicing (matches the kernel bit-for-bit; CPU tests only)
+        out = _rasterize_dense(setup_rows.T, width=width2, height=height2,
+                               interpret=True, slim=True,
+                               analytic_derivs=False)
+        tid2, depth2 = out["tri_id"], out["depth"]
+        samp = [tid2[i::2, j::2] for i in (0, 1) for j in (0, 1)]
+        depth1 = depth2.reshape(H1, 2, W1, 2).min(axis=(1, 3))
+        return samp, depth1
+
+    T = setup_rows.shape[0]
+    assert T % GROUP == 0, T
+    # pad supersampled space to 64-multiples = display 32x32 tiles
+    W64 = -(-width2 // (2 * BT_W)) * (2 * BT_W)
+    H64 = -(-height2 // (2 * BT_H)) * (2 * BT_H)
+    n_ty, n_tx = H64 // (2 * BT_H), W64 // (2 * BT_W)
+    n_tiles = n_ty * n_tx
+
+    bins = build_bins16(setup_rows, width=W64, height=H64, vis_cap=vis_cap,
+                        stash_cap=4096, tile_h=2 * BT_H, tile_w=2 * BT_W)
+    rows_p = jnp.pad(setup_rows, ((0, 0), (0, NSETUP_PAD - NSETUP)))
+    setup_blocked = rows_p.reshape(T // GROUP, GROUP, NSETUP_PAD)
+
+    prefetch = 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((prefetch + 1, GROUP, NSETUP_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((prefetch,)),
+        ],
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n_tiles, 8, 128),
+                             jnp.int32 if i < 4 else jnp.float32)
+        for i in range(5))
+    outs = pl.pallas_call(
+        _make_v5_msaa_kernel(n_tx=n_tx, prefetch=prefetch),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*bins, setup_blocked)
+    Hd, Wd = H64 // 2, W64 // 2
+    samp = [_deswizzle16(outs[s], Hd, Wd)[:H1, :W1] for s in range(4)]
+    depth1 = _deswizzle16(outs[4], Hd, Wd)[:H1, :W1]
+    return samp, depth1

@@ -24,7 +24,7 @@ from ..ops.effects import bloom as bloom_pass
 from ..ops.effects import depth_of_field, smaa as smaa_pass
 from ..ops.raster import (
     TILE_H, TILE_W, pad_setup, pad_setup_rows, rasterize, rasterize_layers,
-    rasterize_layers_rows, rasterize_rows, rasterize_slim_rows,
+    rasterize_layers_rows, rasterize_rows,
 )
 from ..ops.shade import (
     ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_layers_c,
@@ -263,6 +263,8 @@ def _overlay_band(
     ext,
     has_uv1: bool,
     has_color: bool,
+    overlay_slot_mask=None,   # slot/ext masks of the OVERLAY bucket's own
+    overlay_ext=None,         # materials (per-pass specialization)
 ):
     """Transparent forward peel + HUD over the (already shaded) opaque band
     (render.rs steps 9, 2/10). With supersampling on, this runs at DISPLAY
@@ -270,6 +272,10 @@ def _overlay_band(
     resolving its MSAA opaque target at the opaque→transparent blit
     (render.rs:224-261) — which keeps the K-layer peel O(display pixels).
     Returns (hdr_ch, tri_id)."""
+    if overlay_slot_mask is None:
+        overlay_slot_mask = slot_mask
+    if overlay_ext is None:
+        overlay_ext = ext
 
     def run_vertex(mask):
         return _run_vertex(
@@ -300,8 +306,9 @@ def _overlay_band(
             layers, hdr_ch, ds,
             width=rw, height=band_h, height_full=rh_full,
             row_offset=row_offset,
-            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            has_nearest=has_nearest, ext=ext,
+            use_mips=use_mips, slot_mask=overlay_slot_mask,
+            solid_env=solid_env,
+            has_nearest=has_nearest, ext=overlay_ext,
             n_layers=n_transparent_layers,
         )
 
@@ -320,8 +327,9 @@ def _overlay_band(
             h_planes, ds,
             width=rw, height=band_h, height_full=rh_full,
             row_offset=row_offset,
-            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-            has_nearest=has_nearest, ext=ext,
+            use_mips=use_mips, slot_mask=overlay_slot_mask,
+            solid_env=solid_env,
+            has_nearest=has_nearest, ext=overlay_ext,
         )
         a = jnp.where(h_valid, h_alpha, 0.0)
         out = [jnp.where(h_valid, h_color[c] * a + hdr_ch[c] * (1 - a),
@@ -357,6 +365,8 @@ def _frame_band(
     ext,
     has_uv1: bool,
     has_color: bool,
+    overlay_slot_mask=None,
+    overlay_ext=None,
 ):
     """Single-scale band pipeline: opaque + overlay at the same resolution
     (the non-supersampled frame; the supersampled frame resolves between
@@ -380,6 +390,7 @@ def _frame_band(
         slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
         hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
         ext=ext, has_uv1=has_uv1, has_color=has_color,
+        overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
     )
     return hdr_ch, tri_id, depth
 
@@ -415,7 +426,7 @@ def _opaque_band_msaa(
 
     Returns (hdr_ch planes (band1_h*rw1,), samp = 4x (band1_h, rw1)
     sample-id planes [top-left/tr/bl/br], depth1 (band1_h, rw1))."""
-    from ..ops.raster import _interpret_default
+    from ..ops.raster import _interpret_default, rasterize16_msaa
 
     if interpret is None:
         interpret = _interpret_default()
@@ -425,8 +436,12 @@ def _opaque_band_msaa(
         row_offset=2 * row_offset1, shift_rows=shift_rows,
         has_morphs=has_morphs, skin_sets=skin_sets, needs_clip=needs_clip)
     srows = prep_setup_rows(rows, key)
-    tid2, depth2 = rasterize_slim_rows(srows, width=rw2, height=band2_h,
-                                       interpret=interpret)
+    # MSAA-native raster: the kernel emits the 4 per-sample id planes +
+    # min depth at DISPLAY layout directly (the former rasterize at 2x +
+    # [i::2, j::2] sample extraction paid ~100 ms of lane-strided-slice
+    # gathers at 1080p — see rasterize16_msaa)
+    samp_raw, depth1_raw = rasterize16_msaa(
+        srows, width2=rw2, height2=band2_h, interpret=interpret)
 
     w_half = rw2 // 2
     def _fit_cols(p, fill):
@@ -437,10 +452,8 @@ def _opaque_band_msaa(
         return jnp.pad(p, ((0, 0), (0, rw1 - w_half)),
                        constant_values=fill)
 
-    samp = [_fit_cols(tid2[i::2, j::2], -1)
-            for i in (0, 1) for j in (0, 1)]
-    depth1 = _fit_cols(
-        depth2.reshape(band1_h, 2, w_half, 2).min(axis=(1, 3)), 1.0)
+    samp = [_fit_cols(s, -1) for s in samp_raw]
+    depth1 = _fit_cols(depth1_raw, 1.0)
 
     from ..ops.shade import RESOLVE_NAMES, resolve_planes_fused
 
@@ -563,7 +576,9 @@ def _finish_frame(
         "width", "height", "supersample", "msaa", "tonemap", "use_mips",
         "has_morphs", "skin_sets", "has_transparent", "has_hud",
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
-        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest", "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
+        "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
+        "overlay_slot_mask", "overlay_ext",
     ),
 )
 def render_frame(
@@ -597,6 +612,8 @@ def render_frame(
     ext=None,
     has_uv1: bool = True,
     has_color: bool = True,
+    overlay_slot_mask: Optional[Tuple[bool, ...]] = None,
+    overlay_ext: Optional[Tuple[bool, ...]] = None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -655,6 +672,7 @@ def render_frame(
         solid_env=solid_env, interpret=interpret, hooks=hooks,
         has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
         has_uv1=has_uv1, has_color=has_color,
+        overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
     )
     ldr, tri_id, depth = _finish_frame(
         hdr_ch, tri_id, depth, ds,

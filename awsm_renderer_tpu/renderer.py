@@ -397,14 +397,30 @@ class AwsmRendererTpu:
 
     # ---- render (reference: render.rs:53-383) --------------------------------
 
-    def _ext_mask(self) -> tuple:
+    def _bucket_mat_rows(self, mesh_mask: np.ndarray) -> np.ndarray:
+        """Material rows referenced by the meshes in one pass bucket —
+        the basis for per-pass shading specialization (the reference
+        specializes its transparent pipelines per (buffer_info, material):
+        material_transparent/shader/cache_key.rs)."""
+        info = self.meshes.mesh_info
+        m = mesh_mask[: info.shape[0]]
+        rows = np.unique(info[m, 1])
+        return rows[(rows >= 0) & (rows < max(self.materials.capacity, 1))]
+
+    def _ext_mask(self, mat_rows: Optional[np.ndarray] = None) -> tuple:
         """Which material extensions any scene material uses — static
         shading specialization (extension WGSL is feature-gated in the
-        reference; here unused extensions compile away)."""
+        reference; here unused extensions compile away). mat_rows
+        restricts the scan to one pass bucket's materials."""
         from .core import materials as M
 
+        if mat_rows is not None and mat_rows.size == 0:
+            return (False,) * 6
         f = self.materials.float_data
         slots = self.materials.tex_slots[:, :, 0]
+        if mat_rows is not None:
+            f = f[mat_rows]
+            slots = slots[mat_rows]
         return (
             bool((f[:, M.MF_CLEARCOAT] > 0).any() or (slots[:, M.TS_CLEARCOAT] >= 0).any()),
             bool((f[:, M.MF_SHEEN_COLOR:M.MF_SHEEN_COLOR + 3] > 0).any()),
@@ -417,11 +433,19 @@ class AwsmRendererTpu:
             bool((f[:, M.MF_THICKNESS] > 0).any()),
         )
 
-    def _slot_mask(self) -> tuple:
+    def _slot_mask(self, mat_rows: Optional[np.ndarray] = None) -> tuple:
         """Which texture slots ANY material binds — a static shading
         specialization (the reference's shader-template variables;
-        changing the set retraces, like a shader-cache miss)."""
-        bound = (self.materials.tex_slots[:, :, 0] >= 0).any(axis=0)
+        changing the set retraces, like a shader-cache miss). mat_rows
+        restricts the scan to one pass bucket's materials: a transparent
+        pass whose materials bind no textures compiles its whole
+        K-layer-batched texel gather away (~50 ms at 1080p/K=4)."""
+        slots = self.materials.tex_slots[:, :, 0]
+        if mat_rows is not None:
+            if mat_rows.size == 0:
+                return (False,) * slots.shape[1]
+            slots = slots[mat_rows]
+        bound = (slots >= 0).any(axis=0)
         return tuple(bool(b) for b in bound)
 
     def _device_mask(self, name: str, arr: np.ndarray):
@@ -459,6 +483,18 @@ class AwsmRendererTpu:
             masks = self._mesh_masks()
         has_transparent = bool(masks["transparent"].any())
         has_hud = bool(masks["hud"].any())
+        # per-pass shading specialization: the overlay (transparent + HUD)
+        # shade compiles only against the texture slots / extensions its
+        # OWN materials use (reference: per-(buffer_info, material)
+        # transparent pipelines, material_transparent shader/cache_key.rs)
+        if has_transparent or has_hud:
+            ov_rows = self._bucket_mat_rows(masks["transparent"] | masks["hud"])
+            ov_slot_mask = self._slot_mask(ov_rows)
+            ov_ext = self._ext_mask(ov_rows)
+        else:
+            ov_slot_mask = None
+            ov_ext = None
+        op_rows = self._bucket_mat_rows(masks["opaque"])
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
         ldr, tri_id, depth = render_frame(
@@ -477,13 +513,15 @@ class AwsmRendererTpu:
             has_transparent=has_transparent,
             has_hud=has_hud,
             n_transparent_layers=cfg.max_transparent_layers,
-            slot_mask=self._slot_mask(),
+            slot_mask=self._slot_mask(op_rows),
             solid_env=self.environment.is_solid,
             has_nearest=bool(
                 (self.textures.descriptors[:, 5] == 0).any()
                 and self.textures.descriptor_capacity > 0),
             needs_clip=masks["needs_clip"],
-            ext=self._ext_mask(),
+            ext=self._ext_mask(op_rows),
+            overlay_slot_mask=ov_slot_mask,
+            overlay_ext=ov_ext,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
             has_color=self.meshes.uses_vertex_colors,
             debug_mode=debug_mode,

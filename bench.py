@@ -135,7 +135,8 @@ def _geometry_only_fn(r, width, height):
             needs_clip=bool(masks["needs_clip"]),
         )
         vis = rasterize_rows(prep_setup_rows(rows, key), width=rw, height=rh,
-                             interpret=False)
+                             interpret=False, has_uv1=False, has_color=False,
+                             analytic_derivs=False)
         return vis["tri_id"], vis["depth"]
 
     ds = r._flush()
