@@ -316,6 +316,10 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     C = setup_rows.shape[1]
     i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
     b0, b1, _b2 = split_bf16_tables(setup_rows)
+    # barrier: tables AND indices materialize in canonical layout before
+    # the gathers — one frame variant scheduled the b0 gather against a
+    # layout-copied table operand and it ran 31.6 ms instead of 3.9 ms
+    b0, b1, i = jax.lax.optimization_barrier((b0, b1, i))
     g0, g1 = b0[i], b1[i]                       # 2 x (P, C) bf16
 
     blk = _pick_blk(P)

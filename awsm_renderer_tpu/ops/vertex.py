@@ -178,7 +178,7 @@ def _morton(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def finish_setup(corners, attrs, act, mat_row, flags, width, height,
-                 id_offset: int = 0):
+                 id_offset: int = 0, orig_ids=None):
     """Screen-map one output triangle set → ((T, NSETUP) setup rows,
     (T,) Morton sort key).
 
@@ -239,7 +239,13 @@ def finish_setup(corners, attrs, act, mat_row, flags, width, height,
     bb_maxy = jnp.where(valid, bb_maxy, -big)
 
     T = area2.shape[0]
-    orig_id = jnp.float32(id_offset) + jnp.arange(T, dtype=jnp.float32)
+    if orig_ids is None:
+        orig_id = jnp.float32(id_offset) + jnp.arange(T, dtype=jnp.float32)
+    else:
+        # compacted pools (overlay buckets) carry their ORIGINAL pool ids
+        # so tri_id planes stay in pool space; clip copies keep the same
+        # id (the fat kernels read ids from S_ORIG_ID, never row indices)
+        orig_id = orig_ids.astype(jnp.float32)
 
     # ---- plane-equation setup (v4 layout, see row-index comment) ----------
     # edge i is opposite corner i; interior positive after the swap.
@@ -299,6 +305,7 @@ def vertex_stage(
     joint_matrices,   # (J, 4, 4) f32
     view_proj,        # (4, 4) f32
     mesh_mask,        # (M,) bool — this pass's active meshes
+    orig_ids=None,    # (T,) i32 original pool ids (compacted pools), or None
     *,
     width: int,
     height: int,
@@ -404,7 +411,7 @@ def vertex_stage(
     # ---- near-plane clipping (z_clip >= eps; [0,1] depth convention) -------
     if not needs_clip:
         return finish_setup(clip_c, attrs, active, mat_row, flags,
-                            width, height)
+                            width, height, orig_ids=orig_ids)
 
     inside = [clip_c[c][2] > _Z_EPS for c in range(3)]
     n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
@@ -463,9 +470,11 @@ def vertex_stage(
     secondary_active = active & two_in
 
     rows_p, key_p = finish_setup([p0, p1, p2], [pa0, pa1, pa2],
-                                 primary_active, mat_row, flags, width, height)
+                                 primary_active, mat_row, flags, width,
+                                 height, orig_ids=orig_ids)
     rows_s, key_s = finish_setup([s0, s1, s2], [sa0, sa1, sa2],
                                  secondary_active, mat_row, flags,
-                                 width, height, id_offset=T)
+                                 width, height, id_offset=T,
+                                 orig_ids=orig_ids)
     return (jnp.concatenate([rows_p, rows_s], axis=0),      # (2T, NSETUP)
             jnp.concatenate([key_p, key_s], axis=0))

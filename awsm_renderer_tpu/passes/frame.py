@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RendererConfig, ToneMapping
-from ..ops.effects import bloom as bloom_pass
-from ..ops.effects import depth_of_field, smaa as smaa_pass
+from ..ops.effects import bloom_c, depth_of_field_c, smaa_c
 from ..ops.raster import (
     TILE_H, TILE_W, pad_setup, pad_setup_rows, rasterize, rasterize_layers,
     rasterize_layers_rows, rasterize_rows,
@@ -192,6 +191,37 @@ def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
     return rows, key
 
 
+def _run_vertex_compact(ds, mask, tri_idx, *, rw, rh_full, row_offset,
+                        shift_rows, has_morphs, skin_sets, needs_clip):
+    """Vertex stage over a COMPACTED triangle set: `tri_idx` (Nc,) i32
+    holds pool triangle indices (-1 = padding). The overlay buckets
+    (transparent + HUD) typically hold a few hundred live triangles out
+    of a few hundred thousand pool rows — running the full vertex stage
+    plus bin sort for them cost ~8 ms/frame at 1080p. The gather is tiny
+    (output-sized), ids stay pool ids via vertex_stage(orig_ids=...), so
+    the FAT raster kernels (which read ids from S_ORIG_ID) emit pool-space
+    tri_id planes directly. Instanced-group geometry never reaches this
+    path (the renderer passes tri_idx=None when an overlay mesh is
+    instanced)."""
+    safe = jnp.maximum(tri_idx, 0)
+    geo = {n: jnp.take(ds[n], safe, axis=1) for n in _CORNER_NAMES}
+    tri_mesh = jnp.where(tri_idx >= 0, jnp.take(ds["tri_mesh"], safe),
+                         jnp.int32(-1))
+    rows, key = vertex_stage(
+        geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
+        geo["c_uv1"], geo["c_color"], geo["c_joints"], geo["c_weights"],
+        geo["c_morph_base"],
+        ds["morph_deltas"], tri_mesh, ds["mesh_info"],
+        ds["morph_weights"], ds["world"], ds["normal_mat"],
+        ds["joint_matrices"], ds["camera"]["view_proj"], mask, tri_idx,
+        width=rw, height=rh_full, has_morphs=has_morphs,
+        skin_sets=skin_sets, needs_clip=needs_clip,
+    )
+    if shift_rows:
+        rows = _shift_rows_band(rows, row_offset)
+    return rows, key
+
+
 def _opaque_band(
     ds, opaque_mask,
     *,
@@ -265,6 +295,9 @@ def _overlay_band(
     has_color: bool,
     overlay_slot_mask=None,   # slot/ext masks of the OVERLAY bucket's own
     overlay_ext=None,         # materials (per-pass specialization)
+    crop_y0=None,             # traced i32: overlay band start row, or None
+    crop_h: Optional[int] = None,   # static bucketed band height
+    ov_tri_idx=None,          # (Nc,) i32 compacted overlay triangle ids
 ):
     """Transparent forward peel + HUD over the (already shaded) opaque band
     (render.rs steps 9, 2/10). With supersampling on, this runs at DISPLAY
@@ -277,7 +310,49 @@ def _overlay_band(
     if overlay_ext is None:
         overlay_ext = ext
 
+    # ---- overlay band crop: the whole overlay runs on the row band the
+    # transparent/HUD geometry can actually touch (host-projected AABBs,
+    # bucketed height so camera motion only moves a traced offset). The
+    # K-layer peel + batched shade otherwise pay full-screen ALU for a
+    # few panes of glass — ~22 ms of shading at 1080p/K=4 vs ~2 ms on a
+    # typical band. Skipped under sharding (shift_rows), with overlay
+    # hooks (they see full-frame images), and with screen-space
+    # refraction (it gathers the opaque buffer outside the band).
+    if (crop_h is not None and not shift_rows and crop_h < band_h
+            and not (hooks and (hooks.before_transparent
+                                or hooks.after_transparent))
+            and not overlay_ext[5]):   # EXT_VOLUME: refraction gathers
+                                       # the opaque buffer outside the band
+        y0 = crop_y0
+        off = y0 * rw
+        hdr_c = [jax.lax.dynamic_slice(c, (off,), (crop_h * rw,))
+                 for c in hdr_ch]
+        tri_c = jax.lax.dynamic_slice(tri_id, (y0, 0), (crop_h, rw))
+        dep_c = jax.lax.dynamic_slice(depth, (y0, 0), (crop_h, rw))
+        hdr_c, tri_c = _overlay_band(
+            hdr_c, tri_c, dep_c, ds, transparent_mask, hud_mask,
+            rw=rw, band_h=crop_h, rh_full=rh_full, row_offset=y0,
+            shift_rows=True, use_mips=use_mips, has_morphs=has_morphs,
+            skin_sets=skin_sets, has_transparent=has_transparent,
+            has_hud=has_hud, n_transparent_layers=n_transparent_layers,
+            slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
+            hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
+            ext=ext, has_uv1=has_uv1, has_color=has_color,
+            overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
+            ov_tri_idx=ov_tri_idx,
+        )
+        hdr_ch = [jax.lax.dynamic_update_slice(full, band, (off,))
+                  for full, band in zip(hdr_ch, hdr_c)]
+        tri_id = jax.lax.dynamic_update_slice(tri_id, tri_c, (y0, 0))
+        return hdr_ch, tri_id
+
     def run_vertex(mask):
+        if ov_tri_idx is not None:
+            return _run_vertex_compact(
+                ds, mask, ov_tri_idx, rw=rw, rh_full=rh_full,
+                row_offset=row_offset, shift_rows=shift_rows,
+                has_morphs=has_morphs, skin_sets=skin_sets,
+                needs_clip=needs_clip)
         return _run_vertex(
             ds, mask, rw=rw, rh_full=rh_full, row_offset=row_offset,
             shift_rows=shift_rows, has_morphs=has_morphs,
@@ -318,9 +393,20 @@ def _overlay_band(
     # ---- HUD pass (render.rs step 2/10: HUD geometry, own cleared depth) ----
     if has_hud and hud_mask is not None:
         h_rows = prep_setup_rows(*run_vertex(hud_mask))
-        h_vis = rasterize_rows(h_rows, width=rw, height=band_h,
-                               interpret=interpret, has_uv1=has_uv1,
-                               has_color=has_color, analytic_derivs=False)
+        if ov_tri_idx is not None:
+            # compacted pools break the v5 resolve's row-index == pool-id
+            # invariant; the FAT v4 kernel reads ids from S_ORIG_ID and at
+            # a few hundred triangles its one sweep beats v5's resolve
+            # gathers anyway
+            h_vis = rasterize(h_rows.T, width=rw, height=band_h,
+                              interpret=interpret, has_uv1=has_uv1,
+                              has_color=has_color, analytic_derivs=False)
+            h_vis = {k: v[:band_h, :rw] for k, v in h_vis.items()}
+        else:
+            h_vis = rasterize_rows(h_rows, width=rw, height=band_h,
+                                   interpret=interpret, has_uv1=has_uv1,
+                                   has_color=has_color,
+                                   analytic_derivs=False)
         P = rw * band_h
         h_planes = {k: v.reshape(P) for k, v in h_vis.items()}
         h_color, h_alpha, h_valid, _ = shade_surface(
@@ -367,6 +453,7 @@ def _frame_band(
     has_color: bool,
     overlay_slot_mask=None,
     overlay_ext=None,
+    ov_tri_idx=None,
 ):
     """Single-scale band pipeline: opaque + overlay at the same resolution
     (the non-supersampled frame; the supersampled frame resolves between
@@ -458,8 +545,14 @@ def _opaque_band_msaa(
     from ..ops.shade import RESOLVE_NAMES, resolve_planes_fused
 
     rep = samp[0]
+    # barrier: rep is the deswizzled Pallas output — a transpose XLA
+    # turns into a layout BITCAST, and a gather whose index operand
+    # carries that swizzled layout runs ~8x slow (31.6 ms vs 3.9 ms for
+    # the b0 table gather at 1080p, profiled). The barrier materializes
+    # the indices once in canonical layout (~1 ms relayout copy).
+    rep_flat = jax.lax.optimization_barrier(rep.reshape(band1_h * rw1))
     vis = resolve_planes_fused(
-        rep.reshape(band1_h * rw1), srows, width=rw1, height_full=rh1_full,
+        rep_flat, srows, width=rw1, height_full=rh1_full,
         row_offset=0 if shift_rows else row_offset1, coord_scale=2,
         interpret=interpret)
     vis = {k: vis[k] for k in RESOLVE_NAMES}
@@ -552,19 +645,22 @@ def _finish_frame(
     tri_id = tri_id[:height, :width]
     depth = depth[:height, :width]
 
-    if bloom or dof:
-        hdr = jnp.stack(hdr_ch, axis=-1)
-        if bloom:
-            hdr = bloom_pass(hdr)
-        if dof:
-            hdr = depth_of_field(hdr, depth, ds["camera"])
-        hdr_ch = [hdr[..., c] for c in range(4)]
+    # effects stay on per-channel (H, W) planes: the AoS (H, W, 4) chain
+    # ran at 4/128 lane utilization (~25 ms of blur/select fusions at
+    # 1080p — f32[8294400] ops in the profile); planes run the same math
+    # in ~3 ms (ops/effects.py banner)
+    rgb = hdr_ch[:3]
+    if bloom:
+        rgb = bloom_c(rgb)
+    if dof:
+        rgb = depth_of_field_c(rgb, depth, ds["camera"])
+    hdr_ch = rgb + hdr_ch[3:]
 
     ldr_ch = display_pass_c(hdr_ch, tonemap)
-    ldr = jnp.stack(ldr_ch, axis=-1)
     # ---- SMAA runs on the display image (effects_wgsl/helpers/smaa.wgsl) -----
     if smaa:
-        ldr = smaa_pass(ldr)
+        ldr_ch = smaa_c(ldr_ch[:3]) + ldr_ch[3:]
+    ldr = jnp.stack(ldr_ch, axis=-1)
     if hooks and hooks.last_pass:
         ldr = hooks.last_pass(ldr, ds)
     return ldr, tri_id, depth
@@ -578,7 +674,7 @@ def _finish_frame(
         "n_transparent_layers", "slot_mask", "solid_env", "debug_mode",
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
         "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
-        "overlay_slot_mask", "overlay_ext",
+        "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
     ),
 )
 def render_frame(
@@ -614,6 +710,9 @@ def render_frame(
     has_color: bool = True,
     overlay_slot_mask: Optional[Tuple[bool, ...]] = None,
     overlay_ext: Optional[Tuple[bool, ...]] = None,
+    overlay_crop_y0=None,
+    overlay_crop_h: Optional[int] = None,
+    overlay_tri_idx=None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -673,6 +772,8 @@ def render_frame(
         has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
         has_uv1=has_uv1, has_color=has_color,
         overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
+        crop_y0=overlay_crop_y0, crop_h=overlay_crop_h,
+        ov_tri_idx=overlay_tri_idx,
     )
     ldr, tri_id, depth = _finish_frame(
         hdr_ch, tri_id, depth, ds,

@@ -54,6 +54,7 @@ class AwsmRendererTpu:
         self._inst_tri_mesh = []            # per-group tri->mesh maps (appended)
         self._mega = None                   # lazy MegaTexture atlas collection
         self._skipped_renderables = set()   # §5.3 skip-and-warn bookkeeping
+        self._mesh_flush_gen = 0            # bumps on every mesh flush
         # per-pass spans gated like the reference's AwsmRendererLogging
         # { render_timings } (debug.rs:9-12; spans in render.rs:56-356)
         self.timings = RenderTimings(enabled=False)
@@ -298,6 +299,7 @@ class AwsmRendererTpu:
                     np.where(np.tile(tpl, rows.size) < 0, -1,
                              np.repeat(rows, grp.livemask.size)))
             m.gpu_dirty = False
+            self._mesh_flush_gen += 1
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
             mesh_span.__exit__(None, None, None)
 
@@ -395,6 +397,79 @@ class AwsmRendererTpu:
         return {"opaque": opaque, "transparent": transparent, "hud": hud,
                 "needs_clip": needs_clip}
 
+    def _overlay_tri_idx(self, masks):
+        """Compacted overlay triangle ids: pool indices of every triangle
+        belonging to a transparent/HUD mesh, power-of-2 padded with -1
+        (static-bucketed, so growth retraces at most log2(T) times).
+        Returns None (= use the full pool) when an overlay mesh lives in
+        an instanced group, or nothing is live. Cached by mask content —
+        the np.isin scan over the pool costs ~ms and masks are static
+        between scene edits."""
+        mask = masks["transparent"] | masks["hud"]
+        tm = self._tri_mesh_device_order
+        if tm is None or not mask.any():
+            return None
+        rows = np.where(mask)[0]
+        if self._inst_tri_mesh and any(
+                np.isin(g, rows).any() for g in self._inst_tri_mesh):
+            return None
+        cached = self._mask_cache.get("ov_tri_idx")
+        if (cached is not None and cached[1] == self._mesh_flush_gen
+                and np.array_equal(cached[0], mask)):
+            return cached[2]
+        sel = np.where(np.isin(tm, rows))[0].astype(np.int32)
+        if sel.size == 0:
+            return None
+        cap = max(128, 1 << (int(sel.size) - 1).bit_length())
+        out = np.full(cap, -1, np.int32)
+        out[: sel.size] = sel
+        dev = jnp.asarray(out)
+        self._mask_cache["ov_tri_idx"] = (mask.copy(), self._mesh_flush_gen, dev)
+        return dev
+
+    def _overlay_crop(self, masks):
+        """Screen row band covered by transparent/HUD geometry:
+        (y0 row offset, bucketed static band height), or None = full.
+
+        Projects the bucket's world AABB corners through the camera and
+        quantizes the row range to 32-row multiples with a power-of-2
+        height bucket, so camera motion changes only a TRACED offset and
+        band growth retraces at most log2(H) times. Any AABB touching or
+        crossing the near plane disables cropping (its screen extent is
+        unbounded)."""
+        mask = masks["transparent"] | masks["hud"]
+        rh1 = ((self.config.height + 7) // 8) * 8
+        mins, maxs, keys = self.meshes.world_bounds()
+        sel = [i for i, k in enumerate(keys) if mask[self.meshes.row_of(k)]]
+        if not sel:
+            return None
+        mn = mins[sel]
+        mx = maxs[sel]
+        # 8 corners per box: (N, 8, 3)
+        corners = np.stack([
+            np.stack([np.where(b & 1, mx[:, 0], mn[:, 0]),
+                      np.where(b & 2, mx[:, 1], mn[:, 1]),
+                      np.where(b & 4, mx[:, 2], mn[:, 2])], axis=-1)
+            for b in range(8)], axis=1)
+        vp = np.asarray(self.camera.view_projection, np.float32)
+        h = corners.reshape(-1, 3)
+        clip = h @ vp[:3, :3].T + vp[:3, 3]
+        w = h @ vp[3, :3] + vp[3, 3]
+        if (w <= 1e-6).any():
+            return None
+        sy = (0.5 - 0.5 * clip[:, 1] / w) * rh1
+        y0 = int(np.clip(np.floor(sy.min()), 0, rh1))
+        y1 = int(np.clip(np.ceil(sy.max()), 0, rh1))
+        y0q = (y0 // 32) * 32
+        y1q = -(-y1 // 32) * 32
+        b = 32
+        while b < y1q - y0q:
+            b *= 2
+        if b >= rh1:
+            return None
+        y0q = max(0, min(y0q, rh1 - b))
+        return y0q, b
+
     # ---- render (reference: render.rs:53-383) --------------------------------
 
     def _bucket_mat_rows(self, mesh_mask: np.ndarray) -> np.ndarray:
@@ -491,9 +566,13 @@ class AwsmRendererTpu:
             ov_rows = self._bucket_mat_rows(masks["transparent"] | masks["hud"])
             ov_slot_mask = self._slot_mask(ov_rows)
             ov_ext = self._ext_mask(ov_rows)
+            ov_crop = self._overlay_crop(masks)
+            ov_idx = self._overlay_tri_idx(masks)
         else:
             ov_slot_mask = None
             ov_ext = None
+            ov_crop = None
+            ov_idx = None
         op_rows = self._bucket_mat_rows(masks["opaque"])
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
@@ -522,6 +601,9 @@ class AwsmRendererTpu:
             ext=self._ext_mask(op_rows),
             overlay_slot_mask=ov_slot_mask,
             overlay_ext=ov_ext,
+            overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
+            overlay_crop_h=(ov_crop[1] if ov_crop else None),
+            overlay_tri_idx=ov_idx,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
             has_color=self.meshes.uses_vertex_colors,
             debug_mode=debug_mode,
