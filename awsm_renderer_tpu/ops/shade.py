@@ -314,25 +314,34 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
 
     P = tid.shape[0]
     C = setup_rows.shape[1]
-    i = jnp.clip(tid, 0, setup_rows.shape[0] - 1)
+    T = setup_rows.shape[0]
     b0, b1, _b2 = split_bf16_tables(setup_rows)
-    # barrier: tables AND indices materialize in canonical layout before
-    # the gathers — one frame variant scheduled the b0 gather against a
-    # layout-copied table operand and it ran 31.6 ms instead of 3.9 ms
-    b0, b1, i = jax.lax.optimization_barrier((b0, b1, i))
-    g0, g1 = b0[i], b1[i]                       # 2 x (P, C) bf16
+    # ONE gather fetches BOTH bf16 parts from a column-concatenated
+    # (T, 2C) table. Gather speed on this TPU is set by whether XLA's
+    # memory-space assignment promotes the TABLE into alternate memory
+    # (S(1)): promoted ~1.9-4.5 ns/row, HBM ~15 ns/row. bf16 [T, 64]
+    # tables tile as T(8,128)(2,1) — the minor dim pads to 128 lanes, so
+    # each "32 MB" table occupies 64 MB and TWO of them bust the budget:
+    # in-frame one of the pair ran 31.4 ms vs its twin's 3.85 ms
+    # (profiled). The wide table packs the same bytes at full lane
+    # utilization (one 64 MB buffer, promoted) — measured 9.3 ms for the
+    # 2M-row gather vs 27.6 ms for the two-table split
+    # (scripts/bench_gather_variants.py).
+    tab = jnp.concatenate([b0, b1], axis=1)     # (T, 2C) bf16
 
     blk = _pick_blk(P)
     tid_p, Pp = _padded(tid, blk, 0)
     if Pp != P:   # pads are misses; gathered rows pad with zeros
         tid_p = tid_p.at[P:].set(-1)
-        g0, _ = _padded(g0, blk, 0)
-        g1, _ = _padded(g1, blk, 0)
+    i = jnp.clip(tid_p, 0, T - 1)
+    tab, i = jax.lax.optimization_barrier((tab, i))
+    g = tab[i]                                  # (Pp, 2C) bf16, one gather
 
-    def kernel(tid_ref, b0_ref, b1_ref, *o_refs):
+    def kernel(tid_ref, g_ref, *o_refs):
         pid = pl.program_id(0)
-        S = (b0_ref[:].astype(jnp.float32)
-             + b1_ref[:].astype(jnp.float32)).T          # (C, blk)
+        gb = g_ref[:]                                    # (blk, 2C) bf16
+        S = (gb[:, :C].astype(jnp.float32)
+             + gb[:, C:].astype(jnp.float32)).T          # (C, blk)
         idx = (pid * blk
                + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
         # coord_scale > 1: ids were taken at every scale-th sample of a
@@ -360,8 +369,8 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     outs = pl.pallas_call(
         kernel,
         grid=(Pp // blk,),
-        in_specs=[pl.BlockSpec((blk,), lambda n: (n,))]
-        + [pl.BlockSpec((blk, C), lambda n: (n, 0)) for _ in range(2)],
+        in_specs=[pl.BlockSpec((blk,), lambda n: (n,)),
+                  pl.BlockSpec((blk, 2 * C), lambda n: (n, 0))],
         out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
                         for _ in RESOLVE_NAMES),
         out_shape=tuple(
@@ -369,7 +378,7 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
                 (Pp,), jnp.int32 if n == "tri_id" else jnp.float32)
             for n in RESOLVE_NAMES),
         interpret=interpret,
-    )(tid_p, g0, g1)
+    )(tid_p, g)
     if Pp != P:
         outs = tuple(o[:P] for o in outs)
     return dict(zip(RESOLVE_NAMES, outs))
