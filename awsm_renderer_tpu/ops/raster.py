@@ -1045,7 +1045,14 @@ def rasterize_layers_rows(rows, opaque_depth, *, width: int, height: int,
 GROUP = 16            # triangles per fetch group (one 8 KB setup burst)
 NSETUP_PAD = 128      # setup rows padded to the TPU lane width for DMA
 SUB_TILE = 16         # merge granularity (16x16 pixel subtiles)
-K_SLOTS = 8           # max coarse tiles a group may bin to before it is "big"
+K_SLOTS = 32          # max coarse tiles a group may bin to before it is "big"
+NBIG_STASH = 64       # big-group setups cached in VMEM by the MSAA kernel
+# K_SLOTS was 8; at 8 the 1080p stress scene left ~70 "big" groups, and
+# the kernels' big-group walk (every tile scalar-tests every big group,
+# synchronous DMA per hit) cost ~16 ms/frame in the MSAA kernel alone
+# (2040 tiles x 70 iterations). At 32 the walk shrinks to the truly
+# giant geometry; the extra pair slots only grow the bin sort (~0.5 ms
+# at 524k slots) — live pairs stay far under vis_cap.
 NBIG_CAP = 512        # capacity of the global big-group list
 
 
@@ -1069,7 +1076,8 @@ def _group_zmin(setup_rows: jnp.ndarray, n_groups: int) -> jnp.ndarray:
 
 def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
                  vis_cap: int = 65536, stash_cap: int = 128,
-                 tile_h: int = BT_H, tile_w: int = BT_W):
+                 tile_h: int = BT_H, tile_w: int = BT_W,
+                 pack_submask: bool = False):
     """Sort-based (tile, group) pair binning for the v5 kernel.
 
     setup_rows: (T, NSETUP) row-major, T a GROUP multiple. Coarse tiles
@@ -1080,6 +1088,11 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
     comes out near-to-far (hi-Z); the value packs the group id. ONE
     device-wide sort orders the pairs; searchsorted yields per-tile
     offsets/counts. Groups spanning more tiles go to the big list.
+
+    pack_submask: entries become (group_id << 4) | mask, where mask bit
+    q = qy*2+qx is set iff the group bbox overlaps the tile's 2x2
+    quadrant q — the MSAA kernel merges per quadrant and skips the
+    cleared ones (a ~6 px triangle touches 1-2 of the 4).
 
     Returns (entries (vis_cap,) i32, offsets (n_tiles,) i32,
              counts (n_tiles,) i32, zmin_g (G,) f32,
@@ -1131,8 +1144,23 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
 
     inval = jnp.int32(n_tiles << rank_bits)
     keys = jnp.where(slot_ok, (tile << rank_bits) | rank[:, None], inval)
-    vals = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None],
-                            keys.shape)
+    gids = jnp.arange(G, dtype=jnp.int32)[:, None]
+    if pack_submask:
+        assert _ceil_log2(G) + 4 <= 31, G
+        # quadrant overlap: left half = [tile_x0, mid_x), overlaps iff
+        # minx < mid_x (maxx > tile_x0 is implied by the tile pairing,
+        # same rule as the tx0/tx1 span above)
+        mid_x = (tilex * BT_W_ + BT_W_ // 2).astype(jnp.float32)
+        mid_y = (tiley * BT_H_ + BT_H_ // 2).astype(jnp.float32)
+        lx = minx[:, None] < mid_x
+        rx = maxx[:, None] > mid_x
+        ty_ = miny[:, None] < mid_y
+        by = maxy[:, None] > mid_y
+        mask = ((lx & ty_) * 1 | (rx & ty_) * 2
+                | (lx & by) * 4 | (rx & by) * 8).astype(jnp.int32)
+        vals = jnp.broadcast_to(gids * 16, keys.shape) | mask
+    else:
+        vals = jnp.broadcast_to(gids, keys.shape)
     keys_s, vals_s = jax.lax.sort_key_val(keys.reshape(-1), vals.reshape(-1))
 
     bounds = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << rank_bits)
@@ -1470,11 +1498,20 @@ def _merge_subgroup_msaa(P, px, py, states, col_base):
 def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
     """grid = (display tiles,); outputs 4 sample-id planes + min depth.
 
+    The tile splits into 2x2 QUADRANTS of 16x16 display pixels; each
+    binned entry carries a 4-bit quadrant-overlap mask (build_bins16
+    pack_submask) and the merge runs per overlapped quadrant only — a
+    ~6 px triangle touches 1-2 of the 4, so the whole-tile merge wasted
+    >2x the lanes (measured: 29.5 -> ~20 ms on the 1080p stress scene).
+    The lax.cond cost (~28 ns) is small against the MSAA merge's 4
+    winner states per subgroup (~400 ns/quadrant). Output planes are
+    quadrant-major (q*256 + fy*16 + fx) — _deswizzle_msaa undoes it.
+
     Stash is a PREFETCH-slot ring (the DMA pipeline only ever has
     `prefetch` copies in flight; slot b%prefetch was fully consumed at
     iteration b-prefetch), so per-tile entry counts are unbounded — no
     silent stash_cap clamp. Slot `prefetch` is the big-group scratch."""
-    npx = BT_H * BT_W
+    npx = (BT_H * BT_W) // 4      # pixels per quadrant
 
     def _kernel(entries_ref, off_ref, cnt_ref, zmin_ref,
                 bigp_ref, bigid_ref, nbig_ref, setup_ref, *refs):
@@ -1488,13 +1525,18 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
         tile_y = t // n_tx
 
         flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-        pxd = (tile_x * BT_W + flat % BT_W).astype(jnp.float32)
-        pyd = (tile_y * BT_H + flat // BT_W).astype(jnp.float32)
-        px = 2.0 * pxd + 0.5      # supersampled coords of sample (0,0)
-        py = 2.0 * pyd + 0.5
+        fx = flat % (BT_W // 2)
+        fy = flat // (BT_W // 2)
+        pxq, pyq = [], []
+        for q in range(4):
+            qx, qy = q % 2, q // 2
+            pxd = (tile_x * BT_W + qx * (BT_W // 2) + fx).astype(jnp.float32)
+            pyd = (tile_y * BT_H + qy * (BT_H // 2) + fy).astype(jnp.float32)
+            pxq.append(2.0 * pxd + 0.5)   # supersampled coords, sample (0,0)
+            pyq.append(2.0 * pyd + 0.5)
 
         def start(b):
-            g = entries_ref[off + b]
+            g = entries_ref[off + b] >> 4
             pltpu.make_async_copy(
                 setup_ref.at[g], stash.at[jax.lax.rem(b, prefetch)],
                 sem.at[jax.lax.rem(b, prefetch)]
@@ -1506,6 +1548,24 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
                 sem.at[jax.lax.rem(b, prefetch)]
             ).wait()
 
+        # big-group setup cache: filled ONCE at tile 0 (VMEM scratch
+        # persists across grid steps), so the per-(tile, big-group) walk
+        # below reads VMEM instead of paying a synchronous 8 KB HBM DMA
+        # per hit — giant groups span hundreds of tiles and the per-hit
+        # DMA latency dominated the walk
+        cached = jnp.minimum(nbig_ref[0], NBIG_STASH)
+
+        @pl.when(t == 0)
+        def _fill_big_cache():
+            def cp(i, c):
+                d = pltpu.make_async_copy(
+                    setup_ref.at[bigid_ref[i]], stash.at[prefetch + i],
+                    sem.at[0])
+                d.start()
+                d.wait()
+                return c
+            jax.lax.fori_loop(0, cached, cp, 0)
+
         for w in range(prefetch - 1):
             @pl.when(w < cnt)
             def _prefetch(w=w):
@@ -1513,7 +1573,15 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
 
         miss = jnp.full((1, npx), -1, jnp.int32)
         one = jnp.full((1, npx), 1.0, jnp.float32)
-        states0 = tuple((one, miss) for _ in range(4))
+        # states[q][s] = (z, col) for quadrant q, coverage sample s
+        states0 = tuple(tuple((one, miss) for _ in range(4)) for _ in range(4))
+
+        def merge_quad(P16, g, q, sq):
+            for h in range(GROUP // SUB):
+                sq = _merge_subgroup_msaa(
+                    P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q], sq,
+                    col_base=g * GROUP + h * SUB)
+            return sq
 
         def body(b, states):
             @pl.when(b + prefetch - 1 < cnt)
@@ -1521,13 +1589,14 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
                 start(b + prefetch - 1)
 
             wait(b)
-            g = entries_ref[off + b]
+            e = entries_ref[off + b]
+            g = e >> 4
             P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
-            for h in range(GROUP // SUB):
-                states = _merge_subgroup_msaa(
-                    P16[h * SUB:(h + 1) * SUB], px, py, states,
-                    col_base=g * GROUP + h * SUB)
-            return states
+            return tuple(
+                jax.lax.cond(((e >> q) & 1) != 0,
+                             lambda sq, q=q: merge_quad(P16, g, q, sq),
+                             lambda sq: sq, states[q])
+                for q in range(4))
 
         states = jax.lax.fori_loop(0, cnt, body, states0)
 
@@ -1541,29 +1610,47 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
             hit = ((gx0 <= tile_x) & (tile_x <= gx1)
                    & (gy0 <= tile_y) & (tile_y <= gy1))
 
-            def m(states, g=g):
-                dma = pltpu.make_async_copy(
-                    setup_ref.at[g], stash.at[prefetch], sem.at[0])
-                dma.start()
-                dma.wait()
-                P16 = stash[prefetch][:, :NSETUP]
-                for h in range(GROUP // SUB):
-                    states = _merge_subgroup_msaa(
-                        P16[h * SUB:(h + 1) * SUB], px, py, states,
-                        col_base=g * GROUP + h * SUB)
-                return states
+            def m(states, g=g, i=i):
+                def from_cache():
+                    return stash[prefetch + i][:, :NSETUP]
+
+                def from_dma():
+                    dma = pltpu.make_async_copy(
+                        setup_ref.at[g], stash.at[prefetch + NBIG_STASH],
+                        sem.at[0])
+                    dma.start()
+                    dma.wait()
+                    return stash[prefetch + NBIG_STASH][:, :NSETUP]
+
+                P16 = jax.lax.cond(i < cached, from_cache, from_dma)
+                return tuple(merge_quad(P16, g, q, states[q])
+                             for q in range(4))
 
             return jax.lax.cond(hit, m, lambda st: st, states)
 
         states = jax.lax.fori_loop(0, nbig_ref[0], bigbody, states)
 
-        zmin = jnp.minimum(jnp.minimum(states[0][0], states[1][0]),
-                           jnp.minimum(states[2][0], states[3][0]))
         for s in range(4):
-            outs[s][0] = states[s][1].reshape(8, 128)
+            cols = jnp.concatenate([states[q][s][1] for q in range(4)],
+                                   axis=1)
+            outs[s][0] = cols.reshape(8, 128)
+        zmin = jnp.concatenate(
+            [jnp.minimum(
+                jnp.minimum(states[q][0][0], states[q][1][0]),
+                jnp.minimum(states[q][2][0], states[q][3][0]))
+             for q in range(4)], axis=1)
         outs[4][0] = zmin.reshape(8, 128)
 
     return _kernel
+
+
+def _deswizzle_msaa(tiles: jnp.ndarray, height: int, width: int):
+    """(n_tiles, 8, 128) quadrant-major 32x32 tile blocks -> (H, W):
+    flat in-tile index = q*256 + fy*16 + fx, q = qy*2 + qx."""
+    n_ty, n_tx = height // BT_H, width // BT_W
+    x = tiles.reshape(n_ty, n_tx, 2, 2, BT_H // 2, BT_W // 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)     # [ty, qy, fy, tx, qx, fx]
+    return x.reshape(height, width)
 
 
 def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
@@ -1599,7 +1686,8 @@ def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
     n_tiles = n_ty * n_tx
 
     bins = build_bins16(setup_rows, width=W64, height=H64, vis_cap=vis_cap,
-                        stash_cap=4096, tile_h=2 * BT_H, tile_w=2 * BT_W)
+                        stash_cap=4096, tile_h=2 * BT_H, tile_w=2 * BT_W,
+                        pack_submask=True)
     rows_p = jnp.pad(setup_rows, ((0, 0), (0, NSETUP_PAD - NSETUP)))
     setup_blocked = rows_p.reshape(T // GROUP, GROUP, NSETUP_PAD)
 
@@ -1614,7 +1702,9 @@ def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
             for _ in range(5)
         ),
         scratch_shapes=[
-            pltpu.VMEM((prefetch + 1, GROUP, NSETUP_PAD), jnp.float32),
+            # ring slots + NBIG_STASH big-group cache + 1 overflow slot
+            pltpu.VMEM((prefetch + NBIG_STASH + 1, GROUP, NSETUP_PAD),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((prefetch,)),
         ],
     )
@@ -1628,7 +1718,10 @@ def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
         out_shape=out_shape,
         interpret=interpret,
     )(*bins, setup_blocked)
+    # NB: do NOT optimization_barrier these outputs — measured 24.5 ms
+    # vs 12.0 ms without (the barrier forces a hostile materialization
+    # between the kernel and the deswizzle transposes)
     Hd, Wd = H64 // 2, W64 // 2
-    samp = [_deswizzle16(outs[s], Hd, Wd)[:H1, :W1] for s in range(4)]
-    depth1 = _deswizzle16(outs[4], Hd, Wd)[:H1, :W1]
+    samp = [_deswizzle_msaa(outs[s], Hd, Wd)[:H1, :W1] for s in range(4)]
+    depth1 = _deswizzle_msaa(outs[4], Hd, Wd)[:H1, :W1]
     return samp, depth1
