@@ -109,13 +109,14 @@ def build_stress_scene(width: int, height: int, effects: bool = True):
 
 def _geometry_only_fn(r, width, height):
     """vertex -> raster -> G-buffer for the opaque set: the BASELINE.md
-    'geometry pass' probe (reference render.rs step 1 analog)."""
+    'geometry pass' probe (reference render.rs step 1 analog), on the
+    PRODUCTION path (v5 slim kernel + fused attribute resolve)."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from awsm_renderer_tpu.ops.raster import TILE_H, TILE_W, rasterize_rows
+    from awsm_renderer_tpu.ops.raster import TILE_H, TILE_W, rasterize16
     from awsm_renderer_tpu.ops.vertex import vertex_stage
     from awsm_renderer_tpu.passes.frame import _pad_to, prep_setup_rows
 
@@ -134,9 +135,9 @@ def _geometry_only_fn(r, width, height):
             width=rw, height=rh, has_morphs=False, skin_sets=0,
             needs_clip=bool(masks["needs_clip"]),
         )
-        vis = rasterize_rows(prep_setup_rows(rows, key), width=rw, height=rh,
-                             interpret=False, has_uv1=False, has_color=False,
-                             analytic_derivs=False)
+        vis = rasterize16(prep_setup_rows(rows, key), width=rw, height=rh,
+                          interpret=False, has_uv1=False, has_color=False,
+                          analytic_derivs=False)
         return vis["tri_id"], vis["depth"]
 
     ds = r._flush()
