@@ -958,54 +958,80 @@ def shade_transparent_layers_c(
     back-to-front over the opaque result (reference: render.rs transparent
     pass + blend state).
 
-    All K layers shade in ONE batched call on (K*P,) stacked planes — so
-    the frame pays ONE texture-tap gather and ONE environment gather for
-    the whole transparent pass instead of one of each per layer (a second
-    gather in the same XLA computation costs ~25-45 ms at 1080p; the old
-    per-layer lax.scan measured ~91 ms/layer). The back-to-front KHR
-    transmission dependency (each layer tints what's behind it) survives
-    because shading returns a per-layer transmission *factor* and the
-    composite is a cheap sequential ALU loop."""
+    Layers shade in BATCHED calls on stacked (Kg*P,) planes — so a group
+    pays ONE texture-tap gather and ONE environment gather instead of one
+    of each per layer (a second gather in the same XLA computation costs
+    ~25-45 ms at 1080p; the old per-layer lax.scan measured ~91 ms/layer).
+    The back-to-front KHR transmission dependency (each layer tints what's
+    behind it) survives because shading returns a per-layer transmission
+    *factor* and the composite is a cheap sequential ALU loop.
+
+    Layers beyond the first two shade under a runtime lax.cond on actual
+    coverage: typical scenes have <= 2 overlapping transparent surfaces
+    per pixel, so peels 2..K-1 are empty and their full-PBR band shade
+    (~5 ms at 1080p/K=4, profiled) is skipped at runtime — the analog of
+    the reference's forward pass simply having no fragments there. Deep
+    scenes pay the second group's gathers only when peel 2 is non-empty."""
     H, W = height, width
     H_full = height_full if height_full is not None else height
     P = H * W
     K = n_layers
 
-    flat = {k: v.reshape(K * P) for k, v in layers.items()}
-    color, alpha, valid, _n, trans, refr = shade_surface(
-        flat, ds,
-        width=W, height=K * H, height_full=H_full, row_offset=row_offset,
-        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-        has_nearest=has_nearest, ext=ext,
-        transparent_pass=True, want_transmission_factor=True,
-        setup_rows=setup_rows, n_layer_tiles=K,
-    )
-    color = [c.reshape(K, P) for c in color]
-    a = jnp.where(valid, alpha, 0.0).reshape(K, P)
-    trans = None if trans is None else [t.reshape(K, P) for t in trans]
+    def shade_group(sub, Kg, out_rgb):
+        """Shade Kg stacked layers and composite back-to-front onto
+        out_rgb (3 (P,) planes)."""
+        flat = {k: v.reshape(Kg * P) for k, v in sub.items()}
+        color, alpha, valid, _n, trans, refr = shade_surface(
+            flat, ds,
+            width=W, height=Kg * H, height_full=H_full,
+            row_offset=row_offset,
+            use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+            has_nearest=has_nearest, ext=ext,
+            transparent_pass=True, want_transmission_factor=True,
+            setup_rows=setup_rows, n_layer_tiles=Kg,
+        )
+        color = [c.reshape(Kg, P) for c in color]
+        a = jnp.where(valid, alpha, 0.0).reshape(Kg, P)
+        trans = None if trans is None else [t.reshape(Kg, P) for t in trans]
 
-    # the background transmission sees is the PRE-transparent opaque buffer
-    # (the reference samples opaque_tex, never the running blend target —
-    # fragment.wgsl sample_transmission_background), at the refracted pixel
-    # when KHR_materials_volume is active (EXT_VOLUME: any thickness > 0)
-    if trans is not None:
-        if ext[EXT_VOLUME] and refr is not None:
-            from .relayout import split_channels
+        # the background transmission sees is the PRE-transparent opaque
+        # buffer (the reference samples opaque_tex, never the running
+        # blend target — fragment.wgsl sample_transmission_background), at
+        # the refracted pixel when KHR_materials_volume is active
+        if trans is not None:
+            if ext[EXT_VOLUME] and refr is not None:
+                from .relayout import split_channels
 
-            idx, use_fb, fb = refr
-            bg4 = jnp.stack(list(opaque_ch), axis=-1)        # (P, 4)
-            got = split_channels(bg4[idx])                   # 4 (K*P,) planes
-            bg = [jnp.where(use_fb, fb[c], got[c]).reshape(K, P)
-                  for c in range(3)]
-        else:
-            bg = [jnp.broadcast_to(opaque_ch[c], (K, P)) for c in range(3)]
+                idx, use_fb, fb = refr
+                bg4 = jnp.stack(list(opaque_ch), axis=-1)    # (P, 4)
+                got = split_channels(bg4[idx])               # 4 (Kg*P,)
+                bg = [jnp.where(use_fb, fb[c], got[c]).reshape(Kg, P)
+                      for c in range(3)]
+            else:
+                bg = [jnp.broadcast_to(opaque_ch[c], (Kg, P))
+                      for c in range(3)]
 
-    # back-to-front: layer K-1 is the farthest peel
+        # back-to-front: the last layer of the group is the farthest peel
+        out_rgb = list(out_rgb)
+        for k in range(Kg - 1, -1, -1):
+            for c in range(3):
+                cc = (color[c][k] if trans is None
+                      else color[c][k] + bg[c][k] * trans[c][k])
+                out_rgb[c] = cc * a[k] + out_rgb[c] * (1.0 - a[k])
+        return out_rgb
+
     out = list(opaque_ch[:3])
-    for k in range(K - 1, -1, -1):
-        for c in range(3):
-            cc = color[c][k] if trans is None else color[c][k] + bg[c][k] * trans[c][k]
-            out[c] = cc * a[k] + out[c] * (1.0 - a[k])
+    if K > 2:
+        deep = {k: v[2:] for k, v in layers.items()}
+        has_deep = jnp.max(layers["tri_id"][2:]) >= 0
+        out = jax.lax.cond(
+            has_deep,
+            lambda o: shade_group(deep, K - 2, o),
+            lambda o: list(o), out)
+        front = {k: v[:2] for k, v in layers.items()}
+        out = shade_group(front, 2, out)
+    else:
+        out = shade_group(layers, K, out)
 
     return out + [opaque_ch[3]]
 
