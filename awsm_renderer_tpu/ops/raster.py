@@ -908,17 +908,35 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
     zlo = jnp.full((height, width), -1.0, jnp.float32)
     per_layer = []
     for _k in range(n_layers):
-        if binned:
-            layer = rasterize_binned(
-                setup, zlo, opaque_depth, width=width, height=height,
-                interpret=interpret, has_uv1=has_uv1, has_color=has_color,
-                slim=slim, analytic_derivs=analytic_derivs, bins3=bins3,
-                bins_B=bins_B)
-        else:
-            layer = rasterize_peel(
+        def peel(zlo):
+            if binned:
+                return rasterize_binned(
+                    setup, zlo, opaque_depth, width=width, height=height,
+                    interpret=interpret, has_uv1=has_uv1,
+                    has_color=has_color, slim=slim,
+                    analytic_derivs=analytic_derivs, bins3=bins3,
+                    bins_B=bins_B)
+            return rasterize_peel(
                 setup, zlo, opaque_depth, width=width, height=height,
                 interpret=interpret, has_uv1=has_uv1, has_color=has_color,
                 slim=slim, analytic_derivs=analytic_derivs)
+
+        if _k == 0 or interpret:
+            layer = peel(zlo)
+            proto = {k: (v.shape, v.dtype) for k, v in layer.items()}
+        else:
+            # runtime peel skip: if layer k-1 found no fragments, every
+            # deeper peel is empty too — skip the raster kernel (miss
+            # defaults match the kernels' zero-init planes / tri_id=-1)
+            prev = per_layer[-1]
+            empty = {
+                k: (jnp.full(shape, -1, jnp.int32) if k == "tri_id"
+                    else jnp.zeros(shape, dt))
+                for k, (shape, dt) in proto.items()
+            }
+            layer = jax.lax.cond(
+                jnp.max(prev["tri_id"]) >= 0,
+                peel, lambda _zlo: empty, zlo)
         zlo = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
         per_layer.append({k: v.reshape(-1) for k, v in layer.items()})
     return {k: jnp.stack([lay[k] for lay in per_layer])

@@ -121,21 +121,17 @@ def _axis_weights(f, d1, linear, has_nearest: bool):
     return w0, w1, w2
 
 
-def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
-    """One tap from pre-extracted texel channel columns → [r,g,b,a] (P,).
-
-    cols: list of (P,) f32 texel-row columns (16 quad [+ 36 parent]);
-    plan: (fx, fy, x0i, y0i, wm, hm) from _level_idx; frac: (P,)
-    trilinear fraction or None. ALL math is (P,)-shaped — (P,4)-shaped
-    ops run at 4/128 lane efficiency on TPU (~0.26 ms each at 1080p),
-    which made the old AoS tap path ~15 ms of pure ALU."""
+def _tap_weights(desc, u, v, plan, frac, has_nearest: bool):
+    """Per-pixel filter-weight planes for one tap: [w00, w10, w01, w11,
+    wx0, wx1, wx2, wy0, wy1, wy2, blend] — bilinear quad weights, the
+    parent-mip 3x3 stencil weights, and the trilinear blend fraction.
+    frac=None (no mips) → parent weights and blend are zero."""
     fx, fy, x0i, y0i, wm, hm = plan
     linear = desc[TD_FILTER_LINEAR] > 0
     w00, w10, w01, w11 = _quad_weights(fx, fy, linear, has_nearest)
-    out = [cols[c] * w00 + cols[4 + c] * w10 + cols[8 + c] * w01
-           + cols[12 + c] * w11 for c in range(4)]
+    z = jnp.zeros_like(fx)
     if frac is None:
-        return out
+        return [w00, w10, w01, w11, z, z, z, z, z, z, z]
 
     # parent-mip 3x3 stencil (layout: core/textures.py::_pack_rows). The
     # parent's own bilinear anchor is recomputed from uv and located
@@ -160,6 +156,20 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
     wy = _axis_weights(fy1, dy1, linear, has_nearest)
     tri = desc[TD_MIP_FILTER_LINEAR] > 0
     blend = jnp.where(tri, frac, 0.0)
+    return [w00, w10, w01, w11, wx[0], wx[1], wx[2],
+            wy[0], wy[1], wy[2], blend]
+
+
+def _apply_tap_weights(cols, w, parent: bool):
+    """Filter from texel channel columns + precomputed weight planes."""
+    w00, w10, w01, w11 = w[:4]
+    out = [cols[c] * w00 + cols[4 + c] * w10 + cols[8 + c] * w01
+           + cols[12 + c] * w11 for c in range(4)]
+    if not parent:
+        return out
+    wx = w[4:7]
+    wy = w[7:10]
+    blend = w[10]
     res = []
     for c in range(4):
         rows = [cols[16 + (cy * 3) * 4 + c] * wx[0]
@@ -168,6 +178,62 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
         par = rows[0] * wy[0] + rows[1] * wy[1] + rows[2] * wy[2]
         res.append(out[c] * (1.0 - blend) + par * blend)
     return res
+
+
+def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
+    """One tap from pre-extracted texel channel columns → [r,g,b,a] (P,).
+
+    cols: list of (P,) f32 texel-row columns (16 quad [+ 36 parent]);
+    plan: (fx, fy, x0i, y0i, wm, hm) from _level_idx; frac: (P,)
+    trilinear fraction or None. ALL math is (P,)-shaped — (P,4)-shaped
+    ops run at 4/128 lane efficiency on TPU (~0.26 ms each at 1080p),
+    which made the old AoS tap path ~15 ms of pure ALU."""
+    w = _tap_weights(desc, u, v, plan, frac, has_nearest)
+    return _apply_tap_weights(cols, w, parent=frac is not None)
+
+
+def _filter_taps_fused(q_all, wplanes, *, mips: bool):
+    """Fused Pallas filter: gathered texel rows (N, C) + 11 (N,) weight
+    planes → 4 (N,) filtered channels in ONE pass. The XLA form paid a
+    ~2.4 ms channel splitter plus 52 planes of HBM round-trip at 1080p;
+    here each block's columns are read straight out of the gather
+    result. Same math as _apply_tap_weights."""
+    from jax.experimental import pallas as pl
+
+    from .relayout import _padded, _pick_blk
+
+    N, C = q_all.shape
+    blk = _pick_blk(N)
+    qp, Np = _padded(q_all, blk, 0)
+    wps = [_padded(w, blk, 0)[0] for w in wplanes]
+
+    def kernel(q_ref, *refs):
+        w_refs, o_refs = refs[:11], refs[11:]
+        Q = q_ref[:].astype(jnp.float32).T              # (C, blk)
+        (w00, w10, w01, w11, wx0, wx1, wx2, wy0, wy1, wy2,
+         blend) = [r[:] for r in w_refs]
+        for c in range(4):
+            quad = (Q[c] * w00 + Q[4 + c] * w10
+                    + Q[8 + c] * w01 + Q[12 + c] * w11)
+            if mips:
+                par = ((Q[16 + c] * wx0 + Q[20 + c] * wx1 + Q[24 + c] * wx2) * wy0
+                       + (Q[28 + c] * wx0 + Q[32 + c] * wx1 + Q[36 + c] * wx2) * wy1
+                       + (Q[40 + c] * wx0 + Q[44 + c] * wx1 + Q[48 + c] * wx2) * wy2)
+                o_refs[c][:] = quad * (1.0 - blend) + par * blend
+            else:
+                o_refs[c][:] = quad
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // blk,),
+        in_specs=[pl.BlockSpec((blk, C), lambda n: (n, 0))]
+        + [pl.BlockSpec((blk,), lambda n: (n,)) for _ in range(11)],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
+                        for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Np,), jnp.float32)
+                        for _ in range(4)),
+    )(qp, *wps)
+    return [o[:N] for o in outs]
 
 
 def _blend_bilinear(q, fx, fy):
@@ -268,6 +334,26 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     idx_all = jax.lax.optimization_barrier(idx_all)
     q_all = texq[idx_all]                            # (n_taps*P, TEXEL_COLS)
     ncols = 52 if any_mips else 16
+
+    from .raster import _interpret_default
+
+    if not _interpret_default():
+        # fused filter: weights in XLA (cheap fused (P,) math), the
+        # 37-madd blend in ONE Pallas pass over the gather result
+        wp = [[] for _ in range(11)]
+        for (tex_id, desc, u, v, plan, frac) in plans:
+            for j, w in enumerate(_tap_weights(desc, u, v, plan, frac,
+                                               has_nearest)):
+                wp[j].append(w)
+        wplanes = [w[0] if nt == 1 else jnp.concatenate(w) for w in wp]
+        ch4 = _filter_taps_fused(q_all, wplanes, mips=any_mips)
+        outs = []
+        for i, (tex_id, _desc, _u, _v, _plan, _frac) in enumerate(plans):
+            bound = tex_id >= 0
+            outs.append([jnp.where(bound, c[i * P:(i + 1) * P], 1.0)
+                         for c in ch4])
+        return outs
+
     from .relayout import split_channels
     cols_all = split_channels(q_all[:, :ncols])      # ncols x (n_taps*P,)
 
