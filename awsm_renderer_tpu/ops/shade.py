@@ -558,11 +558,13 @@ def shade_surface(
         use1 = uv_set == 1.0
         u = jnp.where(use1, uv1[0], uv0[0])
         vv = jnp.where(use1, uv1[1], uv0[1])
-        u, vv, tap_duv = apply_texture_transform_with_grads_c(
-            ds["tex_transforms"], tform, u, vv, duv if use_mips else None)
-        taps.append((tex_id, (u, vv), tap_duv))
+        # KHR_texture_transform rides INTO the batched sampler (the
+        # fused tap planner applies it in-kernel; the fallback path
+        # applies apply_texture_transform_with_grads_c)
+        taps.append((tex_id, (u, vv), duv if use_mips else None, tform))
     tex_cache = dict(zip(active_slots, sample_texture_batch_c(
-        ds["texels"], ds["tex_desc"], taps, has_nearest=has_nearest)))
+        ds["texels"], ds["tex_desc"], taps, has_nearest=has_nearest,
+        tex_transforms=ds["tex_transforms"])))
 
     def tex(slot):
         """Batched sample of a material texture slot; compiles to a constant

@@ -192,6 +192,207 @@ def _tap_channels(cols, desc, u, v, plan, frac, has_nearest: bool):
     return _apply_tap_weights(cols, w, parent=frac is not None)
 
 
+def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
+                    tform_id=None, tex_transforms=None):
+    """Fused Pallas tap planner: per-pixel texel-row index + the 11
+    filter-weight planes in ONE pass.
+
+    Replaces the XLA chain KHR-transform one-hot + split -> descriptor
+    one-hot + split -> 14-way mip-offset select -> footprint/wrap/weight
+    fusions with explicit in-kernel math (measured net-neutral on frame
+    time, but it deletes the layout-hazard surface those splits carried).
+    The descriptor/transform tables are tiny, so each block fetches rows
+    with in-kernel one-hot matmuls on the MXU. Integer wrap math uses an
+    exact f32-reciprocal remainder (Mosaic's native variable-divisor i32
+    remainder lowers ~10x slower — it alone cost ~14 ms/frame). Mip
+    offsets ride as exact 12-bit hi/lo f32 halves so texel pools larger
+    than 2^24 rows stay exact.
+
+    duv: (dudx, dvdx, dudy, dvdy) channel planes, or None (mip level 0,
+    zero parent weights). tform_id + tex_transforms apply
+    KHR_texture_transform in-kernel (id < 0 = identity). Returns
+    (idx (N,) i32, [11 x (N,) f32])."""
+    from jax.experimental import pallas as pl
+
+    from .relayout import _padded, _pick_blk
+
+    mips = duv is not None
+    tform = tform_id is not None
+    N = tex_id.shape[0]
+    capD = descriptors.shape[0]
+    capT = tex_transforms.shape[0] if tform else 0
+    # f32-exact descriptor table: 7 scalar fields + hi/lo offset halves
+    d = descriptors
+    offs = d[:, TD_MIP_OFFSETS:TD_MIP_OFFSETS + MAX_MIPS]
+    tab = jnp.concatenate([
+        d[:, :7].astype(jnp.float32),
+        (offs >> 12).astype(jnp.float32),
+        (offs & 0xFFF).astype(jnp.float32),
+    ], axis=1)                                   # (capD, 7 + 2*MAX_MIPS)
+    DC = tab.shape[1]
+
+    blk = _pick_blk(N)
+    ins = [jnp.clip(tex_id, 0, capD - 1), u, v]
+    if tform:
+        ins.append(tform_id)
+    ins += list(duv) if mips else []
+    ins = [_padded(x, blk, 0)[0] for x in ins]
+    Np = ins[0].shape[0]
+
+    def kernel(*refs):
+        tab_ref = refs[0]
+        refs = refs[1:]
+        if tform:
+            tt_ref = refs[0]
+            refs = refs[1:]
+        n_in = 3 + (1 if tform else 0) + (4 if mips else 0)
+        in_refs = refs[:n_in]
+        idx_ref = refs[n_in]
+        w_refs = refs[n_in + 1:]
+        tid = in_refs[0][:]
+        uu = in_refs[1][:]
+        vv = in_refs[2][:]
+        duv_refs = in_refs[4:8] if tform else in_refs[3:7]
+
+        def rem(a, n):
+            # exact i32 remainder (n > 0, |a| < n * 2^24) via f32
+            # reciprocal + fixup: Mosaic's native variable-divisor i32
+            # remainder lowers ~10x slower (profiled: the jnp.remainder
+            # form cost ~14 ms/frame in this kernel)
+            q = jnp.floor(a.astype(jnp.float32)
+                          / n.astype(jnp.float32)).astype(jnp.int32)
+            r = a - q * n
+            r = jnp.where(r < 0, r + n, r)
+            return jnp.where(r >= n, r - n, r)
+
+        def wrapc(i, n, mode):
+            # _wrap_coord with the fast remainder
+            repv = rem(i, n)
+            clm = jnp.clip(i, 0, n - 1)
+            m = rem(i, 2 * n)
+            mir = jnp.where(m >= n, 2 * n - 1 - m, m)
+            return jnp.where(mode == WRAP_REPEAT, repv,
+                             jnp.where(mode == WRAP_CLAMP, clm, mir))
+
+        if mips:
+            dudx, dvdx, dudy, dvdy = (r[:] for r in duv_refs)
+        if tform:
+            # KHR_texture_transform + gradient pushforward, fused in
+            # (apply_texture_transform_with_grads_c semantics)
+            tfid = in_refs[3][:]
+            ohT = (jnp.clip(tfid, 0, capT - 1)[:, None]
+                   == jax.lax.broadcasted_iota(jnp.int32, (blk, capT), 1)
+                   ).astype(jnp.float32)
+            Tt = jnp.dot(ohT, tt_ref[:],
+                         preferred_element_type=jnp.float32).T   # (8, blk)
+            wrap_first = Tt[6] > 0.5
+            uw = jnp.where(wrap_first, uu - jnp.floor(uu), uu)
+            vw = jnp.where(wrap_first, vv - jnp.floor(vv), vv)
+            boundT = tfid >= 0
+            uu = jnp.where(boundT, Tt[0] * uw + Tt[1] * vw + Tt[4], uu)
+            vv = jnp.where(boundT, Tt[2] * uw + Tt[3] * vw + Tt[5], vv)
+            if mips:
+                dudx, dvdx = (
+                    jnp.where(boundT, Tt[0] * dudx + Tt[1] * dvdx, dudx),
+                    jnp.where(boundT, Tt[2] * dudx + Tt[3] * dvdx, dvdx))
+                dudy, dvdy = (
+                    jnp.where(boundT, Tt[0] * dudy + Tt[1] * dvdy, dudy),
+                    jnp.where(boundT, Tt[2] * dudy + Tt[3] * dvdy, dvdy))
+
+        # descriptor fetch: one-hot matmul on the tiny table
+        oh = (tid[:, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (blk, capD), 1)
+              ).astype(jnp.float32)
+        D = jnp.dot(oh, tab_ref[:],
+                    preferred_element_type=jnp.float32).T       # (DC, blk)
+        w0 = D[TD_WIDTH].astype(jnp.int32)
+        h0 = D[TD_HEIGHT].astype(jnp.int32)
+        n_mips = D[TD_N_MIPS]
+        wrap_s = D[TD_WRAP_S].astype(jnp.int32)
+        wrap_t = D[TD_WRAP_T].astype(jnp.int32)
+        linear = D[TD_FILTER_LINEAR] > 0
+        tri = D[TD_MIP_FILTER_LINEAR] > 0
+
+        if mips:
+            wf0 = D[TD_WIDTH]
+            hf0 = D[TD_HEIGHT]
+            rx = (dudx * wf0) ** 2 + (dvdx * hf0) ** 2
+            ry = (dudy * wf0) ** 2 + (dvdy * hf0) ** 2
+            level = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
+            level = jnp.clip(level, 0.0, n_mips - 1.0)
+            l0 = jnp.floor(level).astype(jnp.int32)
+            frac = level - l0.astype(jnp.float32)
+        else:
+            l0 = jnp.zeros((blk,), jnp.int32)
+
+        wm = jnp.maximum(jnp.right_shift(w0, l0), 1)
+        hm = jnp.maximum(jnp.right_shift(h0, l0), 1)
+        lv = jnp.clip(l0, 0, MAX_MIPS - 1)
+        off_hi = sum(jnp.where(lv == m, D[7 + m], 0.0)
+                     for m in range(MAX_MIPS))
+        off_lo = sum(jnp.where(lv == m, D[7 + MAX_MIPS + m], 0.0)
+                     for m in range(MAX_MIPS))
+        offset = (off_hi.astype(jnp.int32) << 12) | off_lo.astype(jnp.int32)
+
+        wf = wm.astype(jnp.float32)
+        hf = hm.astype(jnp.float32)
+        x = _prep_coord(uu, wf, wrap_s)
+        y = _prep_coord(vv, hf, wrap_t)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = wrapc(x0.astype(jnp.int32), wm, wrap_s)
+        y0i = wrapc(y0.astype(jnp.int32), hm, wrap_t)
+        idx_ref[:] = offset + y0i * wm + x0i
+
+        w00, w10, w01, w11 = _quad_weights(fx, fy, linear, has_nearest)
+        zeros = jnp.zeros((blk,), jnp.float32)
+        if not mips:
+            ws = [w00, w10, w01, w11] + [zeros] * 7
+        else:
+            # parent-mip 3x3 anchor (same math as _tap_weights)
+            w1 = jnp.maximum(jnp.right_shift(wm, 1), 1)
+            h1 = jnp.maximum(jnp.right_shift(hm, 1), 1)
+            x1 = _prep_coord(uu, w1.astype(jnp.float32), wrap_s)
+            y1 = _prep_coord(vv, h1.astype(jnp.float32), wrap_t)
+            ax = jnp.floor(x1)
+            ay = jnp.floor(y1)
+            fx1 = x1 - ax
+            fy1 = y1 - ay
+            axw = wrapc(ax.astype(jnp.int32), w1, wrap_s)
+            ayw = wrapc(ay.astype(jnp.int32), h1, wrap_t)
+            bx = wrapc((x0i - 1) >> 1, w1, wrap_s)
+            by = wrapc((y0i - 1) >> 1, h1, wrap_t)
+            dx1 = jnp.clip(rem(axw - bx, w1), 0, 1) == 1
+            dy1 = jnp.clip(rem(ayw - by, h1), 0, 1) == 1
+            wx = _axis_weights(fx1, dx1, linear, has_nearest)
+            wy = _axis_weights(fy1, dy1, linear, has_nearest)
+            blend = jnp.where(tri, frac, 0.0)
+            ws = [w00, w10, w01, w11, wx[0], wx[1], wx[2],
+                  wy[0], wy[1], wy[2], blend]
+        for w, o in zip(ws, w_refs):
+            o[:] = w
+
+    n_in = len(ins)
+    tables = [tab] + ([tex_transforms] if tform else [])
+    table_specs = [pl.BlockSpec((capD, DC), lambda n: (0, 0))]
+    if tform:
+        table_specs.append(pl.BlockSpec((capT, 8), lambda n: (0, 0)))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Np // blk,),
+        in_specs=table_specs
+        + [pl.BlockSpec((blk,), lambda n: (n,)) for _ in range(n_in)],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
+                        for _ in range(12)),
+        out_shape=(jax.ShapeDtypeStruct((Np,), jnp.int32),)
+        + tuple(jax.ShapeDtypeStruct((Np,), jnp.float32)
+                for _ in range(11)),
+    )(*tables, *ins)
+    return outs[0][:N], [o[:N] for o in outs[1:]]
+
+
 def _filter_taps_fused(q_all, wplanes, *, mips: bool):
     """Fused Pallas filter: gathered texel rows (N, C) + 11 (N,) weight
     planes → 4 (N,) filtered channels in ONE pass. The XLA form paid a
@@ -274,14 +475,17 @@ def _mip_level(desc, duv):
     return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
 
 
-def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
+def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True,
+                           tex_transforms=None):
     """Sample many texture taps through ONE texel gather (and one
     descriptor one-hot matmul) — channel-column form.
 
-    taps: list of (tex_id (P,) i32, (u, v) channel pair, duv or None)
-    where duv = (dudx, dvdx, dudy, dvdy) channels enables gradient mip
-    selection + trilinear (ONE row per tap even then — the row carries
-    the parent-mip 3x3). Returns a list of [r,g,b,a] channel lists
+    taps: list of (tex_id (P,) i32, (u, v) channel pair, duv or None
+    [, tform_id (P,) i32]) where duv = (dudx, dvdx, dudy, dvdy) channels
+    enables gradient mip selection + trilinear (ONE row per tap even
+    then — the row carries the parent-mip 3x3), and the optional 4th
+    element applies KHR_texture_transform (requires `tex_transforms`;
+    id < 0 → identity). Returns a list of [r,g,b,a] channel lists
     aligned with taps; tex_id < 0 → white. This is the TPU shape of the
     reference's texture-pool sampling loop (material_opaque_wgsl/
     compute.wgsl): all slots sample together.
@@ -292,6 +496,56 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
         return []
     P = taps[0][0].shape[0]
     nt = len(taps)
+
+    from .raster import _interpret_default
+
+    mips_flags = [t[2] is not None for t in taps]
+    has_tform = [len(t) > 3 and t[3] is not None for t in taps]
+    if not _interpret_default() and len(set(mips_flags)) == 1:
+        # fully fused pipeline: ONE Pallas tap planner (transform,
+        # descriptor fetch, mip level, footprint, weights) -> ONE texel
+        # gather -> ONE Pallas filter. The XLA form of plan+filter cost
+        # ~4 ms at 1080p in descriptor/weight splits and select chains.
+        any_mips = mips_flags[0]
+        cat = (jnp.concatenate if nt > 1 else (lambda xs: xs[0]))
+        ids_all = cat([t[0] for t in taps])
+        u_all = cat([t[1][0] for t in taps])
+        v_all = cat([t[1][1] for t in taps])
+        duv_all = (tuple(cat([t[2][c] for t in taps]) for c in range(4))
+                   if any_mips else None)
+        tform_all = None
+        if any(has_tform):
+            none_t = jnp.full((P,), -1, jnp.int32)
+            tform_all = cat([t[3] if len(t) > 3 and t[3] is not None
+                             else none_t for t in taps])
+        idx_all, wplanes = _tap_plan_fused(
+            ids_all, u_all, v_all, duv_all, descriptors,
+            has_nearest=has_nearest, tform_id=tform_all,
+            tex_transforms=tex_transforms if tform_all is not None else None)
+        idx_all = jnp.clip(idx_all, 0, texq.shape[0] - 1)
+        # barrier: see below — keeps the index operand in canonical layout
+        idx_all = jax.lax.optimization_barrier(idx_all)
+        q_all = texq[idx_all]
+        ch4 = _filter_taps_fused(q_all, wplanes, mips=any_mips)
+        outs = []
+        for i, t in enumerate(taps):
+            bound = t[0] >= 0
+            outs.append([jnp.where(bound, c[i * P:(i + 1) * P], 1.0)
+                         for c in ch4])
+        return outs
+
+    # fallback (interpret / mixed-mip taps): apply any per-tap transform
+    # in XLA first, then the split-based sampling below
+    if any(has_tform):
+        conv = []
+        for t in taps:
+            if len(t) > 3 and t[3] is not None:
+                u, v, duv = apply_texture_transform_with_grads_c(
+                    tex_transforms, t[3], t[1][0], t[1][1], t[2])
+                conv.append((t[0], (u, v), duv))
+            else:
+                conv.append(t[:3])
+        taps = conv
 
     # one descriptor fetch for all taps — split into per-field rank-1
     # arrays so no XLA-side row slice ever exists (ops/relayout.py)
@@ -334,26 +588,6 @@ def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True):
     idx_all = jax.lax.optimization_barrier(idx_all)
     q_all = texq[idx_all]                            # (n_taps*P, TEXEL_COLS)
     ncols = 52 if any_mips else 16
-
-    from .raster import _interpret_default
-
-    if not _interpret_default():
-        # fused filter: weights in XLA (cheap fused (P,) math), the
-        # 37-madd blend in ONE Pallas pass over the gather result
-        wp = [[] for _ in range(11)]
-        for (tex_id, desc, u, v, plan, frac) in plans:
-            for j, w in enumerate(_tap_weights(desc, u, v, plan, frac,
-                                               has_nearest)):
-                wp[j].append(w)
-        wplanes = [w[0] if nt == 1 else jnp.concatenate(w) for w in wp]
-        ch4 = _filter_taps_fused(q_all, wplanes, mips=any_mips)
-        outs = []
-        for i, (tex_id, _desc, _u, _v, _plan, _frac) in enumerate(plans):
-            bound = tex_id >= 0
-            outs.append([jnp.where(bound, c[i * P:(i + 1) * P], 1.0)
-                         for c in ch4])
-        return outs
-
     from .relayout import split_channels
     cols_all = split_channels(q_all[:, :ncols])      # ncols x (n_taps*P,)
 
