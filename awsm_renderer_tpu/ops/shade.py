@@ -494,12 +494,18 @@ def shade_surface(
                                 layers=n_layer_tiles))
 
     # ---- world position + view ray ------------------------------------------
-    xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
-    rows = jnp.arange(P, dtype=jnp.float32) // W
-    if n_layer_tiles > 1:   # stacked layers: screen rows wrap per layer
-        rows = rows % jnp.float32(H // n_layer_tiles)
-    rows = rows + jnp.float32(row_offset)
-    ys = 1.0 - (rows + 0.5) / H_full * 2.0
+    if "ndc_x" in planes:
+        # tile-compacted planes (shade_transparent_layers_c tile_cap path):
+        # pixel NDC coords travel as planes because the flat index no
+        # longer encodes screen position
+        xs, ys = planes["ndc_x"], planes["ndc_y"]
+    else:
+        xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
+        rows = jnp.arange(P, dtype=jnp.float32) // W
+        if n_layer_tiles > 1:   # stacked layers: screen rows wrap per layer
+            rows = rows % jnp.float32(H // n_layer_tiles)
+        rows = rows + jnp.float32(row_offset)
+        ys = 1.0 - (rows + 0.5) / H_full * 2.0
     ivp = ds["camera"]["inv_view_proj"]
     wp = [xs * ivp[j, 0] + ys * ivp[j, 1] + depth * ivp[j, 2] + ivp[j, 3]
           for j in range(4)]
@@ -934,11 +940,121 @@ def shade_deferred(vis, ds, *, width: int, height: int, **kw):
     return jnp.stack(ch, axis=-1).reshape(height, width, 4)
 
 
+def _tile_swizzle(p: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(..., H*W) row-major plane → (..., n_tiles, 1024) of 8x128 tiles.
+
+    8x128 is the native f32 memory tile, so this transpose is a cheap
+    tile relabeling for XLA (the raster kernels use the same blocking)."""
+    lead = p.shape[:-1]
+    t = p.reshape(*lead, H // 8, 8, W // 128, 128)
+    t = jnp.swapaxes(t, -3, -2)
+    return t.reshape(*lead, (H // 8) * (W // 128), 1024)
+
+
+def _tile_unswizzle(t: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(n_tiles, 1024) of 8x128 tiles → (H*W,) row-major plane."""
+    return (t.reshape(H // 8, W // 128, 8, 128)
+            .swapaxes(1, 2).reshape(H * W))
+
+
+def _shade_transparent_compact(
+    layers, opaque_ch, ds, *, width: int, height: int, height_full: int,
+    row_offset, use_mips: bool, slot_mask, solid_env: bool,
+    has_nearest: bool, ext, n_layers: int, tile_cap: int,
+):
+    """Covered-tile-compacted K-layer transparent shade + composite.
+
+    See shade_transparent_layers_c(tile_cap=...). Bit-equivalent to the
+    band-wide path whenever tile_cap covers every tile layer 0 touches
+    (tests/test_transparent_compact.py asserts it)."""
+    assert not ext[EXT_VOLUME], "refraction needs band-space planes"
+    H, W, K = height, width, n_layers
+    P = H * W
+    n_tiles = (H // 8) * (W // 128)
+    C = min(tile_cap, n_tiles)
+
+    # exact uv gradients in band space (the same min-magnitude math
+    # shade_surface runs internally; never crosses a layer boundary) —
+    # unless the raster already emitted analytic derivative planes
+    grads = {}
+    if "du0_dx" not in layers:
+        grads = {
+            "du0_dx": _screen_gradient(layers["uv0_u"].reshape(-1), W,
+                                       K * H, False, K),
+            "dv0_dx": _screen_gradient(layers["uv0_v"].reshape(-1), W,
+                                       K * H, False, K),
+            "du0_dy": _screen_gradient(layers["uv0_u"].reshape(-1), W,
+                                       K * H, True, K),
+            "dv0_dy": _screen_gradient(layers["uv0_v"].reshape(-1), W,
+                                       K * H, True, K),
+        }
+    sw = {k: _tile_swizzle(v, H, W) for k, v in layers.items()}
+    sw.update({k: _tile_swizzle(v.reshape(K, P), H, W)
+               for k, v in grads.items()})
+    # depth peeling makes layer-k coverage a subset of layer-0 coverage,
+    # so one tile set serves every layer
+    cov = jnp.any(sw["tri_id"][0] >= 0, axis=-1)          # (n_tiles,)
+    idx = jnp.argsort(~cov)[:C]                           # covered-first
+    comp = {k: jnp.take(v, idx, axis=1) for k, v in sw.items()}
+
+    # pixel NDC coords for the compacted pixels (shade_surface ndc_x path)
+    ntx = W // 128
+    tx = (idx % ntx).astype(jnp.float32)
+    ty = (idx // ntx).astype(jnp.float32)
+    q = jnp.arange(1024, dtype=jnp.float32)
+    gx = tx[:, None] * 128.0 + (q % 128)[None, :]         # (C, 1024)
+    gy = ty[:, None] * 8.0 + (q // 128)[None, :] + jnp.float32(row_offset)
+    ndc_x = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * 1024)
+    ndc_y = (1.0 - (gy + 0.5) / height_full * 2.0).reshape(C * 1024)
+
+    ob = [jnp.take(_tile_swizzle(opaque_ch[c], H, W), idx, axis=0)
+          .reshape(C * 1024) for c in range(3)]           # compact background
+
+    Pc = C * 1024
+
+    def shade_group(k0, Kg, out_rgb):
+        flat = {k: v[k0:k0 + Kg].reshape(Kg * Pc) for k, v in comp.items()}
+        flat["ndc_x"] = jnp.broadcast_to(ndc_x, (Kg, Pc)).reshape(Kg * Pc)
+        flat["ndc_y"] = jnp.broadcast_to(ndc_y, (Kg, Pc)).reshape(Kg * Pc)
+        color, alpha, valid, _n, trans, _refr = shade_surface(
+            flat, ds, width=128, height=Kg * C * 8, height_full=height_full,
+            row_offset=0, use_mips=use_mips, slot_mask=slot_mask,
+            solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+            transparent_pass=True, want_transmission_factor=True,
+        )
+        color = [c.reshape(Kg, Pc) for c in color]
+        a = jnp.where(valid, alpha, 0.0).reshape(Kg, Pc)
+        trans = None if trans is None else [t.reshape(Kg, Pc) for t in trans]
+        out_rgb = list(out_rgb)
+        for k in range(Kg - 1, -1, -1):
+            for c in range(3):
+                cc = (color[c][k] if trans is None
+                      else color[c][k] + ob[c] * trans[c][k])
+                out_rgb[c] = cc * a[k] + out_rgb[c] * (1.0 - a[k])
+        return out_rgb
+
+    out = list(ob)
+    if K > 2:
+        has_deep = jnp.max(comp["tri_id"][2:]) >= 0
+        out = jax.lax.cond(has_deep, lambda o: shade_group(2, K - 2, o),
+                           lambda o: list(o), out)
+        out = shade_group(0, 2, out)
+    else:
+        out = shade_group(0, K, out)
+
+    out_full = []
+    for c in range(3):
+        full = _tile_swizzle(opaque_ch[c], H, W)
+        scat = full.at[idx].set(out[c].reshape(C, 1024))
+        out_full.append(_tile_unswizzle(scat, H, W))
+    return out_full + [opaque_ch[3]]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
                      "slot_mask", "solid_env", "has_nearest", "ext",
-                     "n_layers"),
+                     "n_layers", "tile_cap"),
 )
 def shade_transparent_layers_c(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
@@ -955,6 +1071,7 @@ def shade_transparent_layers_c(
     ext: Tuple[bool, ...] = ALL_EXT,
     n_layers: int = 4,
     setup_rows=None,
+    tile_cap: Optional[int] = None,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
     back-to-front over the opaque result (reference: render.rs transparent
@@ -973,11 +1090,32 @@ def shade_transparent_layers_c(
     per pixel, so peels 2..K-1 are empty and their full-PBR band shade
     (~5 ms at 1080p/K=4, profiled) is skipped at runtime — the analog of
     the reference's forward pass simply having no fragments there. Deep
-    scenes pay the second group's gathers only when peel 2 is non-empty."""
+    scenes pay the second group's gathers only when peel 2 is non-empty.
+
+    tile_cap (static): covered-tile compaction. Transparent geometry
+    typically covers a small fraction of the (already row-cropped) band —
+    the reference's forward pass simply has no fragments elsewhere, but a
+    band-wide batched shade pays full-band ALU + taps for every peel.
+    With a host-derived upper bound on covered 8x128 tiles (projected
+    AABB rects, renderer._overlay_tile_cap), the planes compact to the
+    covered tiles (coverage-first stable argsort over layer-0 tri_id),
+    shade + composite run in compact space with NDC coords and exact
+    pre-computed uv gradients riding as planes, and only the composited
+    rgb scatters back. Requires fat planes and no KHR_materials_volume
+    (screen-space refraction gathers the opaque buffer at arbitrary
+    pixels — callers gate on ext)."""
     H, W = height, width
     H_full = height_full if height_full is not None else height
     P = H * W
     K = n_layers
+
+    if (tile_cap is not None and H % 8 == 0 and W % 128 == 0
+            and tile_cap * 1024 < P and "uv0_u" in layers):
+        return _shade_transparent_compact(
+            layers, opaque_ch, ds, width=W, height=H, height_full=H_full,
+            row_offset=row_offset, use_mips=use_mips, slot_mask=slot_mask,
+            solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+            n_layers=K, tile_cap=tile_cap)
 
     def shade_group(sub, Kg, out_rgb):
         """Shade Kg stacked layers and composite back-to-front onto

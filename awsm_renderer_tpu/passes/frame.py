@@ -298,6 +298,8 @@ def _overlay_band(
     crop_y0=None,             # traced i32: overlay band start row, or None
     crop_h: Optional[int] = None,   # static bucketed band height
     ov_tri_idx=None,          # (Nc,) i32 compacted overlay triangle ids
+    tile_cap: Optional[int] = None,  # static covered-tile cap for the
+                                     # transparent shade (shade.py)
 ):
     """Transparent forward peel + HUD over the (already shaded) opaque band
     (render.rs steps 9, 2/10). With supersampling on, this runs at DISPLAY
@@ -339,7 +341,7 @@ def _overlay_band(
             hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
             ext=ext, has_uv1=has_uv1, has_color=has_color,
             overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
-            ov_tri_idx=ov_tri_idx,
+            ov_tri_idx=ov_tri_idx, tile_cap=tile_cap,
         )
         hdr_ch = [jax.lax.dynamic_update_slice(full, band, (off,))
                   for full, band in zip(hdr_ch, hdr_c)]
@@ -385,6 +387,10 @@ def _overlay_band(
             solid_env=solid_env,
             has_nearest=has_nearest, ext=overlay_ext,
             n_layers=n_transparent_layers,
+            # covered-tile compaction: invalid with volume refraction
+            # (band-space screen coords); sharded callers never pass a
+            # tile_cap (cov/argsort would be per-shard)
+            tile_cap=(tile_cap if not overlay_ext[5] else None),
         )
 
     if hooks and hooks.after_transparent:
@@ -454,6 +460,7 @@ def _frame_band(
     overlay_slot_mask=None,
     overlay_ext=None,
     ov_tri_idx=None,
+    tile_cap: Optional[int] = None,
 ):
     """Single-scale band pipeline: opaque + overlay at the same resolution
     (the non-supersampled frame; the supersampled frame resolves between
@@ -675,6 +682,7 @@ def _finish_frame(
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
         "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
         "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
+        "overlay_tile_cap",
     ),
 )
 def render_frame(
@@ -713,6 +721,7 @@ def render_frame(
     overlay_crop_y0=None,
     overlay_crop_h: Optional[int] = None,
     overlay_tri_idx=None,
+    overlay_tile_cap: Optional[int] = None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -773,7 +782,7 @@ def render_frame(
         has_uv1=has_uv1, has_color=has_color,
         overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
         crop_y0=overlay_crop_y0, crop_h=overlay_crop_h,
-        ov_tri_idx=overlay_tri_idx,
+        ov_tri_idx=overlay_tri_idx, tile_cap=overlay_tile_cap,
     )
     ldr, tri_id, depth = _finish_frame(
         hdr_ch, tri_id, depth, ds,

@@ -470,6 +470,59 @@ class AwsmRendererTpu:
         y0q = max(0, min(y0q, rh1 - b))
         return y0q, b
 
+    def _overlay_tile_cap(self, masks):
+        """Upper bound on the 8x128 raster tiles the TRANSPARENT bucket
+        can cover: per-mesh projected-AABB screen rects, tile-quantized
+        (1 px safety pad), union-counted — over-counting is always
+        safe — then bucketed to the next power of two so camera motion
+        retraces at most log2(n_tiles) times. Drives the covered-tile
+        compaction of the K-layer transparent shade
+        (ops/shade.py shade_transparent_layers_c tile_cap). None = no
+        transparent geometry, a mesh crosses the near plane (unbounded
+        screen extent), or the bound would not pay for itself."""
+        mask = masks["transparent"]
+        rw1 = ((self.config.width + 127) // 128) * 128
+        rh1 = ((self.config.height + 7) // 8) * 8
+        n_tiles = (rh1 // 8) * (rw1 // 128)
+        mins, maxs, keys = self.meshes.world_bounds()
+        sel = [i for i, k in enumerate(keys) if mask[self.meshes.row_of(k)]]
+        if not sel:
+            return None
+        mn, mx = mins[sel], maxs[sel]
+        corners = np.stack([
+            np.stack([np.where(b & 1, mx[:, 0], mn[:, 0]),
+                      np.where(b & 2, mx[:, 1], mn[:, 1]),
+                      np.where(b & 4, mx[:, 2], mn[:, 2])], axis=-1)
+            for b in range(8)], axis=1)                      # (N, 8, 3)
+        vp = np.asarray(self.camera.view_projection, np.float32)
+        h = corners.reshape(-1, 3)
+        clip = h @ vp[:3, :3].T + vp[:3, 3]
+        w = h @ vp[3, :3] + vp[3, 3]
+        if (w <= 1e-6).any():
+            return None
+        sx = ((0.5 + 0.5 * clip[:, 0] / w) * rw1).reshape(-1, 8)
+        sy = ((0.5 - 0.5 * clip[:, 1] / w) * rh1).reshape(-1, 8)
+        tx0 = np.clip(np.floor((sx.min(1) - 1) / 128), 0, rw1 // 128 - 1).astype(int)
+        tx1 = np.clip(np.floor((sx.max(1) + 1) / 128), 0, rw1 // 128 - 1).astype(int)
+        ty0 = np.clip(np.floor((sy.min(1) - 1) / 8), 0, rh1 // 8 - 1).astype(int)
+        ty1 = np.clip(np.floor((sy.max(1) + 1) / 8), 0, rh1 // 8 - 1).astype(int)
+        # union of the per-mesh tile rects (overlapping meshes — e.g. a
+        # ring of panes around the camera target — over-count a plain
+        # rect-area sum by several x); 2-D prefix-sum stamp, then popcount
+        acc = np.zeros((rh1 // 8 + 1, rw1 // 128 + 1), np.int32)
+        np.add.at(acc, (ty0, tx0), 1)
+        np.add.at(acc, (ty0, tx1 + 1), -1)
+        np.add.at(acc, (ty1 + 1, tx0), -1)
+        np.add.at(acc, (ty1 + 1, tx1 + 1), 1)
+        cap = int(np.count_nonzero(
+            acc.cumsum(axis=0).cumsum(axis=1)[:-1, :-1]))
+        if cap <= 0:
+            return None
+        capb = max(64, 1 << (cap - 1).bit_length())
+        if capb * 4 >= n_tiles * 3:
+            return None
+        return capb
+
     # ---- render (reference: render.rs:53-383) --------------------------------
 
     def _bucket_mat_rows(self, mesh_mask: np.ndarray) -> np.ndarray:
@@ -568,11 +621,14 @@ class AwsmRendererTpu:
             ov_ext = self._ext_mask(ov_rows)
             ov_crop = self._overlay_crop(masks)
             ov_idx = self._overlay_tri_idx(masks)
+            ov_tile_cap = (self._overlay_tile_cap(masks)
+                           if has_transparent else None)
         else:
             ov_slot_mask = None
             ov_ext = None
             ov_crop = None
             ov_idx = None
+            ov_tile_cap = None
         op_rows = self._bucket_mat_rows(masks["opaque"])
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
@@ -604,6 +660,7 @@ class AwsmRendererTpu:
             overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
             overlay_crop_h=(ov_crop[1] if ov_crop else None),
             overlay_tri_idx=ov_idx,
+            overlay_tile_cap=ov_tile_cap,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
             has_color=self.meshes.uses_vertex_colors,
             debug_mode=debug_mode,
