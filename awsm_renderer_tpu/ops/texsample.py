@@ -221,15 +221,18 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
     N = tex_id.shape[0]
     capD = descriptors.shape[0]
     capT = tex_transforms.shape[0] if tform else 0
-    # f32-exact descriptor table: 7 scalar fields + hi/lo offset halves
+    # f32-exact descriptor table: 7 scalar fields + hi/lo offset halves.
+    # Stored TRANSPOSED (DC, capD) so the in-kernel fetch is
+    # (DC,capD)@(capD,blk) against a transposed one-hot — per-block
+    # transposes of the matmul result measured ~25% of this kernel.
     d = descriptors
     offs = d[:, TD_MIP_OFFSETS:TD_MIP_OFFSETS + MAX_MIPS]
     tab = jnp.concatenate([
         d[:, :7].astype(jnp.float32),
         (offs >> 12).astype(jnp.float32),
         (offs & 0xFFF).astype(jnp.float32),
-    ], axis=1)                                   # (capD, 7 + 2*MAX_MIPS)
-    DC = tab.shape[1]
+    ], axis=1).T                                 # (7 + 2*MAX_MIPS, capD)
+    DC = tab.shape[0]
 
     blk = _pick_blk(N)
     ins = [jnp.clip(tex_id, 0, capD - 1), u, v]
@@ -254,22 +257,29 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
         vv = in_refs[2][:]
         duv_refs = in_refs[4:8] if tform else in_refs[3:7]
 
-        def rem(a, n):
-            # exact i32 remainder (n > 0, |a| < n * 2^24) via f32
-            # reciprocal + fixup: Mosaic's native variable-divisor i32
-            # remainder lowers ~10x slower (profiled: the jnp.remainder
-            # form cost ~14 ms/frame in this kernel)
+        def remq(a, n):
+            # exact i32 (remainder, quotient) (n > 0, |a| < n * 2^24) via
+            # f32 reciprocal + fixup: Mosaic's native variable-divisor
+            # i32 remainder lowers ~10x slower (profiled: the
+            # jnp.remainder form cost ~14 ms/frame in this kernel)
             q = jnp.floor(a.astype(jnp.float32)
                           / n.astype(jnp.float32)).astype(jnp.int32)
             r = a - q * n
-            r = jnp.where(r < 0, r + n, r)
-            return jnp.where(r >= n, r - n, r)
+            under = r < 0
+            r = jnp.where(under, r + n, r)
+            q = jnp.where(under, q - 1, q)
+            over = r >= n
+            r = jnp.where(over, r - n, r)
+            q = jnp.where(over, q + 1, q)
+            return r, q
 
         def wrapc(i, n, mode):
-            # _wrap_coord with the fast remainder
-            repv = rem(i, n)
+            # _wrap_coord with ONE divide: rem(i, 2n) = rem(i, n)
+            # + n*(q&1) since floor(i/2n) = q>>1 exactly (i = q*n + r,
+            # 0 <= r < n)
+            repv, q = remq(i, n)
             clm = jnp.clip(i, 0, n - 1)
-            m = rem(i, 2 * n)
+            m = repv + jnp.where((q & 1) != 0, n, 0)
             mir = jnp.where(m >= n, 2 * n - 1 - m, m)
             return jnp.where(mode == WRAP_REPEAT, repv,
                              jnp.where(mode == WRAP_CLAMP, clm, mir))
@@ -280,11 +290,11 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
             # KHR_texture_transform + gradient pushforward, fused in
             # (apply_texture_transform_with_grads_c semantics)
             tfid = in_refs[3][:]
-            ohT = (jnp.clip(tfid, 0, capT - 1)[:, None]
-                   == jax.lax.broadcasted_iota(jnp.int32, (blk, capT), 1)
+            ohT = (jnp.clip(tfid, 0, capT - 1)[None, :]
+                   == jax.lax.broadcasted_iota(jnp.int32, (capT, blk), 0)
                    ).astype(jnp.float32)
-            Tt = jnp.dot(ohT, tt_ref[:],
-                         preferred_element_type=jnp.float32).T   # (8, blk)
+            Tt = jnp.dot(tt_ref[:], ohT,
+                         preferred_element_type=jnp.float32)     # (8, blk)
             wrap_first = Tt[6] > 0.5
             uw = jnp.where(wrap_first, uu - jnp.floor(uu), uu)
             vw = jnp.where(wrap_first, vv - jnp.floor(vv), vv)
@@ -299,12 +309,13 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
                     jnp.where(boundT, Tt[0] * dudy + Tt[1] * dvdy, dudy),
                     jnp.where(boundT, Tt[2] * dudy + Tt[3] * dvdy, dvdy))
 
-        # descriptor fetch: one-hot matmul on the tiny table
-        oh = (tid[:, None]
-              == jax.lax.broadcasted_iota(jnp.int32, (blk, capD), 1)
+        # descriptor fetch: one-hot matmul on the tiny (pre-transposed)
+        # table — result lands channel-major, no per-block transpose
+        oh = (tid[None, :]
+              == jax.lax.broadcasted_iota(jnp.int32, (capD, blk), 0)
               ).astype(jnp.float32)
-        D = jnp.dot(oh, tab_ref[:],
-                    preferred_element_type=jnp.float32).T       # (DC, blk)
+        D = jnp.dot(tab_ref[:], oh,
+                    preferred_element_type=jnp.float32)         # (DC, blk)
         w0 = D[TD_WIDTH].astype(jnp.int32)
         h0 = D[TD_HEIGHT].astype(jnp.int32)
         n_mips = D[TD_N_MIPS]
@@ -364,8 +375,12 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
             ayw = wrapc(ay.astype(jnp.int32), h1, wrap_t)
             bx = wrapc((x0i - 1) >> 1, w1, wrap_s)
             by = wrapc((y0i - 1) >> 1, h1, wrap_t)
-            dx1 = jnp.clip(rem(axw - bx, w1), 0, 1) == 1
-            dy1 = jnp.clip(rem(ayw - by, h1), 0, 1) == 1
+            # axw/bx are already in [0, w1), so the difference lies in
+            # (-w1, w1) and the mod-w1 fold is one conditional add
+            ddx = axw - bx
+            ddy = ayw - by
+            dx1 = jnp.where(ddx < 0, ddx + w1, ddx) >= 1
+            dy1 = jnp.where(ddy < 0, ddy + h1, ddy) >= 1
             wx = _axis_weights(fx1, dx1, linear, has_nearest)
             wy = _axis_weights(fy1, dy1, linear, has_nearest)
             blend = jnp.where(tri, frac, 0.0)
@@ -375,10 +390,10 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
             o[:] = w
 
     n_in = len(ins)
-    tables = [tab] + ([tex_transforms] if tform else [])
-    table_specs = [pl.BlockSpec((capD, DC), lambda n: (0, 0))]
+    tables = [tab] + ([tex_transforms.T] if tform else [])
+    table_specs = [pl.BlockSpec((DC, capD), lambda n: (0, 0))]
     if tform:
-        table_specs.append(pl.BlockSpec((capT, 8), lambda n: (0, 0)))
+        table_specs.append(pl.BlockSpec((8, capT), lambda n: (0, 0)))
     outs = pl.pallas_call(
         kernel,
         grid=(Np // blk,),
