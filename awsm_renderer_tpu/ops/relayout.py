@@ -118,6 +118,58 @@ def split_rows(x: jnp.ndarray, interpret: bool | None = None):
     return outs
 
 
+def onehot_split_rows(rows: jnp.ndarray, table: jnp.ndarray,
+                      interpret: bool | None = None):
+    """table[rows] fetched channel-major AND split, in ONE Pallas pass:
+    rows (P,) i32, table (cap, C) f32 → tuple of C (P,) f32 arrays.
+
+    Fuses split_rows(onehot_gather_t(rows, table)): the two-step form
+    materializes the (C, P) matmul result through HBM twice (~2.9 ms at
+    1080p for the 53-column material fetch — pure write+read bandwidth).
+    Here each block builds the transposed one-hot and multiplies the
+    tiny resident table in-kernel (the tap-planner pattern,
+    texsample._tap_plan_fused). Exact for in-range rows (one-hot matmul
+    sums a single product); out-of-range rows yield zeros, matching
+    onehot_gather_t."""
+    if interpret is None:
+        interpret = _interpret_default()
+    cap, C = table.shape
+    P = rows.shape[0]
+    tabT = table.T.astype(jnp.float32)               # (C, cap)
+    if interpret:
+        valid = (rows >= 0) & (rows < cap)
+        safe = jnp.clip(rows, 0, cap - 1)
+        g = jnp.where(valid[:, None], table.astype(jnp.float32)[safe], 0.0)
+        return tuple(g[:, c] for c in range(C))
+    blk = _pick_blk(P)
+    rows_p, Pp = _padded(rows, blk, 0)
+
+    def kernel(tab_ref, r_ref, *o_refs):
+        rr = r_ref[:]
+        oh = (rr[None, :]
+              == jax.lax.broadcasted_iota(jnp.int32, (cap, blk), 0)
+              ).astype(jnp.float32)
+        R = jnp.dot(tab_ref[:], oh,
+                    preferred_element_type=jnp.float32)      # (C, blk)
+        for k, o in enumerate(o_refs):
+            o[:] = R[k]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // blk,),
+        in_specs=[pl.BlockSpec((C, cap), lambda i: (0, 0)),
+                  pl.BlockSpec((blk,), lambda i: (i,))],
+        out_specs=tuple(pl.BlockSpec((blk,), lambda i: (i,))
+                        for _ in range(C)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Pp,), jnp.float32)
+                        for _ in range(C)),
+        interpret=interpret,
+    )(tabT, rows_p)
+    if Pp != P:
+        outs = tuple(o[:P] for o in outs)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def channel_rows(x: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """(P, C) block → (C, P) f32, physically transposed (legacy form —

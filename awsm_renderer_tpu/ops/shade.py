@@ -520,7 +520,7 @@ def shade_surface(
     mat_row = jnp.clip(planes["mat_row"].astype(jnp.int32), 0,
                        ds["mat_float"].shape[0] - 1)
     table = _material_table(ds)
-    from .relayout import split_rows
+    from .relayout import onehot_split_rows
 
     # fetch + split ONLY the columns this configuration reads: float
     # params, the 3 slot columns of ACTIVE texture slots, and the two
@@ -535,8 +535,7 @@ def shade_surface(
     if debug_mode == "material":
         needed.append(M.NUM_F32 + M.NUM_TEX_SLOTS * 3 + M.MI_DEBUG_MASK)
     pos = {idx: p for p, idx in enumerate(needed)}
-    cols = split_rows(onehot_gather_t(
-        mat_row, table[:, jnp.array(needed, jnp.int32)]))
+    cols = onehot_split_rows(mat_row, table[:, jnp.array(needed, jnp.int32)])
     fused = {idx: cols[p] for idx, p in pos.items()}
 
     def mf(i, k=1):
