@@ -1107,10 +1107,13 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
     device-wide sort orders the pairs; searchsorted yields per-tile
     offsets/counts. Groups spanning more tiles go to the big list.
 
-    pack_submask: entries become (group_id << 4) | mask, where mask bit
-    q = qy*2+qx is set iff the group bbox overlaps the tile's 2x2
-    quadrant q — the MSAA kernel merges per quadrant and skips the
-    cleared ones (a ~6 px triangle touches 1-2 of the 4).
+    pack_submask: entries become (group_id << 8) | (mask1 << 4) | mask0,
+    where mask{h} bit q = qy*2+qx is set iff SUBGROUP h's own bbox (8
+    consecutive triangles, not the whole 16-tri group) overlaps the
+    tile's 2x2 quadrant q — the MSAA kernel merges per (subgroup,
+    quadrant) and skips cleared bits. Morton-coherent subgroup bboxes
+    are ~2x tighter than the group bbox, and slots where NEITHER
+    subgroup touches the tile are dropped from the entry list entirely.
 
     Returns (entries (vis_cap,) i32, offsets (n_tiles,) i32,
              counts (n_tiles,) i32, zmin_g (G,) f32,
@@ -1161,24 +1164,45 @@ def build_bins16(setup_rows: jnp.ndarray, *, width: int, height: int,
     tile = tiley * n_tx + tilex
 
     inval = jnp.int32(n_tiles << rank_bits)
-    keys = jnp.where(slot_ok, (tile << rank_bits) | rank[:, None], inval)
     gids = jnp.arange(G, dtype=jnp.int32)[:, None]
     if pack_submask:
-        assert _ceil_log2(G) + 4 <= 31, G
-        # quadrant overlap: left half = [tile_x0, mid_x), overlaps iff
-        # minx < mid_x (maxx > tile_x0 is implied by the tile pairing,
-        # same rule as the tx0/tx1 span above)
-        mid_x = (tilex * BT_W_ + BT_W_ // 2).astype(jnp.float32)
-        mid_y = (tiley * BT_H_ + BT_H_ // 2).astype(jnp.float32)
-        lx = minx[:, None] < mid_x
-        rx = maxx[:, None] > mid_x
-        ty_ = miny[:, None] < mid_y
-        by = maxy[:, None] > mid_y
+        assert _ceil_log2(G) + 8 <= 31, G
+        n_sub = GROUP // SUB          # subgroups per group (= 2)
+        # per-SUBGROUP bboxes: (G, n_sub)
+        sminx = setup_rows[:, S_BB_MINX].reshape(G, n_sub, SUB).min(axis=2)
+        sminy = setup_rows[:, S_BB_MINY].reshape(G, n_sub, SUB).min(axis=2)
+        smaxx = setup_rows[:, S_BB_MAXX].reshape(G, n_sub, SUB).max(axis=2)
+        smaxy = setup_rows[:, S_BB_MAXY].reshape(G, n_sub, SUB).max(axis=2)
+        snonempty = sminx <= smaxx
+        # quadrant overlap per subgroup: the tile pairing used the GROUP
+        # bbox, so the subgroup must be tested against the whole tile
+        # too (its own bbox may miss this tile entirely). Half-open
+        # pixel-center convention as the tx0/tx1 span above: a bbox max
+        # exactly on a boundary belongs to the lower side.
+        tile_x0 = (tilex * BT_W_).astype(jnp.float32)[:, :, None]  # (G,K,1)
+        tile_y0 = (tiley * BT_H_).astype(jnp.float32)[:, :, None]
+        mid_x = tile_x0 + BT_W_ // 2
+        mid_y = tile_y0 + BT_H_ // 2
+        sx0 = sminx[:, None, :]                                    # (G,1,S)
+        sx1 = smaxx[:, None, :]
+        sy0 = sminy[:, None, :]
+        sy1 = smaxy[:, None, :]
+        lx = (sx0 < mid_x) & (sx1 > tile_x0)
+        rx = (sx1 > mid_x) & (sx0 < tile_x0 + BT_W_)
+        ty_ = (sy0 < mid_y) & (sy1 > tile_y0)
+        by = (sy1 > mid_y) & (sy0 < tile_y0 + BT_H_)
         mask = ((lx & ty_) * 1 | (rx & ty_) * 2
                 | (lx & by) * 4 | (rx & by) * 8).astype(jnp.int32)
-        vals = jnp.broadcast_to(gids * 16, keys.shape) | mask
+        mask = jnp.where(snonempty[:, None, :], mask, 0)   # (G, K, n_sub)
+        packed_mask = mask[:, :, 0]
+        for h in range(1, n_sub):
+            packed_mask = packed_mask | (mask[:, :, h] << (4 * h))
+        # slots where no subgroup touches the tile carry no work: drop
+        slot_ok = slot_ok & (packed_mask != 0)
+        vals = jnp.broadcast_to(gids << 8, (G, K_SLOTS)) | packed_mask
     else:
-        vals = jnp.broadcast_to(gids, keys.shape)
+        vals = jnp.broadcast_to(gids, (G, K_SLOTS))
+    keys = jnp.where(slot_ok, (tile << rank_bits) | rank[:, None], inval)
     keys_s, vals_s = jax.lax.sort_key_val(keys.reshape(-1), vals.reshape(-1))
 
     bounds = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << rank_bits)
@@ -1554,7 +1578,7 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
             pyq.append(2.0 * pyd + 0.5)
 
         def start(b):
-            g = entries_ref[off + b] >> 4
+            g = entries_ref[off + b] >> 8
             pltpu.make_async_copy(
                 setup_ref.at[g], stash.at[jax.lax.rem(b, prefetch)],
                 sem.at[jax.lax.rem(b, prefetch)]
@@ -1608,13 +1632,23 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
 
             wait(b)
             e = entries_ref[off + b]
-            g = e >> 4
+            g = e >> 8
             P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
-            return tuple(
-                jax.lax.cond(((e >> q) & 1) != 0,
-                             lambda sq, q=q: merge_quad(P16, g, q, sq),
-                             lambda sq: sq, states[q])
-                for q in range(4))
+            # per-(subgroup, quadrant) gating: bit 4*h + q of e is set
+            # iff subgroup h's bbox overlaps quadrant q (build_bins16
+            # pack_submask) — ~2x tighter than the old per-group mask
+            new_states = []
+            for q in range(4):
+                sq = states[q]
+                for h in range(GROUP // SUB):
+                    sq = jax.lax.cond(
+                        ((e >> (4 * h + q)) & 1) != 0,
+                        lambda s, h=h, q=q: _merge_subgroup_msaa(
+                            P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q], s,
+                            col_base=g * GROUP + h * SUB),
+                        lambda s: s, sq)
+                new_states.append(sq)
+            return tuple(new_states)
 
         states = jax.lax.fori_loop(0, cnt, body, states0)
 

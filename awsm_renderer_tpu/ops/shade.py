@@ -287,7 +287,7 @@ def split_bf16_tables(setup_rows):
                      "coord_scale"))
 def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
                          row_offset=0, interpret: bool = False,
-                         coord_scale: int = 1):
+                         coord_scale: int = 1, px=None, py=None):
     """Slim (tri_id) buffer -> full attribute planes, production path.
 
     TWO fast bf16-split gathers fetch each pixel's winner setup row at
@@ -300,16 +300,22 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     interpolation ALU and the miss masking, emitting every plane
     rank-1 — the XLA equivalent spread this over a convert+add fusion,
     a splitter pass and select fusions (~12 ms extra at 1080p).
-    Returns {name: (P,) plane} for RESOLVE_NAMES."""
+    Returns {name: (P,) plane} for RESOLVE_NAMES.
+
+    px/py (optional, (P,) f32): explicit RASTER-SPACE pixel centers for
+    plane evaluation — used by the covered-tile-compacted opaque shade
+    (frame.py), where the flat index no longer encodes screen position;
+    coord_scale/row_offset are ignored for the coordinate math then."""
     from jax.experimental import pallas as pl
 
     from .relayout import _padded, _pick_blk
 
+    assert (px is None) == (py is None)
     if interpret:
         planes = {"tri_id": tid}
         out = resolve_gbuffer(planes, setup_rows, width=width,
                               height_full=height_full, row_offset=row_offset,
-                              coord_scale=coord_scale)
+                              coord_scale=coord_scale, px=px, py=py)
         return {k: out[k] for k in RESOLVE_NAMES}
 
     P = tid.shape[0]
@@ -337,19 +343,32 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
     tab, i = jax.lax.optimization_barrier((tab, i))
     g = tab[i]                                  # (Pp, 2C) bf16, one gather
 
-    def kernel(tid_ref, g_ref, *o_refs):
+    explicit_xy = px is not None
+    if explicit_xy:
+        px_p, _ = _padded(px, blk, 0)
+        py_p, _ = _padded(py, blk, 0)
+
+    def kernel(tid_ref, g_ref, *rest):
+        if explicit_xy:
+            px_ref, py_ref, *o_refs = rest
+        else:
+            o_refs = rest
         pid = pl.program_id(0)
         gb = g_ref[:]                                    # (blk, 2C) bf16
         S = (gb[:, :C].astype(jnp.float32)
              + gb[:, C:].astype(jnp.float32)).T          # (C, blk)
-        idx = (pid * blk
-               + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
-        # coord_scale > 1: ids were taken at every scale-th sample of a
-        # supersampled raster whose plane equations live in that space —
-        # evaluate them at the representative sample's supersampled center
-        px = (idx % width).astype(jnp.float32) * coord_scale + 0.5
-        py = (((idx // width) + row_offset).astype(jnp.float32)
-              * coord_scale + 0.5)
+        if explicit_xy:
+            px = px_ref[:]
+            py = py_ref[:]
+        else:
+            idx = (pid * blk
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)[0])
+            # coord_scale > 1: ids were taken at every scale-th sample of
+            # a supersampled raster whose plane equations live in that
+            # space — evaluate at the representative supersampled center
+            px = (idx % width).astype(jnp.float32) * coord_scale + 0.5
+            py = (((idx // width) + row_offset).astype(jnp.float32)
+                  * coord_scale + 0.5)
         class _Rows:
             def __getitem__(self, k):
                 return S[k]
@@ -366,11 +385,16 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
             else:
                 o[:] = jnp.where(miss, 0.0, res[name])
 
+    plane_spec = pl.BlockSpec((blk,), lambda n: (n,))
+    in_specs = [plane_spec, pl.BlockSpec((blk, 2 * C), lambda n: (n, 0))]
+    ins = [tid_p, g]
+    if explicit_xy:
+        in_specs += [plane_spec, plane_spec]
+        ins += [px_p, py_p]
     outs = pl.pallas_call(
         kernel,
         grid=(Pp // blk,),
-        in_specs=[pl.BlockSpec((blk,), lambda n: (n,)),
-                  pl.BlockSpec((blk, 2 * C), lambda n: (n, 0))],
+        in_specs=in_specs,
         out_specs=tuple(pl.BlockSpec((blk,), lambda n: (n,))
                         for _ in RESOLVE_NAMES),
         out_shape=tuple(
@@ -378,14 +402,14 @@ def resolve_planes_fused(tid, setup_rows, *, width: int, height_full: int,
                 (Pp,), jnp.int32 if n == "tri_id" else jnp.float32)
             for n in RESOLVE_NAMES),
         interpret=interpret,
-    )(tid_p, g)
+    )(*ins)
     if Pp != P:
         outs = tuple(o[:P] for o in outs)
     return dict(zip(RESOLVE_NAMES, outs))
 
 
 def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
-                    row_offset=0, coord_scale: int = 1):
+                    row_offset=0, coord_scale: int = 1, px=None, py=None):
     """Expand a slim (tri_id, depth) G-buffer into full attribute planes.
 
     setup_rows: (T2, NSETUP) row-major (ids in the slim buffer are
@@ -406,9 +430,10 @@ def resolve_gbuffer(planes, setup_rows, *, width: int, height_full: int,
     S = setup_rows[i]                                       # (P, NSETUP)
     ch = split_channels(S)
 
-    px = (jnp.arange(P, dtype=jnp.float32) % width) * coord_scale + 0.5
-    py = (jnp.arange(P, dtype=jnp.float32) // width
-          + jnp.float32(row_offset)) * coord_scale + 0.5
+    if px is None:
+        px = (jnp.arange(P, dtype=jnp.float32) % width) * coord_scale + 0.5
+        py = (jnp.arange(P, dtype=jnp.float32) // width
+              + jnp.float32(row_offset)) * coord_scale + 0.5
 
     res = _resolve_math(ch, px, py)
     out = dict(planes)
@@ -956,6 +981,85 @@ def _tile_unswizzle(t: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
             .swapaxes(1, 2).reshape(H * W))
 
 
+def shade_deferred_compact_c(
+    tid_flat, setup_rows, depth_flat, ds, *,
+    width: int, height: int, height_full: int, row_offset,
+    resolve_row_offset, coord_scale: int,
+    use_mips: bool, slot_mask, solid_env: bool, has_nearest: bool,
+    ext, debug_mode: str, tile_cap: int, interpret: bool = False,
+):
+    """Covered-tile-compacted deferred opaque shade (slim/MSAA path).
+
+    Opaque geometry typically covers 50-70% of a frame's 8x128 tiles —
+    the rest is sky, yet the band-wide deferred shade pays the resolve
+    gather + full PBR ALU + texture taps for every sky pixel just to
+    discard it at the miss select. With a host AABB-derived upper bound
+    on covered tiles (renderer._bucket_tile_cap), the slim tri_id plane
+    compacts to the covered tiles (coverage-first argsort, the
+    _shade_transparent_compact pattern), the fused resolve evaluates
+    plane equations at explicit px/py coords, shading runs in compact
+    space with NDC coords riding as planes, and the shaded colors
+    scatter into the solid-environment sky constant. Bit-equivalent to
+    shade_deferred_c whenever the cap covers every live tile
+    (tests/test_opaque_compact.py asserts it). Requires solid_env: an
+    image environment needs a per-pixel sky everywhere, halving the
+    win — callers gate (frame.py _opaque_band_msaa)."""
+    H, W = height, width
+    n_tiles = (H // 8) * (W // 128)
+    C = min(tile_cap, n_tiles)
+    sw_tid = _tile_swizzle(tid_flat, H, W)               # (n_tiles, 1024)
+    cov = jnp.any(sw_tid >= 0, axis=-1)
+    idx = jnp.argsort(~cov)[:C]                          # covered-first
+    tid_c = jnp.take(sw_tid, idx, axis=0).reshape(C * 1024)
+    dep_c = jnp.take(_tile_swizzle(depth_flat, H, W), idx,
+                     axis=0).reshape(C * 1024)
+
+    ntx = W // 128
+    tx = (idx % ntx).astype(jnp.float32)
+    ty = (idx // ntx).astype(jnp.float32)
+    q = jnp.arange(1024, dtype=jnp.float32)
+    gx = tx[:, None] * 128.0 + (q % 128)[None, :]        # (C, 1024) display
+    gy = ty[:, None] * 8.0 + (q // 128)[None, :]
+    # raster-space eval coords: what the non-compact resolve derives from
+    # the flat index (px = x*coord_scale + 0.5 at the supersample center)
+    px = (gx * coord_scale + 0.5).reshape(C * 1024)
+    py = ((gy + jnp.float32(resolve_row_offset))
+          * coord_scale + 0.5).reshape(C * 1024)
+    vis = resolve_planes_fused(tid_c, setup_rows, width=W,
+                               height_full=height_full,
+                               px=px, py=py, interpret=interpret)
+    planes = {k: vis[k] for k in RESOLVE_NAMES}
+    planes["depth"] = dep_c
+    planes["ndc_x"] = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * 1024)
+    planes["ndc_y"] = (1.0 - (gy + jnp.float32(row_offset) + 0.5)
+                       / height_full * 2.0).reshape(C * 1024)
+
+    color, _alpha, valid, n_final, sky = shade_surface(
+        planes, ds,
+        width=128, height=C * 8, height_full=height_full, row_offset=0,
+        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+        has_nearest=has_nearest, ext=ext,
+        debug_mode=(debug_mode
+                    if debug_mode in ("ibl", "punctual", "material")
+                    else "none"),
+        want_sky=True,
+    )
+    assert sky is None, "compact opaque shade requires solid_env"
+    if debug_mode == "normals":
+        color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
+    out_c = [jnp.where(valid, color[c], ds["skybox"][0, c])
+             for c in range(3)]
+
+    out_full = []
+    for c in range(3):
+        full = jnp.broadcast_to(ds["skybox"][0, c], (n_tiles, 1024))
+        scat = full.at[idx].set(out_c[c].reshape(C, 1024))
+        out_full.append(_tile_unswizzle(scat, H, W))
+    a_scat = jnp.zeros((n_tiles, 1024), jnp.float32).at[idx].set(
+        valid.astype(jnp.float32).reshape(C, 1024))
+    return out_full + [_tile_unswizzle(a_scat, H, W)]
+
+
 def _shade_transparent_compact(
     layers, opaque_ch, ds, *, width: int, height: int, height_full: int,
     row_offset, use_mips: bool, slot_mask, solid_env: bool,
@@ -1096,7 +1200,7 @@ def shade_transparent_layers_c(
     the reference's forward pass simply has no fragments elsewhere, but a
     band-wide batched shade pays full-band ALU + taps for every peel.
     With a host-derived upper bound on covered 8x128 tiles (projected
-    AABB rects, renderer._overlay_tile_cap), the planes compact to the
+    AABB rects, renderer._bucket_tile_cap), the planes compact to the
     covered tiles (coverage-first stable argsort over layer-0 tri_id),
     shade + composite run in compact space with NDC coords and exact
     pre-computed uv gradients riding as planes, and only the composited

@@ -509,6 +509,7 @@ def _opaque_band_msaa(
     ext,
     has_uv1: bool,
     has_color: bool,
+    tile_cap: Optional[int] = None,
 ):
     """MSAA-4x-equivalent opaque stage: coverage + depth at 2x2 samples
     per display pixel (slim raster — ids and depth only), shading ONCE
@@ -558,6 +559,27 @@ def _opaque_band_msaa(
     # the b0 table gather at 1080p, profiled). The barrier materializes
     # the indices once in canonical layout (~1 ms relayout copy).
     rep_flat = jax.lax.optimization_barrier(rep.reshape(band1_h * rw1))
+
+    # covered-tile compaction: skip resolve + PBR work on pure-sky tiles
+    # (shade.py shade_deferred_compact_c). Solid-env only (image envs
+    # need per-pixel sky everywhere); hooks see full-frame vis planes.
+    if (tile_cap is not None and solid_env
+            and band1_h % 8 == 0 and rw1 % 128 == 0
+            and tile_cap * 1024 < band1_h * rw1
+            and not (hooks and hooks.after_geometry)):
+        from ..ops.shade import shade_deferred_compact_c
+
+        hdr_ch = shade_deferred_compact_c(
+            rep_flat, srows, depth1.reshape(band1_h * rw1), ds,
+            width=rw1, height=band1_h, height_full=rh1_full,
+            row_offset=row_offset1,
+            resolve_row_offset=0 if shift_rows else row_offset1,
+            coord_scale=2, use_mips=use_mips, slot_mask=slot_mask,
+            solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+            debug_mode=debug_mode, tile_cap=tile_cap, interpret=interpret,
+        )
+        return hdr_ch, samp, depth1
+
     vis = resolve_planes_fused(
         rep_flat, srows, width=rw1, height_full=rh1_full,
         row_offset=0 if shift_rows else row_offset1, coord_scale=2,
@@ -682,7 +704,7 @@ def _finish_frame(
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
         "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
         "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
-        "overlay_tile_cap",
+        "overlay_tile_cap", "opaque_tile_cap",
     ),
 )
 def render_frame(
@@ -722,6 +744,7 @@ def render_frame(
     overlay_crop_h: Optional[int] = None,
     overlay_tri_idx=None,
     overlay_tile_cap: Optional[int] = None,
+    opaque_tile_cap: Optional[int] = None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -753,7 +776,8 @@ def render_frame(
             ds, opaque_mask,
             rw2=_pad_to(width * 2, TILE_W), band2_h=2 * rh1, rh2_full=2 * rh1,
             rw1=rw1, band1_h=rh1, rh1_full=rh1,
-            row_offset1=0, shift_rows=False, debug_mode=debug_mode, **common,
+            row_offset1=0, shift_rows=False, debug_mode=debug_mode,
+            tile_cap=opaque_tile_cap, **common,
         )
         hdr_ch = _msaa_edge_blend(hdr_ch, samp, rh1, rw1)
         tri_id = samp[0]

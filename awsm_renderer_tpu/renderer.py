@@ -470,17 +470,22 @@ class AwsmRendererTpu:
         y0q = max(0, min(y0q, rh1 - b))
         return y0q, b
 
-    def _overlay_tile_cap(self, masks):
-        """Upper bound on the 8x128 raster tiles the TRANSPARENT bucket
-        can cover: per-mesh projected-AABB screen rects, tile-quantized
+    def _bucket_tile_cap(self, masks, bucket: str):
+        """Upper bound on the 8x128 raster tiles one pass bucket can
+        cover: per-mesh projected-AABB screen rects, tile-quantized
         (1 px safety pad), union-counted — over-counting is always
-        safe — then bucketed to the next power of two so camera motion
-        retraces at most log2(n_tiles) times. Drives the covered-tile
-        compaction of the K-layer transparent shade
-        (ops/shade.py shade_transparent_layers_c tile_cap). None = no
-        transparent geometry, a mesh crosses the near plane (unbounded
-        screen extent), or the bound would not pay for itself."""
-        mask = masks["transparent"]
+        safe — then quantized so camera motion retraces boundedly.
+        Transparent buckets round up to the next power of two (few
+        covered tiles, log2(n_tiles) retraces max); the opaque bucket
+        typically covers 40-75% of the frame, so it quantizes in
+        ~n_tiles/16 steps instead (a pow2 round-up past 50% would always
+        clear the worth-it bar). Drives the covered-tile compaction of
+        the K-layer transparent shade (shade_transparent_layers_c
+        tile_cap) and the deferred opaque shade
+        (shade_deferred_compact_c). None = empty bucket, a mesh crosses
+        the near plane (unbounded screen extent), or the bound would not
+        pay for itself."""
+        mask = masks[bucket]
         rw1 = ((self.config.width + 127) // 128) * 128
         rh1 = ((self.config.height + 7) // 8) * 8
         n_tiles = (rh1 // 8) * (rw1 // 128)
@@ -518,6 +523,12 @@ class AwsmRendererTpu:
             acc.cumsum(axis=0).cumsum(axis=1)[:-1, :-1]))
         if cap <= 0:
             return None
+        if bucket == "opaque":
+            step = max(64, 1 << max(0, (n_tiles // 16 - 1)).bit_length())
+            capb = -(-cap // step) * step
+            if capb * 8 >= n_tiles * 7:   # <12.5% sky: not worth a retrace
+                return None
+            return capb
         capb = max(64, 1 << (cap - 1).bit_length())
         if capb * 4 >= n_tiles * 3:
             return None
@@ -621,7 +632,7 @@ class AwsmRendererTpu:
             ov_ext = self._ext_mask(ov_rows)
             ov_crop = self._overlay_crop(masks)
             ov_idx = self._overlay_tri_idx(masks)
-            ov_tile_cap = (self._overlay_tile_cap(masks)
+            ov_tile_cap = (self._bucket_tile_cap(masks, "transparent")
                            if has_transparent else None)
         else:
             ov_slot_mask = None
@@ -630,6 +641,11 @@ class AwsmRendererTpu:
             ov_idx = None
             ov_tile_cap = None
         op_rows = self._bucket_mat_rows(masks["opaque"])
+        # opaque covered-tile compaction: MSAA path + solid env only
+        # (frame.py _opaque_band_msaa gates identically on the traced side)
+        op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
+                       if cfg.anti_aliasing.msaa and self.environment.is_solid
+                       else None)
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
         ldr, tri_id, depth = render_frame(
@@ -661,6 +677,7 @@ class AwsmRendererTpu:
             overlay_crop_h=(ov_crop[1] if ov_crop else None),
             overlay_tri_idx=ov_idx,
             overlay_tile_cap=ov_tile_cap,
+            opaque_tile_cap=op_tile_cap,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
             has_color=self.meshes.uses_vertex_colors,
             debug_mode=debug_mode,

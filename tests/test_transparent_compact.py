@@ -110,7 +110,7 @@ def test_overlay_tile_cap_bound_is_safe():
 
     r = _scene(pbr_glass=False)
     masks = r._mesh_masks()
-    cap = r._overlay_tile_cap(masks)
+    cap = r._bucket_tile_cap(masks, "transparent")
     ds = r._flush()
     rows = prep_setup_rows(*_run_vertex(
         ds, jnp.asarray(masks["transparent"]), rw=W, rh_full=H,
