@@ -1491,6 +1491,23 @@ def _merge_subgroup_msaa(P, px, py, states, col_base):
     [top-left, top-right, bottom-left, bottom-right] (matching the
     frame's `samp` list). Top-left fill rule + depth-tie column order
     identical to _merge_subgroup."""
+    out = []
+    for s, (zmin, win) in enumerate(_msaa_sample_winners(P, px, py)):
+        zs, cs = states[s]
+        take = zmin < zs
+        out.append((jnp.where(take, zmin, zs),
+                    jnp.where(take, col_base + win, cs)))
+    return tuple(out)
+
+
+def _msaa_sample_winners(P, px, py):
+    """Per-sample (zmin, winner-local-index) for P.shape[0] triangles at
+    the 4 MSAA sample positions. The far-plane test (z <= 1) is left out
+    on purpose: winner states initialize at z = 1.0 and the take rule is
+    a strict less-than, so a candidate with z >= 1 can never land — the
+    min against _BIG-filled misses gives bit-identical states without
+    the two extra vector ops per sample."""
+    nsub = P.shape[0]
     npx = px.shape[1]
 
     def col(r):
@@ -1508,7 +1525,7 @@ def _merge_subgroup_msaa(P, px, py, states, col_base):
     za, zb = col(S_ZA), col(S_ZB)
     z00 = za * px + (zb * py + col(S_ZC))
 
-    local = jax.lax.broadcasted_iota(jnp.int32, (SUB, npx), 0)
+    local = jax.lax.broadcasted_iota(jnp.int32, (nsub, npx), 0)
     out = []
     for s, (i, j) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         cover = None
@@ -1525,16 +1542,29 @@ def _merge_subgroup_msaa(P, px, py, states, col_base):
             z = z + za
         if i:
             z = z + zb
-        cover = cover & (z >= 0.0) & (z <= 1.0)
-        zc = jnp.where(cover, z, _BIG)
+        zc = jnp.where(cover & (z >= 0.0), z, _BIG)
         zmin = jnp.min(zc, axis=0, keepdims=True)
-        idx_m = jnp.where(zc == zmin, local, SUB)
+        idx_m = jnp.where(zc == zmin, local, nsub)
         win = jnp.min(idx_m, axis=0, keepdims=True)
-        zs, cs = states[s]
+        out.append((zmin, win))
+    return out
+
+
+def _merge_subgroup_msaa_scratch(P, px, py, zs_ref, cs_ref, q, col_base):
+    """Scratch-state MSAA merge: winner rows q*4+s of the (16, npx)
+    VMEM scratch refs are updated in place. Side-effect form so the
+    per-(subgroup, quadrant) gating can be a pl.when branch — the
+    loop-carried-tuple form made every lax.cond marshal 8 KB of state,
+    measured ~51 ns/cond vs ~65 ns for the merge it skipped
+    (scripts/bench_msaa_isolate.py: nocond 10.79 ms beat the gated
+    11.46 ms on the 1080p stress scene)."""
+    for s, (zmin, win) in enumerate(_msaa_sample_winners(P, px, py)):
+        r = q * 4 + s
+        zs = zs_ref[r : r + 1, :]
+        cs = cs_ref[r : r + 1, :]
         take = zmin < zs
-        out.append((jnp.where(take, zmin, zs),
-                    jnp.where(take, col_base + win, cs)))
-    return tuple(out)
+        zs_ref[r : r + 1, :] = jnp.where(take, zmin, zs)
+        cs_ref[r : r + 1, :] = jnp.where(take, col_base + win, cs)
 
 
 def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
@@ -1552,13 +1582,19 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
     Stash is a PREFETCH-slot ring (the DMA pipeline only ever has
     `prefetch` copies in flight; slot b%prefetch was fully consumed at
     iteration b-prefetch), so per-tile entry counts are unbounded — no
-    silent stash_cap clamp. Slot `prefetch` is the big-group scratch."""
+    silent stash_cap clamp. Slot `prefetch` is the big-group scratch.
+
+    Winner states live in VMEM scratch (zs/cs, row = q*4 + s), NOT in
+    the fori carry: with carried state every per-(subgroup, quadrant)
+    lax.cond marshalled 8 KB of state (~51 ns each, 8/entry — more
+    than the ~65 ns merges they skipped at 28% mask density). As
+    pl.when side effects the gate is a plain branch."""
     npx = (BT_H * BT_W) // 4      # pixels per quadrant
 
     def _kernel(entries_ref, off_ref, cnt_ref, zmin_ref,
                 bigp_ref, bigid_ref, nbig_ref, setup_ref, *refs):
         outs = refs[:5]
-        stash, sem = refs[5], refs[6]
+        stash, sem, zs_ref, cs_ref = refs[5], refs[6], refs[7], refs[8]
 
         t = pl.program_id(0)
         cnt = cnt_ref[t]
@@ -1613,19 +1649,16 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
             def _prefetch(w=w):
                 start(w)
 
-        miss = jnp.full((1, npx), -1, jnp.int32)
-        one = jnp.full((1, npx), 1.0, jnp.float32)
-        # states[q][s] = (z, col) for quadrant q, coverage sample s
-        states0 = tuple(tuple((one, miss) for _ in range(4)) for _ in range(4))
+        # winner-state scratch init (persists across grid steps)
+        zs_ref[...] = jnp.ones((16, npx), jnp.float32)
+        cs_ref[...] = jnp.full((16, npx), -1, jnp.int32)
 
-        def merge_quad(P16, g, q, sq):
-            for h in range(GROUP // SUB):
-                sq = _merge_subgroup_msaa(
-                    P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q], sq,
-                    col_base=g * GROUP + h * SUB)
-            return sq
+        def merge_quad(P16, g, q):
+            _merge_subgroup_msaa_scratch(
+                P16, pxq[q], pyq[q], zs_ref, cs_ref, q,
+                col_base=g * GROUP)
 
-        def body(b, states):
+        def body(b, carry):
             @pl.when(b + prefetch - 1 < cnt)
             def _next():
                 start(b + prefetch - 1)
@@ -1634,25 +1667,25 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
             e = entries_ref[off + b]
             g = e >> 8
             P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
-            # per-(subgroup, quadrant) gating: bit 4*h + q of e is set
-            # iff subgroup h's bbox overlaps quadrant q (build_bins16
-            # pack_submask) — ~2x tighter than the old per-group mask
-            new_states = []
+            # per-quadrant gating: bits 4*h + q of e say whether
+            # subgroup h's bbox overlaps quadrant q (build_bins16
+            # pack_submask). The merge runs 16-wide over the WHOLE
+            # group whenever either subgroup's bit is set — triangles
+            # whose bbox misses the quadrant cover no pixel there, so
+            # the extra lanes can't take state (bit-exact), and one
+            # 16-wide merge + 4 whens/entry beat two 8-wide merges + 8
+            # whens (8.04 vs 8.89 ms, scripts/bench_msaa_isolate.py)
             for q in range(4):
-                sq = states[q]
-                for h in range(GROUP // SUB):
-                    sq = jax.lax.cond(
-                        ((e >> (4 * h + q)) & 1) != 0,
-                        lambda s, h=h, q=q: _merge_subgroup_msaa(
-                            P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q], s,
-                            col_base=g * GROUP + h * SUB),
-                        lambda s: s, sq)
-                new_states.append(sq)
-            return tuple(new_states)
+                @pl.when(((e >> q) & 0x11) != 0)
+                def _m(q=q):
+                    _merge_subgroup_msaa_scratch(
+                        P16, pxq[q], pyq[q], zs_ref, cs_ref, q,
+                        col_base=g * GROUP)
+            return carry
 
-        states = jax.lax.fori_loop(0, cnt, body, states0)
+        jax.lax.fori_loop(0, cnt, body, 0)
 
-        def bigbody(i, states):
+        def bigbody(i, carry):
             g = bigid_ref[i]
             bb = bigp_ref[i]
             gx0 = bb & 255
@@ -1662,7 +1695,8 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
             hit = ((gx0 <= tile_x) & (tile_x <= gx1)
                    & (gy0 <= tile_y) & (tile_y <= gy1))
 
-            def m(states, g=g, i=i):
+            @pl.when(hit)
+            def _m(g=g, i=i):
                 def from_cache():
                     return stash[prefetch + i][:, :NSETUP]
 
@@ -1675,21 +1709,23 @@ def _make_v5_msaa_kernel(n_tx: int, prefetch: int = 4):
                     return stash[prefetch + NBIG_STASH][:, :NSETUP]
 
                 P16 = jax.lax.cond(i < cached, from_cache, from_dma)
-                return tuple(merge_quad(P16, g, q, states[q])
-                             for q in range(4))
+                for q in range(4):
+                    merge_quad(P16, g, q)
+            return carry
 
-            return jax.lax.cond(hit, m, lambda st: st, states)
-
-        states = jax.lax.fori_loop(0, nbig_ref[0], bigbody, states)
+        jax.lax.fori_loop(0, nbig_ref[0], bigbody, 0)
 
         for s in range(4):
-            cols = jnp.concatenate([states[q][s][1] for q in range(4)],
-                                   axis=1)
+            cols = jnp.concatenate(
+                [cs_ref[q * 4 + s : q * 4 + s + 1, :] for q in range(4)],
+                axis=1)
             outs[s][0] = cols.reshape(8, 128)
         zmin = jnp.concatenate(
             [jnp.minimum(
-                jnp.minimum(states[q][0][0], states[q][1][0]),
-                jnp.minimum(states[q][2][0], states[q][3][0]))
+                jnp.minimum(zs_ref[q * 4 : q * 4 + 1, :],
+                            zs_ref[q * 4 + 1 : q * 4 + 2, :]),
+                jnp.minimum(zs_ref[q * 4 + 2 : q * 4 + 3, :],
+                            zs_ref[q * 4 + 3 : q * 4 + 4, :]))
              for q in range(4)], axis=1)
         outs[4][0] = zmin.reshape(8, 128)
 
@@ -1758,6 +1794,9 @@ def rasterize16_msaa(setup_rows, *, width2: int, height2: int,
             pltpu.VMEM((prefetch + NBIG_STASH + 1, GROUP, NSETUP_PAD),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((prefetch,)),
+            # winner state: row q*4 + s = (quadrant, sample) z / col
+            pltpu.VMEM((16, (2 * BT_H) * (2 * BT_W) // 16), jnp.float32),
+            pltpu.VMEM((16, (2 * BT_H) * (2 * BT_W) // 16), jnp.int32),
         ],
     )
     out_shape = tuple(

@@ -1,7 +1,16 @@
-"""Isolate MSAA-kernel cost on the stress scene: dma / nocond / cond."""
+"""Isolate MSAA-kernel cost on the stress scene: dma / nocond / cond.
+
+Mirrors the production _make_v5_msaa_kernel (raster.py) including the
+(gid << 8) | submask entry encoding and the big-group VMEM cache, with
+ablation modes:
+  dma    — DMA ring only, no merges (loop + memory floor)
+  nocond — merge every (subgroup, quadrant) unconditionally
+  cond   — per-(subgroup, quadrant) lax.cond gating (carried state)
+  when   — production: VMEM-scratch state + pl.when gating
+Pass mode[:prefetch] args, e.g. `cond when dma`.
+"""
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -19,12 +28,15 @@ import awsm_renderer_tpu.ops.raster as R
 
 def make_kernel(n_tx, prefetch, mode):
     GROUP, SUB, NSETUP, BT_H, BT_W = R.GROUP, R.SUB, R.NSETUP, R.BT_H, R.BT_W
+    NBIG_STASH = R.NBIG_STASH
     npx = (BT_H * BT_W) // 4
 
     def _kernel(entries_ref, off_ref, cnt_ref, zmin_ref,
                 bigp_ref, bigid_ref, nbig_ref, setup_ref, *refs):
         outs = refs[:5]
         stash, sem = refs[5], refs[6]
+        if mode in ("when", "when16"):
+            zs_ref, cs_ref = refs[7], refs[8]
         t = pl.program_id(0)
         cnt = cnt_ref[t]
         off = off_ref[t]
@@ -42,7 +54,7 @@ def make_kernel(n_tx, prefetch, mode):
             pyq.append(2.0 * pyd + 0.5)
 
         def start(b):
-            g = entries_ref[off + b] >> 4
+            g = entries_ref[off + b] >> 8
             pltpu.make_async_copy(
                 setup_ref.at[g], stash.at[jax.lax.rem(b, prefetch)],
                 sem.at[jax.lax.rem(b, prefetch)]).start()
@@ -52,10 +64,104 @@ def make_kernel(n_tx, prefetch, mode):
                 setup_ref.at[0], stash.at[jax.lax.rem(b, prefetch)],
                 sem.at[jax.lax.rem(b, prefetch)]).wait()
 
+        cached = jnp.minimum(nbig_ref[0], NBIG_STASH)
+
+        @pl.when(t == 0)
+        def _fill_big_cache():
+            def cp(i, c):
+                d = pltpu.make_async_copy(
+                    setup_ref.at[bigid_ref[i]], stash.at[prefetch + i],
+                    sem.at[0])
+                d.start()
+                d.wait()
+                return c
+            jax.lax.fori_loop(0, cached, cp, 0)
+
         for w in range(prefetch - 1):
             @pl.when(w < cnt)
             def _p(w=w):
                 start(w)
+
+        if mode in ("when", "when16"):
+            zs_ref[...] = jnp.ones((16, npx), jnp.float32)
+            cs_ref[...] = jnp.full((16, npx), -1, jnp.int32)
+
+            def wbody(b, carry):
+                @pl.when(b + prefetch - 1 < cnt)
+                def _n():
+                    start(b + prefetch - 1)
+                wait(b)
+                e = entries_ref[off + b]
+                g = e >> 8
+                P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
+                if mode == "when16":
+                    for q in range(4):
+                        bits = (e >> q) & 0x11   # (h0, h1) bits of quad q
+                        @pl.when(bits != 0)
+                        def _m(q=q):
+                            R._merge_subgroup_msaa_scratch(
+                                P16, pxq[q], pyq[q], zs_ref, cs_ref, q,
+                                col_base=g * GROUP)
+                    return carry
+                for q in range(4):
+                    for h in range(GROUP // SUB):
+                        @pl.when(((e >> (4 * h + q)) & 1) != 0)
+                        def _m(h=h, q=q):
+                            R._merge_subgroup_msaa_scratch(
+                                P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q],
+                                zs_ref, cs_ref, q,
+                                col_base=g * GROUP + h * SUB)
+                return carry
+
+            jax.lax.fori_loop(0, cnt, wbody, 0)
+
+            def wbig(i, carry):
+                g = bigid_ref[i]
+                bb = bigp_ref[i]
+                gx0 = bb & 255
+                gy0 = (bb >> 8) & 255
+                gx1 = (bb >> 16) & 255
+                gy1 = (bb >> 24) & 255
+                hit = ((gx0 <= tile_x) & (tile_x <= gx1)
+                       & (gy0 <= tile_y) & (tile_y <= gy1))
+
+                @pl.when(hit)
+                def _m(g=g, i=i):
+                    def from_cache():
+                        return stash[prefetch + i][:, :NSETUP]
+
+                    def from_dma():
+                        dma = pltpu.make_async_copy(
+                            setup_ref.at[g], stash.at[prefetch + NBIG_STASH],
+                            sem.at[0])
+                        dma.start()
+                        dma.wait()
+                        return stash[prefetch + NBIG_STASH][:, :NSETUP]
+
+                    P16 = jax.lax.cond(i < cached, from_cache, from_dma)
+                    for q in range(4):
+                        for h in range(GROUP // SUB):
+                            R._merge_subgroup_msaa_scratch(
+                                P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q],
+                                zs_ref, cs_ref, q,
+                                col_base=g * GROUP + h * SUB)
+                return carry
+
+            jax.lax.fori_loop(0, nbig_ref[0], wbig, 0)
+            for s in range(4):
+                cols = jnp.concatenate(
+                    [cs_ref[q * 4 + s: q * 4 + s + 1, :] for q in range(4)],
+                    axis=1)
+                outs[s][0] = cols.reshape(8, 128)
+            zmin = jnp.concatenate(
+                [jnp.minimum(
+                    jnp.minimum(zs_ref[q * 4: q * 4 + 1, :],
+                                zs_ref[q * 4 + 1: q * 4 + 2, :]),
+                    jnp.minimum(zs_ref[q * 4 + 2: q * 4 + 3, :],
+                                zs_ref[q * 4 + 3: q * 4 + 4, :]))
+                 for q in range(4)], axis=1)
+            outs[4][0] = zmin.reshape(8, 128)
+            return
 
         miss = jnp.full((1, npx), -1, jnp.int32)
         one = jnp.full((1, npx), 1.0, jnp.float32)
@@ -74,22 +180,63 @@ def make_kernel(n_tx, prefetch, mode):
                 start(b + prefetch - 1)
             wait(b)
             e = entries_ref[off + b]
-            g = e >> 4
+            g = e >> 8
             if mode == "dma":
                 s = stash[jax.lax.rem(b, prefetch)][0, 0]
                 z, c = states[0][0]
-                return ((( z + s * 0.0, c), ) + states[0][1:],) + states[1:]
+                return (((z + s * 0.0, c),) + states[0][1:],) + states[1:]
             P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
             if mode == "nocond":
                 return tuple(merge_quad(P16, g, q, states[q])
                              for q in range(4))
-            return tuple(
-                jax.lax.cond(((e >> q) & 1) != 0,
-                             lambda sq, q=q: merge_quad(P16, g, q, sq),
-                             lambda sq: sq, states[q])
-                for q in range(4))
+            new_states = []
+            for q in range(4):
+                sq = states[q]
+                for h in range(GROUP // SUB):
+                    sq = jax.lax.cond(
+                        ((e >> (4 * h + q)) & 1) != 0,
+                        lambda s, h=h, q=q: R._merge_subgroup_msaa(
+                            P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q], s,
+                            col_base=g * GROUP + h * SUB),
+                        lambda s: s, sq)
+                new_states.append(sq)
+            return tuple(new_states)
 
         states = jax.lax.fori_loop(0, cnt, body, states0)
+
+        def bigbody(i, states):
+            g = bigid_ref[i]
+            bb = bigp_ref[i]
+            gx0 = bb & 255
+            gy0 = (bb >> 8) & 255
+            gx1 = (bb >> 16) & 255
+            gy1 = (bb >> 24) & 255
+            hit = ((gx0 <= tile_x) & (tile_x <= gx1)
+                   & (gy0 <= tile_y) & (tile_y <= gy1))
+
+            def m(states, g=g, i=i):
+                def from_cache():
+                    return stash[prefetch + i][:, :NSETUP]
+
+                def from_dma():
+                    dma = pltpu.make_async_copy(
+                        setup_ref.at[g], stash.at[prefetch + NBIG_STASH],
+                        sem.at[0])
+                    dma.start()
+                    dma.wait()
+                    return stash[prefetch + NBIG_STASH][:, :NSETUP]
+
+                P16 = jax.lax.cond(i < cached, from_cache, from_dma)
+                if mode == "dma":
+                    z, c = states[0][0]
+                    return (((z + P16[0, 0] * 0.0, c),)
+                            + states[0][1:],) + states[1:]
+                return tuple(merge_quad(P16, g, q, states[q])
+                             for q in range(4))
+
+            return jax.lax.cond(hit, m, lambda st: st, states)
+
+        states = jax.lax.fori_loop(0, nbig_ref[0], bigbody, states)
         for s in range(4):
             cols = jnp.concatenate([states[q][s][1] for q in range(4)], axis=1)
             outs[s][0] = cols.reshape(8, 128)
@@ -109,19 +256,25 @@ def run(rows, W64, H64, mode, prefetch=4, vis_cap=65536):
     bins = R.build_bins16(rows, width=W64, height=H64, vis_cap=vis_cap,
                           stash_cap=4096, tile_h=64, tile_w=64,
                           pack_submask=True)
+    bins = jax.device_put(tuple(np.asarray(b) for b in bins))
     rows_p = jnp.pad(rows, ((0, 0), (0, R.NSETUP_PAD - R.NSETUP)))
-    setup_blocked = rows_p.reshape(T // R.GROUP, R.GROUP, R.NSETUP_PAD)
+    setup_blocked = jax.device_put(
+        np.asarray(rows_p.reshape(T // R.GROUP, R.GROUP, R.NSETUP_PAD)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
             pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
-            pltpu.VMEM((prefetch + 1, R.GROUP, R.NSETUP_PAD), jnp.float32),
+            pltpu.VMEM((prefetch + R.NBIG_STASH + 1, R.GROUP, R.NSETUP_PAD),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((prefetch,)),
-        ],
+        ] + ([
+            pltpu.VMEM((16, 256), jnp.float32),
+            pltpu.VMEM((16, 256), jnp.int32),
+        ] if mode in ("when", "when16") else []),
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((n_tiles, 8, 128),
@@ -161,7 +314,7 @@ def main():
         if ":" in mode:
             mode, pf = mode.split(":")[0], int(mode.split(":")[1])
         dt = run(rows, W64, H64, mode, prefetch=pf)
-        print(f"{mode} (prefetch={pf}): {dt*1000:7.2f} ms")
+        print(f"{mode} (prefetch={pf}): {dt*1000:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
