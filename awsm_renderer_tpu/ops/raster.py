@@ -455,7 +455,8 @@ def _deswizzle(tiles: jnp.ndarray, H: int, W: int,
 def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
                         attr_rows=_ATTR_ROWS, n_planes=N_PLANES,
                         slim: bool = False, analytic_derivs: bool = True,
-                        tile_h: int = BT_H, tile_w: int = BT_W):
+                        tile_h: int = BT_H, tile_w: int = BT_W,
+                        compact: bool = False):
     """Streamed binned kernel: grid = (n_tiles,), ONE step per tile.
 
     Each step walks the tile's bin list with a dynamic fori_loop and
@@ -472,16 +473,28 @@ def _make_binned_kernel(unroll: bool, peel: bool, n_tx: int, B: int,
     setup rows with one exact bf16x3 one-hot MXU matmul per chunk that
     actually holds a winner (typically 1-3 per tile vs 16 select trees
     per merged chunk). Attribute interpolation still happens once per
-    pixel at flush (_flush_planes)."""
+    pixel at flush (_flush_planes).
 
-    def _kernel(bin_ref, cnt_ref, zmin_ref, setup_ref, *refs):
+    compact=True: grid step t handles LOGICAL tile tidx_ref[t] (a 4th
+    scalar-prefetch array of covered-tile ids) — bins/counts/zmin index
+    by the logical id while input/output blocks stay at the compacted
+    grid position. This is the covered-tile compaction of the K-layer
+    transparent peel: transparent geometry typically bins into a small
+    fraction of the band's tiles, and the reference's forward pass has
+    no fragments elsewhere (render.rs transparent draws)."""
+
+    def _kernel(bin_ref, cnt_ref, zmin_ref, *krefs):
+        if compact:
+            tidx_ref, setup_ref, *refs = krefs
+        else:
+            setup_ref, *refs = krefs
         if peel:
             zlo_ref, zhi_ref = refs[0], refs[1]
             refs = refs[2:]
         outs = refs[:n_planes]
         buf, sem = refs[n_planes], refs[n_planes + 1]
 
-        t = pl.program_id(0)
+        t = tidx_ref[pl.program_id(0)] if compact else pl.program_id(0)
         cnt = cnt_ref[t]
         ty0 = ((t // n_tx) * tile_h).astype(jnp.float32)
         tx0 = ((t % n_tx) * tile_w).astype(jnp.float32)
@@ -941,6 +954,153 @@ def rasterize_layers(setup, opaque_depth, *, width: int, height: int,
         per_layer.append({k: v.reshape(-1) for k, v in layer.items()})
     return {k: jnp.stack([lay[k] for lay in per_layer])
             for k in per_layer[0]}
+
+
+def _rasterize_binned_compact(setup, zlo_c, zhi_c, *, bins3, B: int,
+                              tile_idx, n_tx: int,
+                              interpret: bool,
+                              has_uv1: bool, has_color: bool,
+                              analytic_derivs: bool = True):
+    """One peel pass of the covered-tile-compacted K-layer raster.
+
+    zlo_c/zhi_c: (C, 8, npx//8) pre-compacted swizzled depth blocks
+    (block i = logical tile tile_idx[i]). Returns the plane dict as
+    (C, 8, npx//8) compacted blocks — no deswizzle, callers stay in
+    compact space across all K peels and the shade."""
+    bins, counts, zmin = bins3
+    C = tile_idx.shape[0]
+    npx = BT_H * BT_W
+    names, attr_rows = plane_layout(has_uv1, has_color, False,
+                                    analytic_derivs)
+    n_planes = len(names)
+
+    def tile_map(t, bin_ref, cnt_ref, zmin_ref, tidx_ref):
+        return (t, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 8, npx // 8), tile_map, memory_space=pltpu.VMEM)
+            for _ in range(n_planes)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NSETUP, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((C, 8, npx // 8),
+                             jnp.int32 if i == 0 else jnp.float32)
+        for i in range(n_planes))
+    outs = pl.pallas_call(
+        _make_binned_kernel(unroll=not interpret, peel=True, n_tx=n_tx,
+                            B=B, attr_rows=attr_rows, n_planes=n_planes,
+                            analytic_derivs=analytic_derivs, compact=True),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bins, counts, zmin, tile_idx, setup, zlo_c, zhi_c)
+    return dict(zip(names, outs))
+
+
+def rasterize_layers_compact(rows, opaque_depth, *, width: int, height: int,
+                             n_layers: int, tile_cap32: int,
+                             interpret: bool | None = None,
+                             has_uv1: bool = True, has_color: bool = True):
+    """Covered-tile-compacted depth peel: K fat peels over ONLY the 32x32
+    band tiles transparent geometry bins into.
+
+    The band-wide K-layer peel pays the full tile grid per peel (960
+    tiles at 1080p x 512-row band) for geometry that typically covers a
+    few dozen tiles; here build_bins' per-tile counts give exact
+    coverage, an argsort compacts the tile list under a static host cap
+    (renderer._bucket_tile_cap with 32x32 quantization — over-counting
+    safe), and peels + zlo chaining + shading all stay in compact space.
+    Emits ANALYTIC uv-derivative planes (plane-equation gradients) so
+    the compacted shade needs no band-space screen differencing.
+
+    Returns (layers dict of (K, C*1024) planes in 32x32-swizzled compact
+    order, tile_idx (C,) i32 logical tile ids, n_tx)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    setup = rows.T
+    W32 = -(-width // BT_W) * BT_W
+    H32 = -(-height // BT_H) * BT_H
+    n_ty, n_tx = H32 // BT_H, W32 // BT_W
+    n_tiles = n_ty * n_tx
+    npx = BT_H * BT_W
+    C = min(tile_cap32, n_tiles)
+
+    bins, counts, B, zmin = build_bins(
+        setup, width=W32, height=H32, max_bins=128,
+        tile_w=BT_W, tile_h=BT_H)
+    # exact PER-TRIANGLE tile coverage (difference-grid popcount — the
+    # device twin of renderer._bucket_tile_cap's host stamp). build_bins'
+    # per-CHUNK counts over-merge: one chunk spanning two distant meshes
+    # marks every tile between them, which can push "covered" past the
+    # host cap and silently drop tiles that DO hold fragments. Triangle
+    # bboxes are subsets of their mesh's projected AABB rect, so the
+    # host cap provably bounds this count.
+    minx, maxx = setup[S_BB_MINX], setup[S_BB_MAXX]
+    miny, maxy = setup[S_BB_MINY], setup[S_BB_MAXY]
+    live = ((minx <= maxx) & (maxx > 0.0) & (minx < W32)
+            & (maxy > 0.0) & (miny < H32))
+    w1 = live.astype(jnp.int32)
+    txa = jnp.clip(jnp.floor(minx / BT_W), 0, n_tx - 1).astype(jnp.int32)
+    txb = jnp.clip(jnp.ceil(maxx / BT_W) - 1, 0, n_tx - 1).astype(jnp.int32)
+    tya = jnp.clip(jnp.floor(miny / BT_H), 0, n_ty - 1).astype(jnp.int32)
+    tyb = jnp.clip(jnp.ceil(maxy / BT_H) - 1, 0, n_ty - 1).astype(jnp.int32)
+    acc = jnp.zeros((n_ty + 1, n_tx + 1), jnp.int32)
+    acc = acc.at[tya, txa].add(w1).at[tya, txb + 1].add(-w1)
+    acc = acc.at[tyb + 1, txa].add(-w1).at[tyb + 1, txb + 1].add(w1)
+    cov = (jnp.cumsum(jnp.cumsum(acc, axis=0), axis=1)[:-1, :-1]
+           > 0).reshape(n_tiles)
+    tile_idx = jnp.argsort(~cov)[:C].astype(jnp.int32)
+
+    # opaque depth (zhi) compacted once; padding rows get depth 0.0 =
+    # fully occluded, so no transparent fragment lands past the viewport
+    pad = ((0, H32 - opaque_depth.shape[0]), (0, W32 - opaque_depth.shape[1]))
+    zhi_c = jnp.take(
+        _swizzle(jnp.pad(opaque_depth, pad), BT_H, BT_W)
+        .reshape(n_tiles, 8, npx // 8),
+        tile_idx, axis=0)
+    zlo = jnp.full((C, 8, npx // 8), -1.0, jnp.float32)
+
+    per_layer = []
+    proto = None
+    for _k in range(n_layers):
+        def peel(zlo):
+            return _rasterize_binned_compact(
+                setup, zlo, zhi_c, bins3=(bins, counts, zmin), B=B,
+                tile_idx=tile_idx, n_tx=n_tx, interpret=interpret,
+                has_uv1=has_uv1, has_color=has_color)
+
+        if _k == 0:
+            layer = peel(zlo)
+            proto = {k: (v.shape, v.dtype) for k, v in layer.items()}
+        else:
+            # runtime peel skip (same as rasterize_layers): an empty
+            # peel k-1 makes every deeper peel empty
+            prev = per_layer[-1]
+            empty = {
+                k: (jnp.full(shape, -1, jnp.int32) if k == "tri_id"
+                    else jnp.zeros(shape, dt))
+                for k, (shape, dt) in proto.items()
+            }
+            layer = jax.lax.cond(
+                jnp.max(prev["tri_id"]) >= 0,
+                peel, lambda _zlo: empty, zlo)
+        zlo = jnp.where(layer["tri_id"] >= 0, layer["depth"], 2.0)
+        per_layer.append({k: v.reshape(-1) for k, v in layer.items()})
+    layers = {k: jnp.stack([lay[k] for lay in per_layer])
+              for k in per_layer[0]}
+    return layers, tile_idx, n_tx
 
 
 def pad_setup(setup: jnp.ndarray) -> jnp.ndarray:

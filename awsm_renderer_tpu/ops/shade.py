@@ -1153,6 +1153,105 @@ def _shade_transparent_compact(
     return out_full + [opaque_ch[3]]
 
 
+def shade_transparent_compact32(
+    layers,            # dict of (K, C*1024) compacted 32x32-block planes
+    tile_idx,          # (C,) i32 logical 32x32 tile ids (band grid)
+    opaque_ch,         # [r, g, b, a] (P,) shaded opaque band planes
+    ds,
+    *,
+    width: int, height: int, height_full: int,
+    row_offset, n_tx: int,
+    use_mips: bool = True,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
+    has_nearest: bool = True,
+    ext: Tuple[bool, ...] = ALL_EXT,
+    n_layers: int = 4,
+):
+    """Shade + composite K transparent peels that were RASTERIZED in
+    covered-tile-compacted space (ops/raster.py rasterize_layers_compact).
+
+    The peel kernels only ever sweep the 32x32 band tiles transparent
+    geometry bins into, and their planes arrive here already compacted
+    (block i = logical tile tile_idx[i], 32x32 row-major within a block)
+    with analytic uv-derivative planes riding along — so unlike
+    _shade_transparent_compact there is no band-wide plane
+    materialization, no swizzle, and no coverage argsort on this side:
+    only the opaque background compacts (a (C,) take) and only the
+    composited rgb scatters back. Same shading math as the band path
+    (NDC coords ride as planes), asserted bit-equivalent in
+    tests/test_transparent_compact.py. Reference behavior: the forward
+    transparent pass simply has no fragments outside its draws
+    (render.rs transparent pass), so pixels there keep the opaque result.
+    """
+    assert not ext[EXT_VOLUME], "refraction needs band-space planes"
+    assert "du0_dx" in layers, "compact peel planes carry analytic derivs"
+    H, W, K = height, width, n_layers
+    C = int(tile_idx.shape[0])
+    Pc = C * 1024
+    H32 = -(-H // 32) * 32
+    n_tiles = (H32 // 32) * (W // 32)
+    assert W % 32 == 0 and n_tx == W // 32
+
+    comp = {k: v.reshape(K, C, 1024) for k, v in layers.items()}
+
+    # pixel NDC coords for the compacted pixels (shade_surface ndc_x path)
+    tx = (tile_idx % n_tx).astype(jnp.float32)
+    ty = (tile_idx // n_tx).astype(jnp.float32)
+    q = jnp.arange(1024, dtype=jnp.float32)
+    gx = tx[:, None] * 32.0 + (q % 32)[None, :]           # (C, 1024)
+    gy = (ty[:, None] * 32.0 + (q // 32)[None, :]
+          + jnp.float32(row_offset))
+    ndc_x = ((gx + 0.5) / W * 2.0 - 1.0).reshape(Pc)
+    ndc_y = (1.0 - (gy + 0.5) / height_full * 2.0).reshape(Pc)
+
+    def sw32(p):
+        img = jnp.pad(p.reshape(H, W), ((0, H32 - H), (0, 0)))
+        return (img.reshape(H32 // 32, 32, W // 32, 32)
+                .swapaxes(1, 2).reshape(n_tiles, 1024))
+
+    ob_full = [sw32(opaque_ch[c]) for c in range(3)]
+    ob = [jnp.take(f, tile_idx, axis=0).reshape(Pc) for f in ob_full]
+
+    def shade_group(k0, Kg, out_rgb):
+        flat = {k: v[k0:k0 + Kg].reshape(Kg * Pc) for k, v in comp.items()}
+        flat["ndc_x"] = jnp.broadcast_to(ndc_x, (Kg, Pc)).reshape(Kg * Pc)
+        flat["ndc_y"] = jnp.broadcast_to(ndc_y, (Kg, Pc)).reshape(Kg * Pc)
+        color, alpha, valid, _n, trans, _refr = shade_surface(
+            flat, ds, width=128, height=Kg * C * 8, height_full=height_full,
+            row_offset=0, use_mips=use_mips, slot_mask=slot_mask,
+            solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+            transparent_pass=True, want_transmission_factor=True,
+        )
+        color = [c.reshape(Kg, Pc) for c in color]
+        a = jnp.where(valid, alpha, 0.0).reshape(Kg, Pc)
+        trans = None if trans is None else [t.reshape(Kg, Pc) for t in trans]
+        out_rgb = list(out_rgb)
+        for k in range(Kg - 1, -1, -1):
+            for c in range(3):
+                cc = (color[c][k] if trans is None
+                      else color[c][k] + ob[c] * trans[c][k])
+                out_rgb[c] = cc * a[k] + out_rgb[c] * (1.0 - a[k])
+        return out_rgb
+
+    out = list(ob)
+    if K > 2:
+        has_deep = jnp.max(comp["tri_id"][2:]) >= 0
+        out = jax.lax.cond(has_deep, lambda o: shade_group(2, K - 2, o),
+                           lambda o: list(o), out)
+        out = shade_group(0, 2, out)
+    else:
+        out = shade_group(0, K, out)
+
+    out_full = []
+    for c in range(3):
+        scat = ob_full[c].at[tile_idx].set(out[c].reshape(C, 1024))
+        img = (scat.reshape(H32 // 32, W // 32, 32, 32)
+               .swapaxes(1, 2).reshape(H32, W))[:H]
+        out_full.append(img.reshape(H * W))
+    return out_full + [opaque_ch[3]]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",

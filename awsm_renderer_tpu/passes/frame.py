@@ -23,10 +23,11 @@ from ..config import RendererConfig, ToneMapping
 from ..ops.effects import bloom_c, depth_of_field_c, smaa_c
 from ..ops.raster import (
     TILE_H, TILE_W, pad_setup, pad_setup_rows, rasterize, rasterize_layers,
-    rasterize_layers_rows, rasterize_rows,
+    rasterize_layers_compact, rasterize_layers_rows, rasterize_rows,
 )
 from ..ops.shade import (
-    ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_layers_c,
+    ALL_SLOTS, shade_deferred_c, shade_surface, shade_transparent_compact32,
+    shade_transparent_layers_c,
 )
 from ..ops.tonemap import display_pass_c
 from ..ops.vertex import vertex_stage
@@ -204,7 +205,20 @@ def _run_vertex_compact(ds, mask, tri_idx, *, rw, rh_full, row_offset,
     path (the renderer passes tri_idx=None when an overlay mesh is
     instanced)."""
     safe = jnp.maximum(tri_idx, 0)
-    geo = {n: jnp.take(ds[n], safe, axis=1) for n in _CORNER_NAMES}
+    # column gather via FLAT row-major indices: jnp.take(pool, idx,
+    # axis=1) makes XLA relayout the ENTIRE (C, T) pool to {0,1}
+    # (column-major) first — six ~0.25 ms full-pool copies per frame
+    # for a few thousand gathered columns (compile-checked: the lowered
+    # HLO contains `copy f32[6,262144]{0,1}` with ~463k estimated
+    # cycles). A flat gather of c*T + idx touches only C*Nc elements
+    # and keeps the pools in their native layout.
+    def _cols(a):
+        cdim, t = a.shape
+        gidx = (jnp.arange(cdim, dtype=jnp.int32)[:, None] * t
+                + safe[None, :])
+        return a.reshape(cdim * t)[gidx.reshape(-1)].reshape(cdim, -1)
+
+    geo = {n: _cols(ds[n]) for n in _CORNER_NAMES}
     tri_mesh = jnp.where(tri_idx >= 0, jnp.take(ds["tri_mesh"], safe),
                          jnp.int32(-1))
     rows, key = vertex_stage(
@@ -374,24 +388,50 @@ def _overlay_band(
     # opaque with shared read-only depth) -------------------------------------
     if has_transparent and transparent_mask is not None:
         t_rows = prep_setup_rows(*run_vertex(transparent_mask))
-        layers = rasterize_layers_rows(
-            t_rows, depth, width=rw, height=band_h,
-            n_layers=n_transparent_layers, interpret=interpret,
-            has_uv1=has_uv1, has_color=has_color, analytic_derivs=False,
-        )
-        hdr_ch = shade_transparent_layers_c(
-            layers, hdr_ch, ds,
-            width=rw, height=band_h, height_full=rh_full,
-            row_offset=row_offset,
-            use_mips=use_mips, slot_mask=overlay_slot_mask,
-            solid_env=solid_env,
-            has_nearest=has_nearest, ext=overlay_ext,
-            n_layers=n_transparent_layers,
-            # covered-tile compaction: invalid with volume refraction
-            # (band-space screen coords); sharded callers never pass a
-            # tile_cap (cov/argsort would be per-shard)
-            tile_cap=(tile_cap if not overlay_ext[5] else None),
-        )
+        n_t32 = (-(-band_h // 32)) * (rw // 32)
+        # covered-tile compaction of the WHOLE K-layer pipeline: the
+        # peels rasterize only covered 32x32 tiles and shade+composite
+        # stay in compact space (rasterize_layers_compact). Invalid with
+        # volume refraction (it gathers the opaque buffer at arbitrary
+        # band pixels); sharded callers never pass a tile_cap (the
+        # coverage argsort would be per-shard).
+        if (tile_cap is not None and not overlay_ext[5]
+                and min(tile_cap, n_t32) * 1024 < band_h * rw):
+            layers_c, t_idx, ntx32 = rasterize_layers_compact(
+                t_rows, depth, width=rw, height=band_h,
+                n_layers=n_transparent_layers, tile_cap32=tile_cap,
+                interpret=interpret, has_uv1=has_uv1, has_color=has_color,
+            )
+            hdr_ch = shade_transparent_compact32(
+                layers_c, t_idx, hdr_ch, ds,
+                width=rw, height=band_h, height_full=rh_full,
+                row_offset=row_offset, n_tx=ntx32,
+                use_mips=use_mips, slot_mask=overlay_slot_mask,
+                solid_env=solid_env, has_nearest=has_nearest,
+                ext=overlay_ext, n_layers=n_transparent_layers,
+            )
+        else:
+            # analytic (plane-equation) uv derivatives here too: the
+            # opaque resolve and the compacted peel both use them, and
+            # the tile_cap can toggle with camera motion — screen
+            # differencing in this fallback would make mip selection
+            # pop at the transition (and differ from the opaque pass)
+            layers = rasterize_layers_rows(
+                t_rows, depth, width=rw, height=band_h,
+                n_layers=n_transparent_layers, interpret=interpret,
+                has_uv1=has_uv1, has_color=has_color,
+                analytic_derivs=True,
+            )
+            hdr_ch = shade_transparent_layers_c(
+                layers, hdr_ch, ds,
+                width=rw, height=band_h, height_full=rh_full,
+                row_offset=row_offset,
+                use_mips=use_mips, slot_mask=overlay_slot_mask,
+                solid_env=solid_env,
+                has_nearest=has_nearest, ext=overlay_ext,
+                n_layers=n_transparent_layers,
+                tile_cap=None,
+            )
 
     if hooks and hooks.after_transparent:
         hdr_ch = _unstack(hooks.after_transparent(_stack(hdr_ch), ds))

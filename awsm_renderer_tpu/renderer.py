@@ -470,25 +470,30 @@ class AwsmRendererTpu:
         y0q = max(0, min(y0q, rh1 - b))
         return y0q, b
 
-    def _bucket_tile_cap(self, masks, bucket: str):
-        """Upper bound on the 8x128 raster tiles one pass bucket can
-        cover: per-mesh projected-AABB screen rects, tile-quantized
-        (1 px safety pad), union-counted — over-counting is always
-        safe — then quantized so camera motion retraces boundedly.
-        Transparent buckets round up to the next power of two (few
-        covered tiles, log2(n_tiles) retraces max); the opaque bucket
-        typically covers 40-75% of the frame, so it quantizes in
+    def _bucket_tile_cap(self, masks, bucket: str,
+                         tile_h: int = 8, tile_w: int = 128):
+        """Upper bound on the (tile_h x tile_w) raster tiles one pass
+        bucket can cover: per-mesh projected-AABB screen rects,
+        tile-quantized (1 px safety pad), union-counted — over-counting
+        is always safe — then quantized so camera motion retraces
+        boundedly. Transparent buckets round up to the next power of two
+        (few covered tiles, log2(n_tiles) retraces max); the opaque
+        bucket typically covers 40-75% of the frame, so it quantizes in
         ~n_tiles/16 steps instead (a pow2 round-up past 50% would always
         clear the worth-it bar). Drives the covered-tile compaction of
-        the K-layer transparent shade (shade_transparent_layers_c
-        tile_cap) and the deferred opaque shade
-        (shade_deferred_compact_c). None = empty bucket, a mesh crosses
+        the K-layer transparent peel+shade (32x32 binned-raster tiles,
+        rasterize_layers_compact / shade_transparent_compact32) and the
+        deferred opaque shade (8x128 native tiles,
+        shade_deferred_compact_c). None = empty bucket, a mesh crosses
         the near plane (unbounded screen extent), or the bound would not
         pay for itself."""
         mask = masks[bucket]
         rw1 = ((self.config.width + 127) // 128) * 128
         rh1 = ((self.config.height + 7) // 8) * 8
-        n_tiles = (rh1 // 8) * (rw1 // 128)
+        # tile grid over the raster-padded viewport (the 32x32 binned
+        # grid pads rows to a 32-multiple; rw1 is already one for cols)
+        rh_t = -(-rh1 // tile_h) * tile_h
+        n_tiles = (rh_t // tile_h) * (rw1 // tile_w)
         mins, maxs, keys = self.meshes.world_bounds()
         sel = [i for i, k in enumerate(keys) if mask[self.meshes.row_of(k)]]
         if not sel:
@@ -507,14 +512,20 @@ class AwsmRendererTpu:
             return None
         sx = ((0.5 + 0.5 * clip[:, 0] / w) * rw1).reshape(-1, 8)
         sy = ((0.5 - 0.5 * clip[:, 1] / w) * rh1).reshape(-1, 8)
-        tx0 = np.clip(np.floor((sx.min(1) - 1) / 128), 0, rw1 // 128 - 1).astype(int)
-        tx1 = np.clip(np.floor((sx.max(1) + 1) / 128), 0, rw1 // 128 - 1).astype(int)
-        ty0 = np.clip(np.floor((sy.min(1) - 1) / 8), 0, rh1 // 8 - 1).astype(int)
-        ty1 = np.clip(np.floor((sy.max(1) + 1) / 8), 0, rh1 // 8 - 1).astype(int)
+        ntx, nty = rw1 // tile_w, rh_t // tile_h
+        # the overlay band's tile grid can sit up to (tile_h - 8) rows
+        # off this frame-aligned grid (_overlay_crop clamps y0 to
+        # rh1 - band_h, an 8-multiple); expand the rects by that slack
+        # so the count still bounds the band-grid coverage
+        slack = tile_h - 8
+        tx0 = np.clip(np.floor((sx.min(1) - 1) / tile_w), 0, ntx - 1).astype(int)
+        tx1 = np.clip(np.floor((sx.max(1) + 1) / tile_w), 0, ntx - 1).astype(int)
+        ty0 = np.clip(np.floor((sy.min(1) - 1 - slack) / tile_h), 0, nty - 1).astype(int)
+        ty1 = np.clip(np.floor((sy.max(1) + 1 + slack) / tile_h), 0, nty - 1).astype(int)
         # union of the per-mesh tile rects (overlapping meshes — e.g. a
         # ring of panes around the camera target — over-count a plain
         # rect-area sum by several x); 2-D prefix-sum stamp, then popcount
-        acc = np.zeros((rh1 // 8 + 1, rw1 // 128 + 1), np.int32)
+        acc = np.zeros((nty + 1, ntx + 1), np.int32)
         np.add.at(acc, (ty0, tx0), 1)
         np.add.at(acc, (ty0, tx1 + 1), -1)
         np.add.at(acc, (ty1 + 1, tx0), -1)
@@ -632,7 +643,10 @@ class AwsmRendererTpu:
             ov_ext = self._ext_mask(ov_rows)
             ov_crop = self._overlay_crop(masks)
             ov_idx = self._overlay_tri_idx(masks)
-            ov_tile_cap = (self._bucket_tile_cap(masks, "transparent")
+            # 32x32 units: the transparent cap drives the compacted
+            # PEEL grid (binned-raster tiles), not the 8x128 shade tiles
+            ov_tile_cap = (self._bucket_tile_cap(masks, "transparent",
+                                                 tile_h=32, tile_w=32)
                            if has_transparent else None)
         else:
             ov_slot_mask = None

@@ -7,6 +7,16 @@ ablation modes:
   nocond — merge every (subgroup, quadrant) unconditionally
   cond   — per-(subgroup, quadrant) lax.cond gating (carried state)
   when   — production: VMEM-scratch state + pl.when gating
+  when16 — production 16-wide merges (matches _make_v5_msaa_kernel)
+  key    — when16 + packed (z_bits&~15 | local) winner keys: ONE int
+           min-reduction replaces min+eq+select+min (loses 4 z mantissa
+           bits, ~2^-19 relative depth error)
+  occl   — when16 + per-quadrant occlusion gate: bins are near-to-far,
+           so once a quadrant's 4x256 sample states are all nearer than
+           an entry's group zmin, the entry (and everything after it)
+           can't take any sample — skip the merge. Scratch qzmax[q]
+           updates inside each executed merge.
+  keyoccl — key + occl combined
 Pass mode[:prefetch] args, e.g. `cond when dma`.
 """
 from __future__ import annotations
@@ -26,6 +36,61 @@ from jax.experimental.pallas import tpu as pltpu
 import awsm_renderer_tpu.ops.raster as R
 
 
+def _merge_key(P, px, py, ks_ref, cs_ref, q, col_base):
+    """Packed-winner-key MSAA merge: key = (z_bits & ~15) | local_index.
+
+    z in [0,1] so its f32 bits compare like ints; the low 4 mantissa
+    bits carry the subgroup-local index, so ONE min reduction yields
+    both winner z and winner id (the separate eq+select+min tree of
+    _msaa_sample_winners disappears). State rows hold packed keys;
+    bitcast(key & ~15) recovers z to 2^-19 relative."""
+    import jax.lax as lax
+    nsub = P.shape[0]
+    npx = px.shape[1]
+
+    def col(r):
+        return P[:, r:r + 1]
+
+    zero = jnp.float32(0.0)
+    edges = []
+    for ra, rb, rc in ((R.S_E0A, R.S_E0B, R.S_E0C),
+                       (R.S_E1A, R.S_E1B, R.S_E1C),
+                       (R.S_E2A, R.S_E2B, R.S_E2C)):
+        a, b, c = col(ra), col(rb), col(rc)
+        e00 = a * px + (b * py + c)
+        tl = (a > 0) | ((a == 0) & (b > 0))
+        thr = jnp.where(tl, zero, jnp.float32(R._FMIN))
+        edges.append((e00, a, b, thr))
+    za, zb = col(R.S_ZA), col(R.S_ZB)
+    z00 = za * px + (zb * py + col(R.S_ZC))
+    local = jax.lax.broadcasted_iota(jnp.int32, (nsub, npx), 0)
+    KBIG = jnp.int32(0x7F000000)
+    for s, (i, j) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        cover = None
+        for (e00, a, b, thr) in edges:
+            e = e00
+            if j:
+                e = e + a
+            if i:
+                e = e + b
+            c_ = e >= thr
+            cover = c_ if cover is None else (cover & c_)
+        z = z00
+        if j:
+            z = z + za
+        if i:
+            z = z + zb
+        zi = lax.bitcast_convert_type(z, jnp.int32)
+        key = jnp.where(cover & (z >= 0.0), (zi & ~15) | local, KBIG)
+        kmin = jnp.min(key, axis=0, keepdims=True)
+        r_ = q * 4 + s
+        ks = ks_ref[r_:r_ + 1, :]
+        take = kmin < ks
+        ks_ref[r_:r_ + 1, :] = jnp.where(take, kmin, ks)
+        cs_ref[r_:r_ + 1, :] = jnp.where(
+            take, col_base + (kmin & 15), cs_ref[r_:r_ + 1, :])
+
+
 def make_kernel(n_tx, prefetch, mode):
     GROUP, SUB, NSETUP, BT_H, BT_W = R.GROUP, R.SUB, R.NSETUP, R.BT_H, R.BT_W
     NBIG_STASH = R.NBIG_STASH
@@ -35,7 +100,9 @@ def make_kernel(n_tx, prefetch, mode):
                 bigp_ref, bigid_ref, nbig_ref, setup_ref, *refs):
         outs = refs[:5]
         stash, sem = refs[5], refs[6]
-        if mode in ("when", "when16"):
+        occl = mode in ("occl", "keyoccl")
+        keyed = mode in ("key", "keyoccl")
+        if mode in ("when", "when16", "key", "occl", "keyoccl"):
             zs_ref, cs_ref = refs[7], refs[8]
         t = pl.program_id(0)
         cnt = cnt_ref[t]
@@ -82,10 +149,12 @@ def make_kernel(n_tx, prefetch, mode):
             def _p(w=w):
                 start(w)
 
-        if mode in ("when", "when16"):
-            zs_ref[...] = jnp.ones((16, npx), jnp.float32)
+        if mode in ("when", "when16", "key", "occl", "keyoccl"):
+            if keyed:
+                zs_ref[...] = jnp.full((16, npx), 0x3F800000, jnp.int32)
+            else:
+                zs_ref[...] = jnp.ones((16, npx), jnp.float32)
             cs_ref[...] = jnp.full((16, npx), -1, jnp.int32)
-
             def wbody(b, carry):
                 @pl.when(b + prefetch - 1 < cnt)
                 def _n():
@@ -94,14 +163,40 @@ def make_kernel(n_tx, prefetch, mode):
                 e = entries_ref[off + b]
                 g = e >> 8
                 P16 = stash[jax.lax.rem(b, prefetch)][:, :NSETUP]
-                if mode == "when16":
+                if mode in ("when16", "key", "occl", "keyoccl"):
+                    mg = (_merge_key if keyed
+                          else R._merge_subgroup_msaa_scratch)
+                    if occl:
+                        # per-quadrant zmax rides the fori carry (4
+                        # scalars); update = vector reduce once per
+                        # EXECUTED merge (lax.cond branch, scratch
+                        # side effects inside — binned-kernel pattern)
+                        zg = zmin_ref[g]
+                        if keyed:
+                            # masked like candidate keys: a skip must
+                            # imply every candidate key >= every state
+                            zg = jax.lax.bitcast_convert_type(
+                                zg, jnp.int32) & ~15
+                        qz = list(carry)
+                        for q in range(4):
+                            bits = (e >> q) & 0x11
+
+                            def _hit(_qz, q=q, mg=mg):
+                                mg(P16, pxq[q], pyq[q], zs_ref, cs_ref,
+                                   q, col_base=g * GROUP)
+                                return jnp.max(
+                                    zs_ref[q * 4:(q + 1) * 4, :])
+
+                            qz[q] = jax.lax.cond(
+                                (bits != 0) & (zg < qz[q]),
+                                _hit, lambda z: z, qz[q])
+                        return tuple(qz)
                     for q in range(4):
                         bits = (e >> q) & 0x11   # (h0, h1) bits of quad q
                         @pl.when(bits != 0)
-                        def _m(q=q):
-                            R._merge_subgroup_msaa_scratch(
-                                P16, pxq[q], pyq[q], zs_ref, cs_ref, q,
-                                col_base=g * GROUP)
+                        def _m(q=q, mg=mg):
+                            mg(P16, pxq[q], pyq[q], zs_ref, cs_ref, q,
+                               col_base=g * GROUP)
                     return carry
                 for q in range(4):
                     for h in range(GROUP // SUB):
@@ -113,7 +208,12 @@ def make_kernel(n_tx, prefetch, mode):
                                 col_base=g * GROUP + h * SUB)
                 return carry
 
-            jax.lax.fori_loop(0, cnt, wbody, 0)
+            if occl:
+                z1 = (jnp.int32(0x3F800000) if keyed
+                      else jnp.float32(1.0))
+                jax.lax.fori_loop(0, cnt, wbody, (z1, z1, z1, z1))
+            else:
+                jax.lax.fori_loop(0, cnt, wbody, 0)
 
             def wbig(i, carry):
                 g = bigid_ref[i]
@@ -139,12 +239,17 @@ def make_kernel(n_tx, prefetch, mode):
                         return stash[prefetch + NBIG_STASH][:, :NSETUP]
 
                     P16 = jax.lax.cond(i < cached, from_cache, from_dma)
-                    for q in range(4):
-                        for h in range(GROUP // SUB):
-                            R._merge_subgroup_msaa_scratch(
-                                P16[h * SUB:(h + 1) * SUB], pxq[q], pyq[q],
-                                zs_ref, cs_ref, q,
-                                col_base=g * GROUP + h * SUB)
+                    if keyed:
+                        for q in range(4):
+                            _merge_key(P16, pxq[q], pyq[q], zs_ref, cs_ref,
+                                       q, col_base=g * GROUP)
+                    else:
+                        for q in range(4):
+                            for h in range(GROUP // SUB):
+                                R._merge_subgroup_msaa_scratch(
+                                    P16[h * SUB:(h + 1) * SUB], pxq[q],
+                                    pyq[q], zs_ref, cs_ref, q,
+                                    col_base=g * GROUP + h * SUB)
                 return carry
 
             jax.lax.fori_loop(0, nbig_ref[0], wbig, 0)
@@ -160,6 +265,9 @@ def make_kernel(n_tx, prefetch, mode):
                     jnp.minimum(zs_ref[q * 4 + 2: q * 4 + 3, :],
                                 zs_ref[q * 4 + 3: q * 4 + 4, :]))
                  for q in range(4)], axis=1)
+            if keyed:
+                zmin = jax.lax.bitcast_convert_type(
+                    zmin & ~15, jnp.float32)
             outs[4][0] = zmin.reshape(8, 128)
             return
 
@@ -249,7 +357,8 @@ def make_kernel(n_tx, prefetch, mode):
     return _kernel
 
 
-def run(rows, W64, H64, mode, prefetch=4, vis_cap=65536):
+def run(rows, W64, H64, mode, prefetch=4, vis_cap=65536,
+        return_out=False):
     T = rows.shape[0]
     n_ty, n_tx = H64 // 64, W64 // 64
     n_tiles = n_ty * n_tx
@@ -272,9 +381,12 @@ def run(rows, W64, H64, mode, prefetch=4, vis_cap=65536):
                        jnp.float32),
             pltpu.SemaphoreType.DMA((prefetch,)),
         ] + ([
-            pltpu.VMEM((16, 256), jnp.float32),
+            pltpu.VMEM((16, 256),
+                       jnp.int32 if mode in ("key", "keyoccl")
+                       else jnp.float32),
             pltpu.VMEM((16, 256), jnp.int32),
-        ] if mode in ("when", "when16") else []),
+        ] if mode in ("when", "when16", "key", "occl", "keyoccl")
+            else []),
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((n_tiles, 8, 128),
@@ -283,6 +395,9 @@ def run(rows, W64, H64, mode, prefetch=4, vis_cap=65536):
     fn = jax.jit(lambda *a: pl.pallas_call(
         make_kernel(n_tx, prefetch, mode), grid_spec=grid_spec,
         out_shape=out_shape)(*a))
+
+    if return_out:
+        return [np.asarray(o) for o in fn(*bins, setup_blocked)]
 
     def loop(n):
         t0 = time.perf_counter()
@@ -310,6 +425,17 @@ def main():
     W64 = -(-rw2 // 64) * 64
     H64 = -(-rh2 // 64) * 64
     for mode in sys.argv[1:] or ("dma", "nocond", "cond"):
+        if mode.startswith("check"):
+            other = mode.split("-")[1] if "-" in mode else "key"
+            a = run(rows, W64, H64, "when16", return_out=True)
+            b = run(rows, W64, H64, other, return_out=True)
+            for s in range(4):
+                diff = int((a[s] != b[s]).sum())
+                print(f"{other} sample {s}: {diff} id mismatches",
+                      flush=True)
+            zerr = np.abs(a[4] - b[4]).max()
+            print(f"{other} zmin max err {zerr:.3e}", flush=True)
+            continue
         pf = 4
         if ":" in mode:
             mode, pf = mode.split(":")[0], int(mode.split(":")[1])

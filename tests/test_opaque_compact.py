@@ -119,8 +119,8 @@ def test_renderer_end_to_end_with_opaque_cap():
     orig = rmod.AwsmRendererTpu._bucket_tile_cap
     try:
         rmod.AwsmRendererTpu._bucket_tile_cap = (
-            lambda self, masks, bucket:
-            None if bucket == "opaque" else orig(self, masks, bucket))
+            lambda self, masks, bucket, **kw:
+            None if bucket == "opaque" else orig(self, masks, bucket, **kw))
         img_nocap = r.render()
     finally:
         rmod.AwsmRendererTpu._bucket_tile_cap = orig

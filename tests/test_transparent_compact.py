@@ -102,7 +102,8 @@ def test_compact_matches_band_pbr_textured():
 
 
 def test_overlay_tile_cap_bound_is_safe():
-    """The host AABB bound must cover every tile layer 0 actually touches."""
+    """The host AABB bound must cover every 32x32 tile layer 0 actually
+    touches (the cap drives the compacted PEEL grid, in 32x32 units)."""
     import jax.numpy as jnp
 
     from awsm_renderer_tpu.ops.raster import rasterize_layers_rows
@@ -110,7 +111,7 @@ def test_overlay_tile_cap_bound_is_safe():
 
     r = _scene(pbr_glass=False)
     masks = r._mesh_masks()
-    cap = r._bucket_tile_cap(masks, "transparent")
+    cap = r._bucket_tile_cap(masks, "transparent", tile_h=32, tile_w=32)
     ds = r._flush()
     rows = prep_setup_rows(*_run_vertex(
         ds, jnp.asarray(masks["transparent"]), rw=W, rh_full=H,
@@ -119,7 +120,7 @@ def test_overlay_tile_cap_bound_is_safe():
     layers = rasterize_layers_rows(
         rows, jnp.ones((H, W), np.float32), width=W, height=H,
         n_layers=2, interpret=True)
-    tid0 = np.asarray(layers["tri_id"][0]).reshape(H // 8, 8, W // 128, 128)
+    tid0 = np.asarray(layers["tri_id"][0]).reshape(H // 32, 32, W // 32, 32)
     covered = int((tid0 >= 0).any(axis=(1, 3)).sum())
     assert covered > 0
     if cap is not None:
