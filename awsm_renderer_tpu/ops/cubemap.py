@@ -111,7 +111,7 @@ def sample_cubemap(packed: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
-                       pref_reqs, sky_dirs=None):
+                       pref_reqs, sky_dirs=None, texq=None, env_base=None):
     """All of a pass's environment taps through ONE gather (channel form).
 
     skybox_p (A,16) / irradiance_p (B,16) / prefiltered_p (n, C, 16) are
@@ -121,7 +121,17 @@ def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
     sky|None) as channel lists. Separate gathers fused into one XLA
     computation anti-fuse catastrophically on TPU (see ops/texsample.py),
     so the three maps are concatenated (cheap bandwidth) and every tap
-    rides one gather."""
+    rides one gather.
+
+    texq/env_base: when given, gather from the frame's TEXEL POOL table
+    instead — renderer._flush appends the same [skybox | irradiance |
+    prefiltered] quad rows (bf16, texel-row width) at row `env_base`
+    (a traced i32 is fine; gather indices are dynamic anyway). One big
+    promoted table for BOTH the material taps and the env taps is what
+    keeps every gather at the promoted-memory floor: two separate large
+    tables bust XLA's alternate-memory budget and one gather silently
+    runs ~8x slower from HBM (ARCHITECTURE.md gather economics). The
+    skybox_p/irradiance_p/prefiltered_p args are then shape-only."""
     A = skybox_p.shape[0]
     B = irradiance_p.shape[0]
     n = prefiltered_p.shape[0]
@@ -129,19 +139,25 @@ def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
     S_sky = math.isqrt(A // 6)
     S_irr = math.isqrt(B // 6)
     S_pref = math.isqrt(C // 6)
-    env = jnp.concatenate([skybox_p, irradiance_p, prefiltered_p.reshape(n * C, 16)])
+    if texq is None:
+        env = jnp.concatenate(
+            [skybox_p, irradiance_p, prefiltered_p.reshape(n * C, 16)])
+        base = 0
+    else:
+        env = texq
+        base = env_base
 
     parts = []      # index arrays
     plans = []      # per output: (kind, part0, fx, fy, part1, frac)
 
     idx, fx, fy = _bilinear_setup_c(irr_dirs, S_irr)
     plans.append(("irr", len(parts), fx, fy, None, None))
-    parts.append(idx + A)
+    parts.append(base + idx + A)
 
     if sky_dirs is not None:
         idx, fx, fy = _bilinear_setup_c(sky_dirs, S_sky)
         plans.append(("sky", len(parts), fx, fy, None, None))
-        parts.append(idx)
+        parts.append(base + idx)
 
     for dirs, roughness in pref_reqs:
         level = jnp.clip(roughness, 0.0, 1.0) * (n - 1)
@@ -150,11 +166,13 @@ def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
         frac = level - l0.astype(jnp.float32)
         idx, fx, fy = _bilinear_setup_c(dirs, S_pref)
         plans.append(("pref", len(parts), fx, fy, len(parts) + 1, frac))
-        parts.append(A + B + l0 * C + idx)
-        parts.append(A + B + l1 * C + idx)
+        parts.append(base + A + B + l0 * C + idx)
+        parts.append(base + A + B + l1 * C + idx)
 
     P = irr_dirs[0].shape[0]
     q_all = env[jnp.clip(jnp.concatenate(parts), 0, env.shape[0] - 1)]
+    if texq is not None:
+        q_all = q_all[:, :16]     # texel rows are 64-wide; quad is [0:16]
     # ONE physical Pallas pass → each channel born as its own rank-1
     # array with the canonical layout (see ops/relayout.py)
     from .relayout import split_channels
@@ -177,6 +195,23 @@ def sample_env_batch_c(skybox_p, irradiance_p, prefiltered_p, irr_dirs,
         else:
             irr_out = s0
     return irr_out, pref_outs, sky_out
+
+
+def sample_skybox_pool_c(texq, env_base, sky_rows: int, d3):
+    """Skybox-only bilinear taps from the texel-pool env block.
+
+    texq (N,64) bf16 texel table with the env rows appended at env_base
+    (renderer._flush); sky_rows = static skybox row count (6*S*S); d3 =
+    (x,y,z) direction channel triple. One small gather into the SAME
+    promoted table — used for the sky fill of compaction-skipped tiles
+    (shade_deferred_compact_c image-env path), so the gather row count
+    is O(sky pixels), not O(frame)."""
+    from .relayout import split_channels
+
+    S = math.isqrt(sky_rows // 6)
+    idx, fx, fy = _bilinear_setup_c(d3, S)
+    q = texq[jnp.clip(env_base + idx, 0, texq.shape[0] - 1)][:, :16]
+    return _blend_quads_c(split_channels(q), fx, fy)
 
 
 def sample_env_batch(skybox_p, irradiance_p, prefiltered_p, irr_dirs, pref_reqs,

@@ -749,9 +749,15 @@ def shade_surface(
         # miss pixels reconstruct world_pos at the far plane, so -v is
         # exactly the per-pixel view ray: the skybox miss color rides the
         # same gather (want_sky gates it so transparent/HUD passes skip it)
+        # env rows live INSIDE the texel pool when the flush appended them
+        # (ds["env_pool_base"]): one promoted table for material + env
+        # taps keeps both gathers at the promoted-memory floor
+        # (sample_env_batch_c docstring; ARCHITECTURE.md gather economics)
+        env_texq = ds["texels"] if "env_pool_base" in ds else None
         irr4, prefs, sky4 = sample_env_batch_c(
             ds["skybox"], ds["irradiance"], ds["prefiltered"], n_final, reqs,
-            sky_dirs=[-c for c in v] if want_sky else None)
+            sky_dirs=[-c for c in v] if want_sky else None,
+            texq=env_texq, env_base=ds.get("env_pool_base"))
         irr = irr4[:3]
         pref = prefs[0][:3]
         if ext[EXT_SHEEN]:
@@ -999,17 +1005,22 @@ def shade_deferred_compact_c(
     _shade_transparent_compact pattern), the fused resolve evaluates
     plane equations at explicit px/py coords, shading runs in compact
     space with NDC coords riding as planes, and the shaded colors
-    scatter into the solid-environment sky constant. Bit-equivalent to
-    shade_deferred_c whenever the cap covers every live tile
-    (tests/test_opaque_compact.py asserts it). Requires solid_env: an
-    image environment needs a per-pixel sky everywhere, halving the
-    win — callers gate (frame.py _opaque_band_msaa)."""
+    scatter into the sky background. Bit-equivalent to shade_deferred_c
+    whenever the cap covers every live tile (tests/test_opaque_compact.py
+    asserts it). Solid env: skipped tiles fill with the face-0 constant.
+    Image env (requires ds["env_pool_base"], renderer._flush): covered
+    tiles take the per-pixel sky that rides the batched env gather
+    (want_sky), and the skipped tiles pay ONE skybox-only gather of
+    O(sky pixels) rows into the same texel-pool table
+    (cubemap.sample_skybox_pool_c) — total gather work stays O(covered
+    material taps + sky pixels), the compaction's point."""
     H, W = height, width
     n_tiles = (H // 8) * (W // 128)
     C = min(tile_cap, n_tiles)
     sw_tid = _tile_swizzle(tid_flat, H, W)               # (n_tiles, 1024)
     cov = jnp.any(sw_tid >= 0, axis=-1)
-    idx = jnp.argsort(~cov)[:C]                          # covered-first
+    order = jnp.argsort(~cov)                            # covered-first
+    idx = order[:C]
     tid_c = jnp.take(sw_tid, idx, axis=0).reshape(C * 1024)
     dep_c = jnp.take(_tile_swizzle(depth_flat, H, W), idx,
                      axis=0).reshape(C * 1024)
@@ -1044,16 +1055,47 @@ def shade_deferred_compact_c(
                     else "none"),
         want_sky=True,
     )
-    assert sky is None, "compact opaque shade requires solid_env"
     if debug_mode == "normals":
         color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
-    out_c = [jnp.where(valid, color[c], ds["skybox"][0, c])
-             for c in range(3)]
+    if solid_env:
+        assert sky is None
+        sky = [jnp.broadcast_to(ds["skybox"][0, c], valid.shape)
+               for c in range(4)]
+    out_c = [jnp.where(valid, color[c], sky[c]) for c in range(3)]
+
+    R = n_tiles - C
+    if solid_env or R == 0:
+        rest_sky = None
+    else:
+        # per-pixel skybox for the skipped tiles: view rays through the
+        # far plane (exactly what shade_surface's miss path reconstructs)
+        idx_rest = order[C:]
+        gxr = ((idx_rest % ntx).astype(jnp.float32)[:, None] * 128.0
+               + (jnp.arange(1024, dtype=jnp.float32) % 128)[None, :])
+        gyr = ((idx_rest // ntx).astype(jnp.float32)[:, None] * 8.0
+               + (jnp.arange(1024, dtype=jnp.float32) // 128)[None, :])
+        nx = ((gxr + 0.5) / W * 2.0 - 1.0).reshape(R * 1024)
+        ny = (1.0 - (gyr + jnp.float32(row_offset) + 0.5)
+              / height_full * 2.0).reshape(R * 1024)
+        ivp = ds["camera"]["inv_view_proj"]
+        wp = [nx * ivp[j, 0] + ny * ivp[j, 1] + ivp[j, 2] + ivp[j, 3]
+              for j in range(4)]
+        iw = 1.0 / jnp.where(jnp.abs(wp[3]) > _EPS, wp[3], _EPS)
+        cam = ds["camera"]["position"]
+        d3 = tuple(wp[k] * iw - cam[k] for k in range(3))
+        from .cubemap import sample_skybox_pool_c
+
+        rest_sky = sample_skybox_pool_c(
+            ds["texels"], ds["env_pool_base"], ds["skybox"].shape[0], d3)
 
     out_full = []
     for c in range(3):
-        full = jnp.broadcast_to(ds["skybox"][0, c], (n_tiles, 1024))
+        full = jnp.broadcast_to(
+            ds["skybox"][0, c] if solid_env else jnp.float32(0.0),
+            (n_tiles, 1024))
         scat = full.at[idx].set(out_c[c].reshape(C, 1024))
+        if rest_sky is not None:
+            scat = scat.at[idx_rest].set(rest_sky[c].reshape(R, 1024))
         out_full.append(_tile_unswizzle(scat, H, W))
     a_scat = jnp.zeros((n_tiles, 1024), jnp.float32).at[idx].set(
         valid.astype(jnp.float32).reshape(C, 1024))

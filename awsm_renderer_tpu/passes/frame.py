@@ -601,9 +601,12 @@ def _opaque_band_msaa(
     rep_flat = jax.lax.optimization_barrier(rep.reshape(band1_h * rw1))
 
     # covered-tile compaction: skip resolve + PBR work on pure-sky tiles
-    # (shade.py shade_deferred_compact_c). Solid-env only (image envs
-    # need per-pixel sky everywhere); hooks see full-frame vis planes.
-    if (tile_cap is not None and solid_env
+    # (shade.py shade_deferred_compact_c). Solid env fills skipped tiles
+    # with the constant; image envs ride the texel-pool env rows
+    # (ds["env_pool_base"]) — per-pixel sky for skipped tiles is one
+    # O(sky pixels) gather into the same table. Hooks see full-frame
+    # vis planes, so compaction is skipped with an after_geometry hook.
+    if (tile_cap is not None and (solid_env or "env_pool_base" in ds)
             and band1_h % 8 == 0 and rw1 % 128 == 0
             and tile_cap * 1024 < band1_h * rw1
             and not (hooks and hooks.after_geometry)):

@@ -46,6 +46,7 @@ class AwsmRendererTpu:
         self.camera = CameraState()
         self.environment = Environment()
         self._device: Dict[str, object] = {}
+        self._env_rows64 = None        # image-env quad rows appended to texels
         self._mask_cache: Dict[str, tuple] = {}  # name -> (np copy, device array)
         self._brdf_lut = None
         self._last_tri_id = None   # device plane kept for picking
@@ -317,20 +318,48 @@ class AwsmRendererTpu:
             self.lights.gpu_dirty = False
 
         tx = self.textures
-        if tx.gpu_dirty:
-            d["texels"] = jnp.asarray(tx.texels_packed)
-            d["tex_desc"] = jnp.asarray(tx.descriptors)
-            d["tex_transforms"] = jnp.asarray(tx.tex_transforms)
-            tx.gpu_dirty = False
-
         e = self.environment
-        if e.gpu_dirty:
-            from .ops.cubemap import pack_cubemap
+        if tx.gpu_dirty or e.gpu_dirty or "texels" not in d:
+            if e.gpu_dirty or "skybox" not in d:
+                from .ops.cubemap import pack_cubemap
 
-            d["skybox"] = jnp.asarray(pack_cubemap(e.skybox))
-            d["prefiltered"] = jnp.asarray(pack_cubemap(e.prefiltered))
-            d["irradiance"] = jnp.asarray(pack_cubemap(e.irradiance))
-            e.gpu_dirty = False
+                sky_p = pack_cubemap(e.skybox)
+                irr_p = pack_cubemap(e.irradiance)
+                pref_p = pack_cubemap(e.prefiltered)
+                d["skybox"] = jnp.asarray(sky_p)
+                d["prefiltered"] = jnp.asarray(pref_p)
+                d["irradiance"] = jnp.asarray(irr_p)
+                if e.is_solid:
+                    # solid env: shading reads face-0 constants; nothing
+                    # rides the texel pool
+                    self._env_rows64 = None
+                else:
+                    # image env: the same quad rows, widened to texel-row
+                    # width (bf16 — the reference's KTX2 env path is
+                    # Rg11b10ufloat, cubemap/ktx.rs, so bf16 ≥ parity),
+                    # appended to the texel pool below: ONE promoted
+                    # gather table for material + env taps (shade reads
+                    # them via ds["env_pool_base"])
+                    from .core.textures import TEXEL_COLS
+
+                    env16 = np.concatenate(
+                        [sky_p, irr_p, pref_p.reshape(-1, 16)], axis=0)
+                    blk = np.zeros((env16.shape[0], TEXEL_COLS),
+                                   dtype=tx.texels_packed.dtype)
+                    blk[:, :16] = env16
+                    self._env_rows64 = blk
+                e.gpu_dirty = False
+            if tx.gpu_dirty:
+                d["tex_desc"] = jnp.asarray(tx.descriptors)
+                d["tex_transforms"] = jnp.asarray(tx.tex_transforms)
+                tx.gpu_dirty = False
+            if self._env_rows64 is None:
+                d.pop("env_pool_base", None)
+                d["texels"] = jnp.asarray(tx.texels_packed)
+            else:
+                d["env_pool_base"] = jnp.int32(tx.texels_packed.shape[0])
+                d["texels"] = jnp.asarray(np.concatenate(
+                    [tx.texels_packed, self._env_rows64], axis=0))
 
         self.skins.flush_pending(self.transforms)
         if self.skins.gpu_dirty or "joint_matrices" not in d:
@@ -655,11 +684,12 @@ class AwsmRendererTpu:
             ov_idx = None
             ov_tile_cap = None
         op_rows = self._bucket_mat_rows(masks["opaque"])
-        # opaque covered-tile compaction: MSAA path + solid env only
-        # (frame.py _opaque_band_msaa gates identically on the traced side)
+        # opaque covered-tile compaction: MSAA path (solid envs fill
+        # skipped tiles with the constant; image envs sample sky from the
+        # texel-pool env rows — frame.py _opaque_band_msaa gates
+        # identically on the traced side)
         op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
-                       if cfg.anti_aliasing.msaa and self.environment.is_solid
-                       else None)
+                       if cfg.anti_aliasing.msaa else None)
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
         ldr, tri_id, depth = render_frame(
