@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Union
 
 import numpy as np
 
+from ..errors import AnimationError
 from ..utils import math3d as m3
 
 F = np.float32
@@ -62,7 +63,7 @@ class AnimationSampler:
         times = self.times
         K = len(times)
         if K == 0:
-            raise ValueError("empty sampler")
+            raise AnimationError("empty sampler (no keyframes)")
         if K == 1 or t <= times[0]:
             v = self.values[0]
             return v[1] if self.interpolation == Interpolation.CUBIC_SPLINE else v
@@ -179,9 +180,16 @@ class Animations:
         return key
 
     def get(self, key: int) -> AnimationPlayer:
-        return self._players[key]
+        try:
+            return self._players[key]
+        except KeyError:
+            raise AnimationError(
+                f"unknown or removed animation player key {key}") from None
 
     def remove(self, key: int) -> None:
+        if key not in self._players:
+            raise AnimationError(
+                f"unknown or removed animation player key {key}")
         del self._players[key]
         self._native_tables = None
 

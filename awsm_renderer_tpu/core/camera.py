@@ -39,8 +39,16 @@ class CameraState:
     def update(self, view: np.ndarray, projection: np.ndarray,
                position: Optional[np.ndarray] = None) -> None:
         """Reference: camera.rs:111 `update` with moved-epsilon check."""
+        from ..errors import CameraError
+
         view = np.asarray(view, dtype=F)
         projection = np.asarray(projection, dtype=F)
+        if view.shape != (4, 4) or projection.shape != (4, 4):
+            raise CameraError(
+                f"view/projection must be 4x4 matrices, got {view.shape} "
+                f"and {projection.shape}")
+        if not (np.isfinite(view).all() and np.isfinite(projection).all()):
+            raise CameraError("view/projection contain non-finite values")
         moved = (
             np.abs(view - self.view).max() > _EPS
             or np.abs(projection - self.projection).max() > _EPS
@@ -53,7 +61,10 @@ class CameraState:
                 self.position = np.asarray(position, dtype=F)
             else:
                 # derive eye position from inverse view
-                inv = np.linalg.inv(view.astype(np.float64))
+                try:
+                    inv = np.linalg.inv(view.astype(np.float64))
+                except np.linalg.LinAlgError:
+                    raise CameraError("view matrix is singular") from None
                 self.position = inv[:3, 3].astype(F)
             self.gpu_dirty = True
 

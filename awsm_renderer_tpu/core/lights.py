@@ -16,6 +16,7 @@ from typing import Dict
 
 import numpy as np
 
+from ..errors import LightError
 from ..utils.allocator import SlotAllocator
 
 F = np.float32
@@ -100,15 +101,21 @@ class Lights:
         self.gpu_dirty = True
         return key
 
+    def _check(self, key: int) -> None:
+        if key not in self._lights:
+            raise LightError(f"unknown or removed light key {key}")
+
     def update(self, key: int, light: Light) -> None:
-        self._alloc.row_of(key)  # validate
+        self._check(key)
         self._lights[key] = light
         self.gpu_dirty = True
 
     def get(self, key: int) -> Light:
+        self._check(key)
         return self._lights[key]
 
     def remove(self, key: int) -> None:
+        self._check(key)
         del self._lights[key]
         self._alloc.remove(key)
         self.gpu_dirty = True

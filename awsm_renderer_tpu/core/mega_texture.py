@@ -7,8 +7,8 @@ filtering, occupancy report). TPU redesign: each atlas page is ONE texture
 in the flat texel buffer (core/textures.py); entries resolve to a
 TextureRef whose KHR-transform row carries the offset/scale (+ a
 wrap-before-transform flag so REPEAT works inside the sub-rect). Packing
-is shelf-based (the reference uses MaxRects; shelf is within a few % for
-texture workloads and O(n)).
+is skyline bottom-left per page (the reference uses binpack2d MaxRects;
+skyline reaches equivalent occupancy on texture workloads).
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..errors import TextureError
 from .materials import TextureRef
 from .textures import MipmapKind, Sampler, Textures, WRAP_CLAMP
 
@@ -60,39 +61,81 @@ class MegaTextureEntry:
     texture_ref: TextureRef
 
 
-class _Shelf:
-    def __init__(self, y: int, height: int):
-        self.y = y
-        self.height = height
-        self.x = 0
-
-
 class _Page:
+    """One atlas page with a skyline bottom-left packer.
+
+    The reference packs each atlas layer with binpack2d MaxRects
+    (mega_texture.rs:69-211); skyline bottom-left reaches equivalent
+    occupancy on texture workloads (mixed small rects) in O(n·segments)
+    without the free-rect bookkeeping — and unlike the round-1 shelf
+    packer, later small images backfill gaps left beside tall ones."""
+
     def __init__(self, size: int, ttype: TextureType):
         self.size = size
         self.ttype = ttype
-        self.shelves: List[_Shelf] = []
-        self.next_y = 0
+        # skyline: list of (x, y, width) left-to-right, tiling [0, size)
+        self.skyline: List[Tuple[int, int, int]] = [(0, 0, size)]
         self.pixels = np.zeros((size, size, 4), F)
         self.dirty = True
         self.texture_key: Optional[int] = None
         self.used_area = 0
 
+    def _fit_y(self, i: int, w: int) -> Optional[int]:
+        """Resting height of a w-wide rect whose left edge sits at
+        skyline segment i; None if it overhangs the page."""
+        x0 = self.skyline[i][0]
+        if x0 + w > self.size:
+            return None
+        y = 0
+        remaining = w
+        j = i
+        while remaining > 0:
+            sx, sy, sw = self.skyline[j]
+            y = max(y, sy)
+            remaining -= sw - (x0 - sx if j == i else 0)
+            j += 1
+        return y
+
     def try_alloc(self, w: int, h: int) -> Optional[Tuple[int, int]]:
         if w > self.size or h > self.size:
             return None
-        for shelf in self.shelves:
-            if shelf.height >= h and shelf.x + w <= self.size:
-                x, y = shelf.x, shelf.y
-                shelf.x += w
-                return x, y
-        if self.next_y + h <= self.size:
-            shelf = _Shelf(self.next_y, h)
-            self.shelves.append(shelf)
-            self.next_y += h
-            shelf.x = w
-            return 0, shelf.y
-        return None
+        best = None  # (y, x, i) — bottom-left heuristic: min y, then min x
+        for i in range(len(self.skyline)):
+            y = self._fit_y(i, w)
+            if y is None or y + h > self.size:
+                continue
+            x = self.skyline[i][0]
+            if best is None or (y, x) < best[:2]:
+                best = (y, x, i)
+        if best is None:
+            return None
+        y, x, i = best
+        self._place(x, y + h, w)
+        return x, y
+
+    def _place(self, x: int, top: int, w: int) -> None:
+        """Raise the skyline over [x, x+w) to `top`."""
+        new: List[Tuple[int, int, int]] = []
+        for sx, sy, sw in self.skyline:
+            # portion left of the placed rect
+            if sx < x:
+                new.append((sx, sy, min(sw, x - sx)))
+            # portion right of the placed rect
+            if sx + sw > x + w:
+                rx = max(sx, x + w)
+                new.append((rx, sy, sx + sw - rx))
+        new.append((x, top, w))
+        new.sort()
+        # merge adjacent equal-height segments
+        merged: List[Tuple[int, int, int]] = []
+        for seg in new:
+            if merged and merged[-1][1] == seg[1] \
+                    and merged[-1][0] + merged[-1][2] == seg[0]:
+                px, py, pw = merged[-1]
+                merged[-1] = (px, py, pw + seg[2])
+            else:
+                merged.append(seg)
+        self.skyline = merged
 
 
 class MegaTexture:
@@ -129,7 +172,7 @@ class MegaTexture:
             pages.append(page)
             spot = page.try_alloc(w + 2 * pad, h + 2 * pad)
             if spot is None:
-                raise ValueError(
+                raise TextureError(
                     f"image {w}x{h} larger than mega-texture page {self.page_size}")
         x, y = spot[0] + pad, spot[1] + pad
 
@@ -153,13 +196,18 @@ class MegaTexture:
         for ttype, pages in self._pages.items():
             for pg in pages:
                 if pg.dirty:
-                    if pg.texture_key is not None:
-                        self.textures.remove(pg.texture_key)
-                    pg.texture_key = self.textures.add_image(
-                        pg.pixels, srgb=False,  # pixels stored linear already
-                        sampler=Sampler(wrap_s=WRAP_CLAMP, wrap_t=WRAP_CLAMP),
-                        kind=ttype.mip_kind,
-                    )
+                    if pg.texture_key is None:
+                        pg.texture_key = self.textures.add_image(
+                            pg.pixels, srgb=False,  # stored linear already
+                            sampler=Sampler(wrap_s=WRAP_CLAMP, wrap_t=WRAP_CLAMP),
+                            kind=ttype.mip_kind,
+                        )
+                    else:
+                        # in-place texel rewrite: existing entry refs and
+                        # packed materials keep pointing at the same row
+                        self.textures.update_image(
+                            pg.texture_key, pg.pixels, srgb=False,
+                            kind=ttype.mip_kind)
                     pg.dirty = False
         S = self.page_size
         for entry in self.entries:

@@ -29,6 +29,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from ..errors import TextureError
 from ..utils.allocator import BuddyAllocator, SlotAllocator
 
 F = np.float32
@@ -54,6 +55,7 @@ TD_WRAP_S = 3
 TD_WRAP_T = 4
 TD_FILTER_LINEAR = 5      # mag/min filter
 TD_MIP_FILTER_LINEAR = 6  # trilinear when 1
+TD_MAX_ANISO = 7          # effective max anisotropy (1 = isotropic)
 TD_MIP_OFFSETS = 8        # 14 entries of absolute texel offsets
 MAX_MIPS = 14
 DESC_I32 = 24
@@ -112,6 +114,16 @@ class Sampler:
     wrap_t: int = WRAP_REPEAT
     filter_linear: bool = True
     mip_filter_linear: bool = True
+    # reference textures.rs:186-220: SamplerCacheKey.max_anisotropy with
+    # filter-compatibility gating (anisotropy > 1 requires all-linear
+    # filters, per the WebGPU sampler validity rules the reference encodes)
+    max_anisotropy: int = 1
+
+    @property
+    def effective_anisotropy(self) -> int:
+        if self.filter_linear and self.mip_filter_linear:
+            return max(1, int(self.max_anisotropy))
+        return 1
 
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
@@ -267,6 +279,13 @@ class Textures:
         srgb-convert + mipmap generation (texture_pool.rs:26-188).
         """
         img = np.asarray(image)
+        if img.ndim not in (2, 3) or img.size == 0:
+            raise TextureError(
+                f"image must be (H,W) or (H,W,C) and non-empty, got shape "
+                f"{img.shape}")
+        if img.ndim == 3 and img.shape[2] not in (1, 3, 4):
+            raise TextureError(
+                f"image must have 1, 3 or 4 channels, got {img.shape[2]}")
         if img.dtype == np.uint8:
             img = img.astype(F) / 255.0
         img = img.astype(F)
@@ -304,6 +323,7 @@ class Textures:
         d[TD_WRAP_T] = sampler.wrap_t
         d[TD_FILTER_LINEAR] = int(sampler.filter_linear)
         d[TD_MIP_FILTER_LINEAR] = int(sampler.mip_filter_linear)
+        d[TD_MAX_ANISO] = sampler.effective_anisotropy
         off = offset
         for i, mip in enumerate(chain):
             d[TD_MIP_OFFSETS + i] = off
@@ -319,13 +339,64 @@ class Textures:
         self.gpu_dirty = True
         return key
 
+    def update_image(
+        self,
+        key: int,
+        image: np.ndarray,
+        srgb: bool = True,
+        kind: MipmapKind = MipmapKind.COLOR,
+    ) -> None:
+        """Rewrite an existing texture's texels in place (same dimensions
+        — the descriptor row, mip offsets and allocation are reused, so
+        TextureRefs and packed materials stay valid). This is the
+        reference's atlas-page update flow (mega_texture writer re-writes
+        a layer without re-binding)."""
+        if key not in self._tex_offset:
+            raise TextureError(f"unknown or removed texture key {key}")
+        row = self._desc_alloc.row_of(key)
+        d = self.descriptors[row]
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(F) / 255.0
+        img = img.astype(F)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        if img.shape[2] == 3:
+            img = np.concatenate([img, np.ones((*img.shape[:2], 1), F)], axis=2)
+        if (img.shape[1], img.shape[0]) != (d[TD_WIDTH], d[TD_HEIGHT]):
+            raise TextureError(
+                f"update_image size mismatch: texture is "
+                f"{d[TD_WIDTH]}x{d[TD_HEIGHT]}, image is "
+                f"{img.shape[1]}x{img.shape[0]}")
+        if srgb:
+            img = np.concatenate([srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=2)
+        n_mips = int(d[TD_N_MIPS])
+        chain = generate_mip_chain(img, kind) if n_mips > 1 else [img]
+        wrap_s, wrap_t = int(d[TD_WRAP_S]), int(d[TD_WRAP_T])
+        off = self._tex_offset[key]
+        for i, mip in enumerate(chain):
+            parent = (chain[i + 1] if i + 1 < len(chain)
+                      else np.zeros((1, 1, 4), F))
+            packed = _pack_rows(mip, parent, wrap_s, wrap_t)
+            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed
+            off += mip.shape[0] * mip.shape[1]
+        self.gpu_dirty = True
+
     def remove(self, key: int) -> None:
+        if key not in self._tex_offset:
+            raise TextureError(f"unknown or removed texture key {key}")
         self._texel_alloc.free(self._tex_offset.pop(key))
         self._desc_alloc.remove(key)
         self.gpu_dirty = True
 
     def row_of(self, key: int) -> int:
-        return self._desc_alloc.row_of(key)
+        try:
+            return self._desc_alloc.row_of(key)
+        except Exception:
+            raise TextureError(
+                f"unknown or removed texture key {key}") from None
 
     def add_texture_transform(self, offset=(0, 0), rotation: float = 0.0, scale=(1, 1)) -> int:
         """KHR_texture_transform: uv' = R*S*uv + offset. Returns transform key."""
@@ -346,4 +417,8 @@ class Textures:
         return key
 
     def transform_row_of(self, key: int) -> int:
-        return self._tt_alloc.row_of(key)
+        try:
+            return self._tt_alloc.row_of(key)
+        except Exception:
+            raise TextureError(
+                f"unknown or removed texture-transform key {key}") from None

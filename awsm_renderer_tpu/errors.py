@@ -62,6 +62,10 @@ class InstanceError(AwsmError):
     """Instanced-draw constraint violations (AwsmInstanceError)."""
 
 
+class ConfigError(AwsmError):
+    """Invalid renderer configuration / warmup variant fields."""
+
+
 class GltfError(AwsmError):
     """Malformed or unsupported glTF/GLB documents (gltf error paths)."""
 

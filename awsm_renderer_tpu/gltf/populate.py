@@ -31,6 +31,7 @@ from ..core.textures import (
     MipmapKind, Sampler, WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT,
 )
 from ..core.transforms import Transform
+from ..errors import GltfError
 from ..utils import math3d as m3
 from .accessors import read_accessor, triangulate
 from .loader import GltfData
@@ -66,14 +67,28 @@ class _TextureCache:
     def get(self, tex_info: Optional[dict], srgb: bool, kind: MipmapKind) -> Optional[TextureRef]:
         if not tex_info:
             return None
-        tex_index = tex_info["index"]
-        tex = self.data.gltf["textures"][tex_index]
+        tex_index = tex_info.get("index")
+        textures = self.data.gltf.get("textures", [])
+        if tex_index is None or not 0 <= tex_index < len(textures):
+            raise GltfError(
+                f"texture reference index {tex_index} out of range "
+                f"(document has {len(textures)} textures)")
+        tex = textures[tex_index]
         img_index = tex.get("source")
         if img_index is None:
             return None
+        if not 0 <= img_index < len(self.data.images):
+            raise GltfError(
+                f"texture {tex_index} references image {img_index}, but the "
+                f"document has {len(self.data.images)} images")
         ck = (tex_index, srgb, kind.value)
         if ck not in self.cache:
             samplers = self.data.gltf.get("samplers", [])
+            if "sampler" in tex and not 0 <= tex["sampler"] < len(samplers):
+                raise GltfError(
+                    f"texture {tex_index} references sampler "
+                    f"{tex['sampler']}, but the document has "
+                    f"{len(samplers)} samplers")
             s = samplers[tex["sampler"]] if "sampler" in tex else {}
             sampler = Sampler(
                 wrap_s=_WRAP_MAP.get(s.get("wrapS", 10497), WRAP_REPEAT),
@@ -104,7 +119,12 @@ def _convert_material(renderer, data: GltfData, mat_index: Optional[int],
     """glTF material (+ extensions) → PbrMaterial/UnlitMaterial.
 
     Reference: gltf/populate/material.rs (981 LoC)."""
-    gm = data.gltf.get("materials", [])[mat_index] if mat_index is not None else {}
+    mats = data.gltf.get("materials", [])
+    if mat_index is not None and not 0 <= mat_index < len(mats):
+        raise GltfError(
+            f"primitive references material {mat_index}, but the document "
+            f"has {len(mats)} materials")
+    gm = mats[mat_index] if mat_index is not None else {}
     ext = gm.get("extensions", {})
     textures: Dict[int, TextureRef] = {}
 
@@ -112,8 +132,12 @@ def _convert_material(renderer, data: GltfData, mat_index: Optional[int],
         if ref is not None:
             textures[slot] = ref
 
-    alpha_mode = {"OPAQUE": AlphaMode.OPAQUE, "MASK": AlphaMode.MASK,
-                  "BLEND": AlphaMode.BLEND}[gm.get("alphaMode", "OPAQUE")]
+    try:
+        alpha_mode = {"OPAQUE": AlphaMode.OPAQUE, "MASK": AlphaMode.MASK,
+                      "BLEND": AlphaMode.BLEND}[gm.get("alphaMode", "OPAQUE")]
+    except KeyError:
+        raise GltfError(
+            f"unknown alphaMode {gm.get('alphaMode')!r}") from None
 
     pbr = gm.get("pbrMetallicRoughness", {})
     put(TS_BASE_COLOR, tex_cache.get(pbr.get("baseColorTexture"), True, MipmapKind.ALBEDO))
@@ -221,7 +245,9 @@ def _node_transform(node: dict) -> Transform:
 def _convert_primitive(data: GltfData, prim: dict) -> MeshGeometry:
     """glTF primitive → indexed MeshGeometry (reference: gltf/buffers.rs)."""
     g = data.gltf
-    attrs = prim["attributes"]
+    attrs = prim.get("attributes", {})
+    if "POSITION" not in attrs:
+        raise GltfError("primitive has no POSITION attribute")
     pos = read_accessor(g, data.buffers, attrs["POSITION"]).astype(F)
     idx_arr = (
         read_accessor(g, data.buffers, prim["indices"]).reshape(-1)
@@ -312,11 +338,20 @@ def populate_gltf(renderer, data: GltfData, scene_index: Optional[int] = None,
     lookups = GltfKeyLookups()
     tex_cache = _TextureCache(renderer, data)
 
-    scene = g["scenes"][scene_index if scene_index is not None else g.get("scene", 0)]
+    scenes = g.get("scenes", [])
+    si = scene_index if scene_index is not None else g.get("scene", 0)
+    if not 0 <= si < len(scenes):
+        raise GltfError(
+            f"scene index {si} out of range (document has {len(scenes)} scenes)")
+    scene = scenes[si]
     nodes = g.get("nodes", [])
 
     # pass 1: transforms (recursive)
     def walk(node_index: int, parent_key: Optional[int]):
+        if not 0 <= node_index < len(nodes):
+            raise GltfError(
+                f"node index {node_index} out of range "
+                f"(document has {len(nodes)} nodes)")
         node = nodes[node_index]
         key = renderer.transforms.insert(_node_transform(node), parent_key)
         lookups.node_transforms[node_index] = key

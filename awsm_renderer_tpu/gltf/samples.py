@@ -583,7 +583,110 @@ def glb_many_influences():
 
 
 
+def glb_helmet():
+    """DamagedHelmet-grade PBR probe: a ~6k-triangle helmet dome with the
+    full five-map set — baseColor, metallicRoughness, tangent-space
+    normal, occlusion, emissive — through one PBR material (the texture
+    binding shape of Khronos DamagedHelmet; tangents generated by the
+    pipeline at real mesh scale). Textures are deterministic procedural
+    256x256: riveted metal panels, scratches, an emissive visor band."""
+    b = _GlbBuilder()
+    S = 256
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float64) / S
+
+    # panel grid + scratches
+    panel = ((xx * 6).astype(int) + (yy * 3).astype(int)) % 2
+    rng = np.random.default_rng(1234)
+    scratch = rng.random((S, S)) < 0.02
+    scratch = scratch | np.roll(scratch, 1, axis=1) | np.roll(scratch, 2, axis=1)
+    visor = (yy > 0.55) & (yy < 0.72) & (np.abs(xx - 0.5) < 0.22)
+
+    base = np.empty((S, S, 4), np.uint8)
+    base[..., 0] = np.where(panel, 140, 90)
+    base[..., 1] = np.where(panel, 110, 75)
+    base[..., 2] = np.where(panel, 70, 60)
+    base[scratch] = (200, 190, 180, 255)
+    base[visor] = (25, 30, 40, 255)
+    base[..., 3] = 255
+
+    # metallicRoughness: G = roughness, B = metallic (glTF channel layout)
+    mr = np.zeros((S, S, 4), np.uint8)
+    mr[..., 1] = np.where(panel, 90, 200)          # panels polished
+    mr[..., 1][scratch] = 60
+    mr[..., 2] = np.where(panel, 255, 40)
+    mr[..., 2][visor] = 255
+    mr[..., 1][visor] = 30
+    mr[..., 3] = 255
+
+    # rivet-bump normal map + matching AO
+    ry = np.minimum(yy * 3 % 1, 1 - yy * 3 % 1)
+    rx = np.minimum(xx * 6 % 1, 1 - xx * 6 % 1)
+    d = np.sqrt((rx * 6) ** 2 + (ry * 3) ** 2)
+    bump = np.clip(1.0 - d / 0.35, 0.0, 1.0) ** 2
+    hx = np.gradient(bump, axis=1) * 40
+    hy = np.gradient(bump, axis=0) * 40
+    nz = 1.0 / np.sqrt(hx * hx + hy * hy + 1.0)
+    nrm = np.empty((S, S, 4), np.uint8)
+    nrm[..., 0] = np.clip((-hx * nz * 0.5 + 0.5) * 255, 0, 255)
+    nrm[..., 1] = np.clip((-hy * nz * 0.5 + 0.5) * 255, 0, 255)
+    nrm[..., 2] = np.clip((nz * 0.5 + 0.5) * 255, 0, 255)
+    nrm[..., 3] = 255
+
+    occ = np.empty((S, S, 4), np.uint8)
+    occ[..., 0] = np.clip((1.0 - 0.5 * bump) * 255, 0, 255)
+    occ[..., 1] = occ[..., 2] = occ[..., 0]
+    occ[..., 3] = 255
+
+    emis = np.zeros((S, S, 4), np.uint8)
+    band = (yy > 0.545) & (yy < 0.565) & (np.abs(xx - 0.5) < 0.24)
+    emis[band] = (40, 220, 255, 255)
+    emis[..., 3] = 255
+
+    # helmet dome: partial sphere (polar cap through the face region),
+    # slightly elongated
+    NLAT, NLON = 40, 80
+    th = np.linspace(0.12 * np.pi, 0.78 * np.pi, NLAT + 1)
+    ph = np.linspace(0.0, 2 * np.pi, NLON + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    pos = np.stack([np.sin(T) * np.cos(P),
+                    np.cos(T) * 1.15,
+                    np.sin(T) * np.sin(P)], axis=-1).reshape(-1, 3).astype(F)
+    uvs = np.stack([P / (2 * np.pi), (T - th[0]) / (th[-1] - th[0])],
+                   axis=-1).reshape(-1, 2).astype(F)
+    nlon1 = NLON + 1
+    idx = []
+    for i in range(NLAT):
+        for j in range(NLON):
+            a = i * nlon1 + j
+            idx += [a, a + 1, a + nlon1, a + 1, a + nlon1 + 1, a + nlon1]
+    idx = np.asarray(idx, np.uint32)
+    normals = (pos / np.linalg.norm(pos, axis=1, keepdims=True)).astype(F)
+
+    imgs = [b.image_png(im) for im in (base, mr, nrm, occ, emis)]
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True),
+                           "NORMAL": b.acc(normals),
+                           "TEXCOORD_0": b.acc(uvs)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "metallicRoughnessTexture": {"index": 1},
+            },
+            "normalTexture": {"index": 2},
+            "occlusionTexture": {"index": 3},
+            "emissiveTexture": {"index": 4},
+            "emissiveFactor": [1.0, 1.0, 1.0],
+        }],
+        "textures": [{"source": i} for i in imgs],
+    }), ((1.7, 0.9, 1.9), (0.0, 0.1, 0.0))
+
+
 SAMPLES = {
+    "glb-helmet": glb_helmet,
     "glb-many-influences": glb_many_influences,
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,

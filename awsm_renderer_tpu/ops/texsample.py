@@ -20,6 +20,7 @@ from ..core.textures import (
     TD_FILTER_LINEAR,
     TD_HEIGHT,
     TD_MIP_FILTER_LINEAR,
+    TD_MAX_ANISO,
     TD_MIP_OFFSETS,
     TD_N_MIPS,
     TD_WIDTH,
@@ -228,10 +229,10 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
     d = descriptors
     offs = d[:, TD_MIP_OFFSETS:TD_MIP_OFFSETS + MAX_MIPS]
     tab = jnp.concatenate([
-        d[:, :7].astype(jnp.float32),
+        d[:, :8].astype(jnp.float32),
         (offs >> 12).astype(jnp.float32),
         (offs & 0xFFF).astype(jnp.float32),
-    ], axis=1).T                                 # (7 + 2*MAX_MIPS, capD)
+    ], axis=1).T                                 # (8 + 2*MAX_MIPS, capD)
     DC = tab.shape[0]
 
     blk = _pick_blk(N)
@@ -327,9 +328,14 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
         if mips:
             wf0 = D[TD_WIDTH]
             hf0 = D[TD_HEIGHT]
+            an = jnp.maximum(D[TD_MAX_ANISO], 1.0)
             rx = (dudx * wf0) ** 2 + (dvdx * hf0) ** 2
             ry = (dudy * wf0) ** 2 + (dvdy * hf0) ** 2
-            level = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
+            # anisotropy-aware LOD (see _mip_level): minor-axis footprint
+            # bounded below by major/N^2
+            r_eff = jnp.maximum(jnp.minimum(rx, ry),
+                                jnp.maximum(rx, ry) / (an * an))
+            level = 0.5 * jnp.log2(jnp.maximum(r_eff, 1e-12))
             level = jnp.clip(level, 0.0, n_mips - 1.0)
             l0 = jnp.floor(level).astype(jnp.int32)
             frac = level - l0.astype(jnp.float32)
@@ -339,9 +345,9 @@ def _tap_plan_fused(tex_id, u, v, duv, descriptors, *, has_nearest: bool,
         wm = jnp.maximum(jnp.right_shift(w0, l0), 1)
         hm = jnp.maximum(jnp.right_shift(h0, l0), 1)
         lv = jnp.clip(l0, 0, MAX_MIPS - 1)
-        off_hi = sum(jnp.where(lv == m, D[7 + m], 0.0)
+        off_hi = sum(jnp.where(lv == m, D[8 + m], 0.0)
                      for m in range(MAX_MIPS))
-        off_lo = sum(jnp.where(lv == m, D[7 + MAX_MIPS + m], 0.0)
+        off_lo = sum(jnp.where(lv == m, D[8 + MAX_MIPS + m], 0.0)
                      for m in range(MAX_MIPS))
         offset = (off_hi.astype(jnp.int32) << 12) | off_lo.astype(jnp.int32)
 
@@ -479,15 +485,26 @@ def _pick_nearest(q, fx, fy):
 
 
 def _mip_level(desc, duv):
-    """Isotropic LOD from screen-space uv gradients (per-pixel, given the
+    """LOD from screen-space uv gradients (per-pixel, given the
     already-fetched descriptor rows). duv = (dudx, dvdx, dudy, dvdy)
-    channel arrays."""
+    channel arrays.
+
+    Honors the sampler's max_anisotropy N (reference textures.rs:186-220):
+    with rho_max/rho_min the major/minor footprint axes, the LOD is
+    log2(rho_max / min(rho_max/rho_min, N)) = 0.5*log2(max(rho_min^2,
+    rho_max^2/N^2)) — N=1 reduces to the isotropic max-axis rule; larger N
+    sharpens oblique footprints exactly as far as hardware aniso would
+    pick its minor-axis LOD."""
     dudx, dvdx, dudy, dvdy = duv
     w = desc[TD_WIDTH].astype(jnp.float32)
     h = desc[TD_HEIGHT].astype(jnp.float32)
+    a = jnp.maximum(desc[TD_MAX_ANISO].astype(jnp.float32), 1.0)
     rx = (dudx * w) ** 2 + (dvdx * h) ** 2
     ry = (dudy * w) ** 2 + (dvdy * h) ** 2
-    return 0.5 * jnp.log2(jnp.maximum(jnp.maximum(rx, ry), 1e-12))
+    rmin = jnp.minimum(rx, ry)
+    rmax = jnp.maximum(rx, ry)
+    r_eff = jnp.maximum(rmin, rmax / (a * a))
+    return 0.5 * jnp.log2(jnp.maximum(r_eff, 1e-12))
 
 
 def sample_texture_batch_c(texq, descriptors, taps, has_nearest: bool = True,

@@ -249,14 +249,27 @@ def finish_setup(corners, attrs, act, mat_row, flags, width, height,
 
     # ---- plane-equation setup (v4 layout, see row-index comment) ----------
     # edge i is opposite corner i; interior positive after the swap.
-    # A = ya-yb, B = xb-xa, C = xa*yb - xb*ya are exact-negation-symmetric
-    # with the neighbor triangle sharing the edge (same products, negated
-    # subtraction), which keeps shared edges watertight.
+    # A = ya-yb and B = xb-xa are exact-negation-symmetric with the
+    # neighbor triangle sharing the edge (subtraction is exactly
+    # antisymmetric). C must NOT be the textbook xa*yb - xb*ya: XLA fuses
+    # it into fma(xa, yb, -fl(xb*ya)), and the neighbor's
+    # fma(xb, ya, -fl(xa*yb)) is NOT its exact negation — the two
+    # triangles then both miss pixels whose center lies within a ulp of
+    # the shared edge (measured: 10 pinholes along a box-face diagonal at
+    # 128x64). Anchoring C = -(A*x + B*y) at the edge's CANONICAL
+    # endpoint (smaller (y, x) — a winding-independent choice both
+    # triangles make identically) restores bitwise negation symmetry:
+    # fma of fully negated inputs rounds to the exact negation.
     ea = [sy[1] - sy[2], sy[2] - sy[0], sy[0] - sy[1]]
     eb = [sx[2] - sx[1], sx[0] - sx[2], sx[1] - sx[0]]
-    ec = [sx[1] * sy[2] - sx[2] * sy[1],
-          sx[2] * sy[0] - sx[0] * sy[2],
-          sx[0] * sy[1] - sx[1] * sy[0]]
+
+    def _edge_c(k, i, j):
+        lt = (sy[i] < sy[j]) | ((sy[i] == sy[j]) & (sx[i] <= sx[j]))
+        ax = jnp.where(lt, sx[i], sx[j])
+        ay = jnp.where(lt, sy[i], sy[j])
+        return -(ea[k] * ax + eb[k] * ay)
+
+    ec = [_edge_c(0, 1, 2), _edge_c(1, 2, 0), _edge_c(2, 0, 1)]
     ec[0] = jnp.where(valid, ec[0], -big)       # invalid → never covers
 
     # affine NDC z-plane: z(px,py) = ZA*px + ZB*py + ZC (z is screen-affine)

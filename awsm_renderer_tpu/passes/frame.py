@@ -705,6 +705,7 @@ def _finish_frame(
     tonemap: ToneMapping,
     bloom: bool, dof: bool, smaa: bool,
     hooks,
+    dof_rings=None,
 ):
     """Image-space frame tail at display resolution: crop padding, effects
     chain (bloom ping-pong, DoF — render.rs step 12), tonemap display
@@ -724,8 +725,15 @@ def _finish_frame(
     rgb = hdr_ch[:3]
     if bloom:
         rgb = bloom_c(rgb)
-    if dof:
-        rgb = depth_of_field_c(rgb, depth, ds["camera"])
+    if dof and dof_rings != ():
+        # dof_rings: host-proven active ring subset (effects.py
+        # dof_active_rings); () = the pass is exactly the identity (the
+        # WGSL coc<0.5 early-out, decided at specialization time)
+        from ..ops.effects import DOF_RING_SCALES
+
+        rgb = depth_of_field_c(
+            rgb, depth, ds["camera"],
+            rings=DOF_RING_SCALES if dof_rings is None else dof_rings)
     hdr_ch = rgb + hdr_ch[3:]
 
     ldr_ch = display_pass_c(hdr_ch, tonemap)
@@ -747,7 +755,7 @@ def _finish_frame(
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
         "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
         "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
-        "overlay_tile_cap", "opaque_tile_cap",
+        "overlay_tile_cap", "opaque_tile_cap", "dof_rings",
     ),
 )
 def render_frame(
@@ -788,6 +796,7 @@ def render_frame(
     overlay_tri_idx=None,
     overlay_tile_cap: Optional[int] = None,
     opaque_tile_cap: Optional[int] = None,
+    dof_rings=None,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -855,6 +864,7 @@ def render_frame(
         hdr_ch, tri_id, depth, ds,
         rw=rw1, rh=rh1, width=width, height=height,
         tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=hooks,
+        dof_rings=dof_rings,
     )
 
     # picking ids in original triangle-pool space (clipping doubles columns)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+from .errors import ConfigError
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -638,6 +640,111 @@ class AwsmRendererTpu:
         self._mask_cache[name] = (arr.copy(), dev)
         return dev
 
+    def _dof_ring_set(self):
+        """Static DoF ring specialization from a host-side CoC bound
+        (ops/effects.py dof_max_coc / dof_active_rings): view-distance
+        range = [nearest AABB point across all meshes (floored at the
+        near plane), far plane] — sky pixels sit at the far plane, a
+        mesh crossing the near plane floors dmin there. Rings the bound
+        proves weightless compile out; () compiles DoF out entirely
+        (the WGSL coc<0.5 early-out at specialization time). Changes
+        only when the camera/aperture crosses a ring threshold (4
+        possible sets), like every other variant key."""
+        import numpy as _np
+
+        from .ops.effects import (
+            dof_active_rings, dof_max_coc, linearize_depth_host,
+        )
+
+        proj = _np.asarray(self.camera.projection, _np.float64)
+        near_d = linearize_depth_host(0.0, proj)
+        far_d = linearize_depth_host(1.0, proj)
+        mins, maxs, _keys = self.meshes.world_bounds()
+        if len(mins):
+            cam = _np.asarray(self.camera.position, _np.float64)
+            nearest = _np.clip(cam, mins, maxs) - cam
+            dmin = float(_np.sqrt((nearest ** 2).sum(axis=1)).min())
+            dmin = max(dmin, min(near_d, far_d))
+        else:
+            dmin = min(near_d, far_d)
+        dmax = max(far_d, dmin)
+        coc_max = dof_max_coc(
+            [self.camera.dof.focus_distance, self.camera.dof.aperture],
+            float(proj[1, 1]), dmin, dmax, self.config.height)
+        return dof_active_rings(coc_max)
+
+    def _log_retrace(self, static_kwargs: dict, ds, ov_idx, hooks) -> None:
+        """Emit a one-line 'retrace: <reasons>' note when the frame's jit
+        specialization key changed — the user-visible analog of the
+        reference's shader/pipeline-cache misses (set_anti_aliasing /
+        set_post_processing / texture-pool-growth rebuilds, §3.5). The
+        signature covers every static arg of render_frame plus the trace-
+        relevant shapes (scene-capacity buckets, the compacted overlay
+        column count): any change means the next dispatch stalls on a
+        compile (or a persistent-cache load)."""
+        import jax
+
+        sig = dict(static_kwargs)
+        sig["overlay_tri_idx_shape"] = (
+            None if ov_idx is None else tuple(ov_idx.shape))
+        sig["ds_shapes"] = tuple(
+            tuple(leaf.shape) if hasattr(leaf, "shape") else leaf
+            for leaf in jax.tree_util.tree_leaves(ds))
+        sig["hooks"] = hooks
+        prev = getattr(self, "_last_trace_sig", None)
+        self._last_trace_sig = sig
+        if prev is None:
+            return  # first frame always compiles; not a "re"-trace
+        changed = sorted(
+            k for k in sig
+            if prev.get(k, "<missing>") != sig[k])
+        if changed:
+            self.timings.note("retrace: " + ", ".join(changed))
+
+    def warmup(self, variants: Optional[list] = None) -> int:
+        """Pre-compile frame variants through jit (and the persistent
+        compile cache, __init__.py) so runtime toggles don't stall the
+        render loop — the analog of the reference compiling its shader
+        template variants at init (shaders.rs:42-69).
+
+        variants: list of dicts of config overrides; keys may name any
+        field of RendererConfig, AntiAliasing or PostProcessing (e.g.
+        [{}, {"bloom": True}, {"msaa": False, "smaa": True}]). Each
+        variant is rendered once on-device (no host readback). The
+        current config always compiles first. Returns the number of
+        frames dispatched."""
+        import dataclasses
+
+        cfg0 = self.config
+        aa_fields = {f.name for f in dataclasses.fields(cfg0.anti_aliasing)}
+        pp_fields = {f.name for f in dataclasses.fields(cfg0.post_processing)}
+        top_fields = {f.name for f in dataclasses.fields(cfg0)}
+        n = 0
+        try:
+            for over in [{}] + list(variants or []):
+                aa = {k: v for k, v in over.items() if k in aa_fields}
+                pp = {k: v for k, v in over.items() if k in pp_fields}
+                top = {k: v for k, v in over.items()
+                       if k in top_fields and k not in ("anti_aliasing",
+                                                        "post_processing")}
+                unknown = set(over) - aa_fields - pp_fields - top_fields
+                if unknown:
+                    raise ConfigError(
+                        f"warmup: unknown config fields {sorted(unknown)}")
+                self.config = dataclasses.replace(
+                    cfg0,
+                    anti_aliasing=dataclasses.replace(
+                        cfg0.anti_aliasing, **aa),
+                    post_processing=dataclasses.replace(
+                        cfg0.post_processing, **pp),
+                    **top,
+                )
+                self.render_device()
+                n += 1
+        finally:
+            self.config = cfg0
+        return n
+
     def render_device(self, debug_mode: str = "none", hooks=None):
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
@@ -690,13 +797,9 @@ class AwsmRendererTpu:
         # identically on the traced side)
         op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
                        if cfg.anti_aliasing.msaa else None)
-        frame_span = self.timings.span("render_frame/dispatch")
-        frame_span.__enter__()
-        ldr, tri_id, depth = render_frame(
-            ds,
-            self._device_mask("opaque", masks["opaque"]),
-            self._device_mask("transparent", masks["transparent"]) if has_transparent else None,
-            self._device_mask("hud", masks["hud"]) if has_hud else None,
+        dof_rings = (self._dof_ring_set() if cfg.post_processing.dof
+                     else None)
+        static_kwargs = dict(
             width=cfg.width,
             height=cfg.height,
             supersample=cfg.anti_aliasing.supersample,
@@ -717,9 +820,7 @@ class AwsmRendererTpu:
             ext=self._ext_mask(op_rows),
             overlay_slot_mask=ov_slot_mask,
             overlay_ext=ov_ext,
-            overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
             overlay_crop_h=(ov_crop[1] if ov_crop else None),
-            overlay_tri_idx=ov_idx,
             overlay_tile_cap=ov_tile_cap,
             opaque_tile_cap=op_tile_cap,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
@@ -727,8 +828,21 @@ class AwsmRendererTpu:
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
+            dof_rings=dof_rings,
             smaa=cfg.anti_aliasing.smaa,
+        )
+        self._log_retrace(static_kwargs, ds, ov_idx, hooks)
+        frame_span = self.timings.span("render_frame/dispatch")
+        frame_span.__enter__()
+        ldr, tri_id, depth = render_frame(
+            ds,
+            self._device_mask("opaque", masks["opaque"]),
+            self._device_mask("transparent", masks["transparent"]) if has_transparent else None,
+            self._device_mask("hud", masks["hud"]) if has_hud else None,
+            overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
+            overlay_tri_idx=ov_idx,
             hooks=hooks,
+            **static_kwargs,
         )
         frame_span.__exit__(None, None, None)
         self.timings.end_frame()

@@ -38,6 +38,14 @@ class RenderTimings:
             yield
         self._current[name] = self._current.get(name, 0.0) + (time.perf_counter() - t0)
 
+    def note(self, msg: str) -> None:
+        """One-line event attached to the current frame (e.g.
+        'retrace: msaa, bloom' when a static shading specialization
+        changed and the frame will stall on a compile)."""
+        logger.info(msg)
+        if self.enabled:
+            self._current[msg] = self._current.get(msg, 0.0)
+
     def end_frame(self) -> Dict[str, float]:
         frame = self._current
         self._current = {}

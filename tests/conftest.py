@@ -16,3 +16,39 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache for the CPU test backend: interpret-mode
+# frame variants take minutes of XLA CPU compile on a small host; cached
+# reloads verified bit-identical on this machine (r3). Separate dir from
+# the TPU cache; nuke it if a reload ever misbehaves.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("AWSM_JAX_CPU_CACHE",
+                       os.path.expanduser("~/.cache/awsm_jax_cpu")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (heavy interpret-mode equality tests)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy interpret-mode equality test; deselected by default, "
+        "run with --runslow (CI / round verification)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -262,6 +262,127 @@ class TestTypedErrors:
         with pytest.raises(InstanceError):
             r.meshes.insert_instanced(res, [(0, 0)], r.materials.row_of(mat), mat)
 
+    def test_light_key(self):
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, Light, RendererConfig
+        from awsm_renderer_tpu.errors import AwsmError, LightError
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        k = r.lights.insert(Light.directional([0, -1, 0]))
+        r.lights.remove(k)
+        with pytest.raises(LightError):
+            r.lights.get(k)
+        with pytest.raises(LightError):
+            r.lights.update(k, Light.directional([0, -1, 0]))
+        with pytest.raises(AwsmError):
+            r.lights.remove(k)
+
+    def test_texture_key_and_bad_image(self):
+        import numpy as np
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu.errors import TextureError
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        with pytest.raises(TextureError):
+            r.textures.row_of(777)
+        with pytest.raises(TextureError):
+            r.textures.remove(777)
+        with pytest.raises(TextureError):
+            r.textures.transform_row_of(777)
+        with pytest.raises(TextureError):
+            r.textures.add_image(np.zeros((4, 4, 2), np.float32))  # 2 channels
+        with pytest.raises(TextureError):
+            r.textures.add_image(np.zeros((0, 0), np.float32))     # empty
+
+    def test_animation_key_and_empty_sampler(self):
+        import numpy as np
+        import pytest
+
+        from awsm_renderer_tpu.core.animation import (
+            AnimationSampler, Animations,
+        )
+        from awsm_renderer_tpu.errors import AnimationError
+
+        a = Animations()
+        with pytest.raises(AnimationError):
+            a.get(99)
+        with pytest.raises(AnimationError):
+            a.remove(99)
+        s = AnimationSampler(np.zeros(0), np.zeros((0, 3)))
+        with pytest.raises(AnimationError):
+            s.sample(0.5)
+
+    def test_camera_bad_matrices(self):
+        import numpy as np
+        import pytest
+
+        from awsm_renderer_tpu.core.camera import CameraState
+        from awsm_renderer_tpu.errors import CameraError
+
+        c = CameraState()
+        with pytest.raises(CameraError):
+            c.update(np.eye(3), np.eye(4))           # wrong shape
+        with pytest.raises(CameraError):
+            bad = np.eye(4, dtype=np.float32)
+            bad[0, 0] = np.nan
+            c.update(bad, np.eye(4))                 # non-finite
+        with pytest.raises(CameraError):
+            c.update(np.zeros((4, 4)), np.eye(4))    # singular view
+
+    def test_populate_dangling_refs(self):
+        """Malformed documents fail with GltfError, not KeyError/IndexError
+        (reference error.rs breadth across the gltf populate path)."""
+        import pytest
+
+        from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+        from awsm_renderer_tpu.errors import GltfError
+        from awsm_renderer_tpu.gltf.loader import GltfData
+        from awsm_renderer_tpu.gltf.populate import populate_gltf
+
+        def doc(**over):
+            g = {
+                "asset": {"version": "2.0"},
+                "scene": 0,
+                "scenes": [{"nodes": [0]}],
+                "nodes": [{"mesh": 0}],
+                "meshes": [{"primitives": [
+                    {"attributes": {"POSITION": 0}, "material": 0}]}],
+                "materials": [{"pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": 5}}}],
+                "accessors": [{"componentType": 5126, "count": 3,
+                               "type": "VEC3", "bufferView": 0,
+                               "min": [0, 0, 0], "max": [1, 1, 1]}],
+                "bufferViews": [{"buffer": 0, "byteLength": 36}],
+                "buffers": [{"byteLength": 36}],
+            }
+            g.update(over)
+            return g
+
+        buffers = [b"\x00" * 36]
+
+        r = AwsmRendererTpu(RendererConfig(width=32, height=32))
+        # dangling texture index
+        with pytest.raises(GltfError):
+            populate_gltf(r, GltfData(gltf=doc(), buffers=buffers, images=[]))
+        # bad scene index
+        with pytest.raises(GltfError):
+            populate_gltf(
+                r, GltfData(gltf=doc(scene=3), buffers=buffers, images=[]))
+        # missing POSITION
+        g = doc()
+        g["materials"] = [{}]
+        g["meshes"] = [{"primitives": [{"attributes": {}, "material": 0}]}]
+        with pytest.raises(GltfError):
+            populate_gltf(r, GltfData(gltf=g, buffers=buffers, images=[]))
+        # unknown alphaMode
+        g = doc()
+        g["materials"] = [{"alphaMode": "WAT"}]
+        with pytest.raises(GltfError):
+            populate_gltf(r, GltfData(gltf=g, buffers=buffers, images=[]))
+
     def test_morph_targets_beyond_initial_bucket_render(self):
         """12 morph targets (> the initial 8-wide bucket): activating ONLY
         target #11 must displace geometry — arbitrary-N parity with the

@@ -107,3 +107,47 @@ def test_runtime_setters_and_remove_all():
     assert r.meshes.count == 0
     img2 = r.render()  # empty scene renders uniform skybox
     assert img2[..., 0].std() < 1e-4 and img2[..., 0].mean() > 0.1
+
+
+def test_warmup_compiles_variants_and_retrace_note():
+    """warmup() pre-compiles config variants (reference: shaders.rs
+    async template compilation at init); a static-arg flip afterwards
+    emits a 'retrace: ...' note via RenderTimings (VERDICT r2 item 8)."""
+    import numpy as np
+
+    from awsm_renderer_tpu import (
+        AwsmRendererTpu, PbrMaterial, PostProcessing, RendererConfig,
+    )
+    from awsm_renderer_tpu.errors import ConfigError
+    from awsm_renderer_tpu.geometry import box
+    from awsm_renderer_tpu.utils import math3d as m3
+
+    r = AwsmRendererTpu(RendererConfig(width=128, height=32))
+    mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.8, 0.2, 0.2, 1], np.float32)))
+    r.add_mesh(box(), mat)
+    r.camera.update(m3.look_at([0, 0.5, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, 4.0, 0.1, 100.0))
+
+    n = r.warmup([{"bloom": True}])
+    assert n == 2
+    assert r.config.post_processing.bloom is False  # config restored
+
+    # flip a static arg -> next frame notes the retrace (compile itself
+    # is already warmed, so only the note proves the detection)
+    r.timings.enabled = True
+    r.render_device()
+    r.timings.frames.clear()
+    r.set_post_processing(PostProcessing(bloom=True))
+    r.render_device()
+    keys = [k for f in r.timings.frames for k in f]
+    assert any(k.startswith("retrace:") and "bloom" in k for k in keys), keys
+    # steady state: no retrace note
+    r.timings.frames.clear()
+    r.render_device()
+    keys = [k for f in r.timings.frames for k in f]
+    assert not any(k.startswith("retrace:") for k in keys), keys
+
+    import pytest
+    with pytest.raises(ConfigError):
+        r.warmup([{"not_a_field": 1}])

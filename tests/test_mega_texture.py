@@ -135,3 +135,79 @@ class TestRendererIntegration:
         page = rep["albedo"][0]
         assert page["entries"] == 2
         assert 0.0 < page["occupancy"] < 0.1
+
+
+def test_skyline_backfills_beside_tall_rect():
+    """Skyline (vs the round-1 shelf packer): a tall rect does not waste
+    the whole band — later small rects settle back down to the floor
+    beside it (bottom-left heuristic, reference MaxRects-equivalent)."""
+    t = Textures()
+    mt = MegaTexture(t, page_size=128, padding=0)
+    tall = mt.add_image(np.zeros((100, 20, 4), np.uint8))
+    small = [mt.add_image(np.zeros((20, 20, 4), np.uint8)) for _ in range(3)]
+    mt.finalize()
+    assert tall.y == 0
+    # all three smalls fit on the floor next to the tall one
+    for e in small:
+        assert e.y == 0, (e.x, e.y)
+    assert len(mt._pages[TextureType.ALBEDO]) == 1
+
+
+def test_skyline_mixed_sizes_one_page():
+    """Mixed-size set that overflows a shelf packer fits one page under
+    skyline: sum of areas ~69% of the page."""
+    t = Textures()
+    mt = MegaTexture(t, page_size=256, padding=0)
+    sizes = [(96, 96), (96, 32), (32, 96), (64, 64), (64, 16), (16, 64),
+             (48, 48), (32, 32), (32, 32), (16, 16), (128, 32), (32, 128),
+             (64, 32), (32, 64), (48, 32), (96, 16), (16, 96), (64, 48)]
+    area = 0
+    for w, h in sizes:
+        mt.add_image(np.zeros((h, w, 4), np.uint8))
+        area += w * h
+    mt.finalize()
+    assert area / (256 * 256) > 0.68, area / (256 * 256)
+    assert len(mt._pages[TextureType.ALBEDO]) == 1
+    # no two entries overlap
+    rects = [(e.x, e.y, e.width, e.height) for e in mt.entries]
+    for i, (x0, y0, w0, h0) in enumerate(rects):
+        for x1, y1, w1, h1 in rects[i + 1:]:
+            assert (x0 + w0 <= x1 or x1 + w1 <= x0
+                    or y0 + h0 <= y1 or y1 + h1 <= y0), (i, rects)
+
+
+def test_incremental_finalize_keeps_old_refs_valid():
+    """Adding more images to a finalized page re-writes texels IN PLACE:
+    earlier TextureRefs (already packed into materials) keep sampling the
+    right texels."""
+    import jax.numpy as jnp
+
+    from awsm_renderer_tpu.ops.texsample import (
+        apply_texture_transform, sample_texture,
+    )
+
+    t = Textures()
+    mt = MegaTexture(t, page_size=64, padding=2)
+    red = np.zeros((8, 8, 4), np.float32)
+    red[..., 0] = red[..., 3] = 1.0
+    e1 = mt.add_image(red)
+    mt.finalize()
+    ref1 = e1.texture_ref
+    row_before = ref1.texture_id
+
+    green = np.zeros((8, 8, 4), np.float32)
+    green[..., 1] = green[..., 3] = 1.0
+    e2 = mt.add_image(green)
+    mt.finalize()
+    assert e1.texture_ref.texture_id == row_before  # row is stable
+
+    texels = jnp.asarray(t.texels_packed.astype(np.float32))
+    descs = jnp.asarray(t.descriptors)
+    transforms = jnp.asarray(t.tex_transforms)
+    uv = jnp.array([[0.5, 0.5]], jnp.float32)
+    for e, ch in ((e1, 0), (e2, 1)):
+        uv2 = apply_texture_transform(
+            transforms, jnp.array([e.texture_ref.transform_id]), uv)
+        out = sample_texture(texels, descs,
+                             jnp.array([e.texture_ref.texture_id]), uv2)
+        assert float(out[0, ch]) > 0.9, (ch, np.asarray(out))

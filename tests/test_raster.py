@@ -337,3 +337,43 @@ def test_v5_peel_matches_dense():
     for k in dense:
         np.testing.assert_allclose(np.asarray(v5[k]), np.asarray(dense[k]),
                                    atol=1e-4, err_msg=k)
+
+
+def test_shared_edge_watertight_no_pinholes():
+    """Two triangles sharing a diagonal edge must jointly cover every
+    interior pixel — regression for the FMA-asymmetric edge-C pinholes
+    (ops/vertex.py finish_setup: canonical-anchor C). The old
+    xa*yb - xb*ya form left ~10 holes along a box-face diagonal at
+    128x64 because XLA's fma broke exact negation symmetry."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awsm_renderer_tpu import (
+        AwsmRendererTpu, PostProcessing, RendererConfig, ToneMapping,
+        UnlitMaterial,
+    )
+    from awsm_renderer_tpu.geometry import box
+    from awsm_renderer_tpu.passes.frame import render_frame
+    from awsm_renderer_tpu.utils import math3d as m3
+
+    F = np.float32
+    r = AwsmRendererTpu(RendererConfig(
+        width=128, height=64,
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([1, 1, 1, 1], F)))
+    r.add_mesh(box(0.8), mat)
+    r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, 2.0, 0.1, 100.0))
+    ds = r._flush()
+    masks = r._mesh_masks()
+    _, tid, _ = render_frame(
+        ds, jnp.asarray(masks["opaque"]), width=128, height=64,
+        supersample=False, tonemap=ToneMapping.NONE, use_mips=True,
+        has_morphs=False, skin_sets=0)
+    tid = np.asarray(tid)
+    ys, xs = np.where(tid >= 0)
+    # interior of the face silhouette (1 px margin off the boundary)
+    sub = tid[ys.min() + 1 : ys.max(), xs.min() + 1 : xs.max()]
+    holes = np.argwhere(sub < 0)
+    assert holes.shape[0] == 0, f"pinholes at {holes + [ys.min()+1, xs.min()+1]}"

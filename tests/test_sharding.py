@@ -95,6 +95,7 @@ def test_sharded_matches_single_device(scene):
     assert (np.asarray(tid_s) >= 0).sum() > 50  # mesh actually visible
 
 
+@pytest.mark.slow
 def test_sharded_full_pipeline_matches_single_device(full_scene):
     """Transparency + HUD + bloom + supersample: sharded == single-device."""
     ds, masks = full_scene
@@ -123,6 +124,7 @@ def test_sharded_full_pipeline_matches_single_device(full_scene):
     assert (np.asarray(tid_s) >= 0).sum() > 50
 
 
+@pytest.mark.slow
 def test_sharded_msaa_matches_single_device(full_scene):
     """MSAA mode (2x2 coverage raster, per-pixel shade, halo-exchange edge
     blend) sharded == single-device, with transparency + HUD on top."""

@@ -446,3 +446,80 @@ class TestBatchedSampling:
         for got, want in zip(outs, singles):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-5)
+
+
+class TestAnisotropy:
+    """Sampler.max_anisotropy honored in LOD selection (reference
+    textures.rs:186-220 SamplerCacheKey.max_anisotropy + filter gating)."""
+
+    def test_mip_level_formula(self):
+        import jax.numpy as jnp
+
+        from awsm_renderer_tpu.core.textures import DESC_I32, TD_HEIGHT, TD_MAX_ANISO, TD_WIDTH
+        from awsm_renderer_tpu.ops.texsample import _mip_level
+
+        def lod(aniso):
+            desc = [jnp.zeros(1, jnp.int32)] * DESC_I32
+            desc[TD_WIDTH] = jnp.array([64], jnp.int32)
+            desc[TD_HEIGHT] = jnp.array([64], jnp.int32)
+            desc[TD_MAX_ANISO] = jnp.array([aniso], jnp.int32)
+            duv = (jnp.array([1.0]), jnp.array([0.0]),     # dudx, dvdx
+                   jnp.array([0.0]), jnp.array([1 / 64.0]))  # dudy, dvdy
+            return float(_mip_level(desc, duv)[0])
+
+        # rho_max = 64 texels, rho_min = 1 texel
+        assert abs(lod(1) - 6.0) < 1e-4       # isotropic: log2(64)
+        assert abs(lod(8) - 3.0) < 1e-4       # log2(64/8)
+        assert abs(lod(16) - 2.0) < 1e-4      # log2(64/16)
+        assert abs(lod(128) - 0.0) < 1e-4     # clamped at rho_min
+        assert abs(lod(0) - 6.0) < 1e-4       # unset descriptor = isotropic
+
+    def test_filter_gating(self):
+        from awsm_renderer_tpu.core.textures import Sampler
+
+        assert Sampler(max_anisotropy=8).effective_anisotropy == 8
+        assert Sampler(max_anisotropy=8,
+                       filter_linear=False).effective_anisotropy == 1
+        assert Sampler(max_anisotropy=8,
+                       mip_filter_linear=False).effective_anisotropy == 1
+        assert Sampler().effective_anisotropy == 1
+
+    def test_aniso_sampling_sharper(self):
+        """An oblique footprint (8 texels wide, 1 tall) over a 1-px checker:
+        isotropic sampling lands on a gray mip, anisotropic (N=8) keeps the
+        base mip's contrast."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from awsm_renderer_tpu.core.textures import Sampler, Textures
+        from awsm_renderer_tpu.ops.texsample import sample_texture_batch_c
+
+        checker = np.zeros((16, 16, 3), np.float32)
+        checker[::2, ::2] = 1.0
+        checker[1::2, 1::2] = 1.0
+
+        def render(aniso):
+            t = Textures()
+            key = t.add_image(checker, srgb=False,
+                              sampler=Sampler(max_anisotropy=aniso))
+            row = t.row_of(key)
+            P = 128
+            u = jnp.linspace(0.0, 1.0, P)
+            # texel-row-centered v: 0.25 would land exactly BETWEEN two
+            # opposite-phase checker rows (bilinear = flat 0.5 at any LOD)
+            v = jnp.full((P,), 4.5 / 16.0)
+            tid = jnp.full((P,), row, jnp.int32)
+            z = jnp.zeros((P,))
+            duv = (jnp.full((P,), 8 / 16.0), z,   # dudx: 8-texel footprint
+                   z, jnp.full((P,), 1 / 16.0))   # dvdy: 1 texel
+            outs = sample_texture_batch_c(
+                jnp.asarray(t.texels_packed.astype(np.float32)),
+                jnp.asarray(t.descriptors),
+                [(tid, (u, v), duv)], has_nearest=False)
+            return np.stack([np.asarray(c) for c in outs[0]], -1)
+
+        iso = render(1)
+        an = render(8)
+        # base checker row alternates 0/1; mip3 of a checker is flat 0.5
+        assert an[:, 0].std() > iso[:, 0].std() + 0.05
+        assert iso[:, 0].std() < 0.1

@@ -131,7 +131,7 @@ def test_bloom_spreads_highlight():
 def test_dof_blurs_off_focus():
     r = make_renderer(post_processing=PostProcessing(tonemapping=ToneMapping.NONE, dof=True))
     r.camera.dof.focus_distance = 50.0  # focus far away -> near box blurred
-    r.camera.dof.aperture = 0.5
+    r.camera.dof.aperture = 0.1  # wide open: CoC ~1.8 px at this tiny frame
     red = r.materials.insert(UnlitMaterial(base_color_factor=np.array([1, 0, 0, 1], F)))
     r.add_mesh(box(), red)
     img_dof = r.render()
@@ -391,3 +391,110 @@ class TestBloomAlgorithm:
             b = blur(b)
         exp = rgb + blur(b) * INT
         np.testing.assert_allclose(out, exp.astype(F), atol=3e-5)
+
+
+def test_dof_matches_numpy_wgsl_loop():
+    """depth_of_field_c == a per-pixel numpy transcription of the WGSL
+    apply_dof loop (dof.wgsl:78-123) under the static-tap adaptation
+    documented in ops/effects.py: taps at full DOF_MAX_BLUR radius, the
+    falloff term 1-smoothstep(coc/2, coc, dist_i) acting as the per-pixel
+    radius mask, plus a weight-1 center tap."""
+    import jax.numpy as jnp
+
+    from awsm_renderer_tpu.ops.effects import (
+        DOF_MAX_BLUR, DOF_RING_SCALES, depth_of_field_c, dof_coc_c,
+        dof_disk_offsets, dof_ring_weight, linearize_depth,
+    )
+
+    rng = np.random.default_rng(7)
+    Ht, Wt = 24, 40
+    rgb = rng.random((Ht, Wt, 3)).astype(F) * 2.0
+    depth = rng.random((Ht, Wt)).astype(F)
+    proj = m3.perspective(np.pi / 3, Wt / Ht, 0.1, 100.0)
+    camera = {"proj": jnp.asarray(proj),
+              "dof": jnp.asarray([3.0, 1.2, 0, 0], F)}
+
+    out = depth_of_field_c([jnp.asarray(rgb[..., c]) for c in range(3)],
+                           jnp.asarray(depth), camera)
+    out = np.stack([np.asarray(o) for o in out], axis=-1)
+
+    # --- numpy reference: the WGSL loop, per pixel, per static ring ---
+    D = np.asarray(linearize_depth(jnp.asarray(depth), jnp.asarray(proj)))
+    D = np.maximum(D, 1e-4)
+    coc = np.asarray(dof_coc_c(jnp.asarray(depth), camera))
+    rings = [(s, dof_disk_offsets(s)) for s in DOF_RING_SCALES]
+
+    def smoothstep(e0, e1, x):
+        t = min(max((x - e0) / max(e1 - e0, 1e-8), 0.0), 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    def ring_w(c_coc, s):
+        R = s * DOF_MAX_BLUR
+        t = np.log2(max(c_coc, 1e-6)) - np.log2(R)
+        up = 1.0 if s >= max(DOF_RING_SCALES) else min(max(1.0 - t, 0.0), 1.0)
+        dn = 1.0 if s <= min(DOF_RING_SCALES) else min(max(1.0 + t, 0.0), 1.0)
+        return min(up, dn)
+
+    exp = np.zeros_like(rgb)
+    for y in range(Ht):
+        for x in range(Wt):
+            c_coc = coc[y, x]
+            c_D = D[y, x]
+            blur = rgb[y, x].copy()        # center tap, weight 1
+            total_w = 1.0
+            for s, taps in rings:
+                rw_ = ring_w(c_coc, s)
+                for dx, dy, dist in taps:
+                    yy = min(max(y + dy, 0), Ht - 1)
+                    xx = min(max(x + dx, 0), Wt - 1)
+                    w = 1.0
+                    # background bleed guard (dof.wgsl:104-107)
+                    if D[yy, xx] > c_D and coc[yy, xx] < c_coc:
+                        w = coc[yy, xx] / max(c_coc, 0.01)
+                    w *= rw_ * (1.0 - smoothstep(c_coc * 0.5, c_coc, dist))
+                    blur += rgb[yy, xx] * w
+                    total_w += w
+            blur /= max(total_w, 0.01)
+            blend = smoothstep(0.0, 2.0, c_coc)
+            exp[y, x] = rgb[y, x] * (1.0 - blend) + blur * blend
+
+    np.testing.assert_allclose(out, exp, atol=2e-5, rtol=1e-4)
+    # the scene must actually exercise both blurred and sharp pixels
+    assert (coc > 2.0).any() and (coc < 0.5).any()
+
+
+def test_dof_sharp_in_focus_blurred_off_focus():
+    """A pixel exactly at the focus distance is untouched; a far pixel
+    surrounded by contrasting neighbors is averaged toward them."""
+    import jax.numpy as jnp
+
+    from awsm_renderer_tpu.ops.effects import depth_of_field_c
+
+    Ht, Wt = 33, 33
+    proj = m3.perspective(np.pi / 3, 1.0, 0.1, 100.0)
+    camera = {"proj": jnp.asarray(proj),
+              "dof": jnp.asarray([1.0, 0.1, 0, 0], F)}
+
+    # depth plane exactly at focus: CoC == 0 everywhere -> identity
+    A, B = proj[2, 2], proj[2, 3]
+    # solve linearize_depth(d) == 1: z = B/(A+d) -> d = B/1 - A
+    d_focus = float(B / 1.0 - A)
+    rgb = [jnp.asarray(np.random.default_rng(3).random((Ht, Wt)).astype(F))
+           for _ in range(3)]
+    depth = jnp.full((Ht, Wt), d_focus, F)
+    out = depth_of_field_c(rgb, depth, camera)
+    for o, c in zip(out, rgb):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(c), atol=1e-6)
+
+    # far plane: bright center pixel bleeds into the blur average
+    d_far = float(B / 40.0 - A)
+    img = [jnp.zeros((Ht, Wt), F) for _ in range(3)]
+    img[0] = img[0].at[16, 16].set(10.0)
+    depth_far = jnp.full((Ht, Wt), d_far, F)
+    out = depth_of_field_c(img, depth_far, camera)
+    assert float(out[0][16, 16]) < 10.0          # center spread out
+    assert float(np.asarray(out[0]).sum()) > 0.0
+    # energy appears at tap positions away from the center
+    off_center = np.asarray(out[0]).copy()
+    off_center[16, 16] = 0.0
+    assert off_center.max() > 0.0
