@@ -289,6 +289,18 @@ class Materials:
         self._materials: Dict[int, object] = {}
         self.gpu_dirty = True
 
+    @property
+    def gpu_dirty(self) -> bool:
+        return self._gpu_dirty
+
+    @gpu_dirty.setter
+    def gpu_dirty(self, v: bool) -> None:
+        # monotonic version for host-side derived-state caches (renderer
+        # per-frame prep memo); bumps on every dirtying mutation
+        self._gpu_dirty = bool(v)
+        if v:
+            self.mutation_count = getattr(self, "mutation_count", 0) + 1
+
     def _resize(self, capacity: int) -> None:
         self.float_data = np.zeros((capacity, NUM_F32), dtype=F)
         self.tex_slots = np.full((capacity, NUM_TEX_SLOTS, 3), -1, dtype=np.int32)

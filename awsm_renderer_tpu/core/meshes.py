@@ -210,6 +210,20 @@ class Meshes:
         self._inst_next_gid = 0
         self.inst_groups_changed = False   # a group was created/deleted
 
+
+    @property
+    def gpu_dirty(self) -> bool:
+        return self._gpu_dirty
+
+    @gpu_dirty.setter
+    def gpu_dirty(self, v: bool) -> None:
+        # mutation_count: monotonic version for host-side derived-state
+        # caches (renderer per-frame prep memo); bumps on every dirtying
+        # mutation, never resets on flush
+        self._gpu_dirty = bool(v)
+        if v:
+            self.mutation_count = getattr(self, "mutation_count", 0) + 1
+
     def _resize_corners(self, tri_capacity: int) -> None:
         n = 3 * tri_capacity
         sw = (self.c_joints.shape[1] if hasattr(self, "c_joints")

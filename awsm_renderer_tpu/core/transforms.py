@@ -63,6 +63,19 @@ class Transforms:
         self._topo_dirty = True
         self.gpu_dirty = True  # whole-array upload flag for the scene flush
 
+    @property
+    def gpu_dirty(self) -> bool:
+        return self._gpu_dirty
+
+    @gpu_dirty.setter
+    def gpu_dirty(self, v: bool) -> None:
+        # monotonic version for host-side derived-state caches (the
+        # renderer's per-frame prep memo keys on it: world matrices feed
+        # the world AABBs that drive frustum culling and tile caps)
+        self._gpu_dirty = bool(v)
+        if v:
+            self.mutation_count = getattr(self, "mutation_count", 0) + 1
+
     def _resize(self, capacity: int) -> None:
         self.world = np.tile(np.eye(4, dtype=F), (capacity, 1, 1))
         self.normal = np.tile(np.eye(3, dtype=F), (capacity, 1, 1))

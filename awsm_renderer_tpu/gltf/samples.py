@@ -685,8 +685,110 @@ def glb_helmet():
     }), ((1.7, 0.9, 1.9), (0.0, 0.1, 0.0))
 
 
+def _sphere_mesh(b, radius=0.42, rings=12, sectors=24):
+    th = np.linspace(0.0, np.pi, rings + 1)
+    ph = np.linspace(0.0, 2 * np.pi, sectors + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    pos = (np.stack([np.sin(T) * np.cos(P), np.cos(T),
+                     np.sin(T) * np.sin(P)], axis=-1)
+           .reshape(-1, 3).astype(F) * radius)
+    nrm = (pos / np.maximum(np.linalg.norm(pos, axis=1, keepdims=True), 1e-9)
+           ).astype(F)
+    s1 = sectors + 1
+    idx = []
+    for i in range(rings):
+        for j in range(sectors):
+            a = i * s1 + j
+            idx += [a, a + 1, a + s1, a + 1, a + s1 + 1, a + s1]
+    return (b.acc(pos, minmax=True), b.acc(nrm),
+            b.acc(np.asarray(idx, np.uint32)))
+
+
+def glb_metal_rough_spheres():
+    """MetalRoughSpheres-class: a 5x5 grid sweeping metallic (rows) x
+    roughness (columns) factors over one shared sphere mesh."""
+    b = _GlbBuilder()
+    pos_acc, nrm_acc, idx_acc = _sphere_mesh(b)
+    mats, meshes, nodes = [], [], []
+    n = 5
+    for mi in range(n):
+        for ri in range(n):
+            k = mi * n + ri
+            mats.append({"pbrMetallicRoughness": {
+                "baseColorFactor": [0.8, 0.6, 0.3, 1.0],
+                "metallicFactor": mi / (n - 1),
+                "roughnessFactor": ri / (n - 1)}})
+            meshes.append({"primitives": [{
+                "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
+                "indices": idx_acc, "material": k}]})
+            nodes.append({"mesh": k, "translation": [
+                (ri - (n - 1) / 2) * 1.0, ((n - 1) / 2 - mi) * 1.0, 0.0]})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(n * n))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+    }), ((0.0, 0.0, 6.5), (0.0, 0.0, 0.0))
+
+
+def glb_extensions_compare():
+    """Compare*-grid-class: one sphere per KHR material extension —
+    clearcoat, sheen, transmission+volume+IOR, specular, iridescence,
+    anisotropy, emissive_strength, dispersion — against a plain PBR
+    control (the reference's Extensions model set in one scene)."""
+    b = _GlbBuilder()
+    pos_acc, nrm_acc, idx_acc = _sphere_mesh(b)
+    base = {"baseColorFactor": [0.7, 0.2, 0.2, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.4}
+    variants = [
+        ("control", {}),
+        ("clearcoat", {"KHR_materials_clearcoat": {
+            "clearcoatFactor": 1.0, "clearcoatRoughnessFactor": 0.1}}),
+        ("sheen", {"KHR_materials_sheen": {
+            "sheenColorFactor": [0.9, 0.8, 0.3],
+            "sheenRoughnessFactor": 0.5}}),
+        ("transmission", {"KHR_materials_transmission": {
+            "transmissionFactor": 1.0},
+            "KHR_materials_volume": {"thicknessFactor": 0.3},
+            "KHR_materials_ior": {"ior": 1.5}}),
+        ("specular", {"KHR_materials_specular": {
+            "specularFactor": 0.3,
+            "specularColorFactor": [0.2, 0.6, 1.0]}}),
+        ("iridescence", {"KHR_materials_iridescence": {
+            "iridescenceFactor": 1.0, "iridescenceIor": 1.3,
+            "iridescenceThicknessMaximum": 400.0}}),
+        ("anisotropy", {"KHR_materials_anisotropy": {
+            "anisotropyStrength": 0.8, "anisotropyRotation": 0.5}}),
+        ("emissive", {"KHR_materials_emissive_strength": {
+            "emissiveStrength": 3.0}}),
+        ("dispersion", {"KHR_materials_dispersion": {"dispersion": 0.1},
+                        "KHR_materials_transmission": {
+                            "transmissionFactor": 1.0},
+                        "KHR_materials_ior": {"ior": 1.5}}),
+    ]
+    mats, meshes, nodes = [], [], []
+    for k, (name, ext) in enumerate(variants):
+        m = {"pbrMetallicRoughness": dict(base), "name": name}
+        if name == "emissive":
+            m["emissiveFactor"] = [1.0, 0.8, 0.2]
+        if ext:
+            m["extensions"] = ext
+        mats.append(m)
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
+            "indices": idx_acc, "material": k}]})
+        nodes.append({"mesh": k, "translation": [
+            (k % 3 - 1) * 1.0, (1 - k // 3) * 1.0, 0.0]})
+    used = sorted({e for _, ext in variants for e in ext})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(len(variants)))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "extensionsUsed": used,
+    }), ((0.0, 0.0, 4.6), (0.0, 0.0, 0.0))
+
+
 SAMPLES = {
     "glb-helmet": glb_helmet,
+    "glb-metal-rough-spheres": glb_metal_rough_spheres,
+    "glb-extensions-compare": glb_extensions_compare,
     "glb-many-influences": glb_many_influences,
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,

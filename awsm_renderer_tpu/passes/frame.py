@@ -39,22 +39,32 @@ def _pad_to(x: int, m: int) -> int:
 
 @dataclass(frozen=True)
 class RenderHooks:
-    """Extension points inside the jitted frame (reference: render.rs:28-46
-    RenderHooks — pre_render, after_geometry_pass, before/after_transparent,
-    last_pass). Hooks are traceable jax functions; swapping a hook set is a
-    retrace, like the reference's hook-driven pipeline rebuilds.
+    """The reference's 7 hook points (render.rs:28-46). The five in-frame
+    hooks are traceable jax functions running INSIDE the jitted frame
+    (swapping a hook set is a retrace, like the reference's hook-driven
+    pipeline rebuilds); pre/post_render are host callbacks around the
+    dispatch (the reference runs them around its command submission).
 
     Signatures:
+      pre_render(renderer) -> None            [host, before the flush]
+      first_pass(ds) -> ds                    [in-jit, before vertex/raster]
       after_geometry(vis: dict, ds) -> vis dict
       before_transparent(hdr, depth, ds) -> hdr
       after_transparent(hdr, ds) -> hdr
       last_pass(ldr, ds) -> ldr
-    """
+      post_render(renderer) -> None           [host, after the dispatch]
 
+    Draw user geometry mid-frame with passes/extra.py
+    extra_geometry_pass (the analog of the reference's public hook-pass
+    builders, render.rs:387-546)."""
+
+    pre_render: Optional[Callable] = None
+    first_pass: Optional[Callable] = None
     after_geometry: Optional[Callable] = None
     before_transparent: Optional[Callable] = None
     after_transparent: Optional[Callable] = None
     last_pass: Optional[Callable] = None
+    post_render: Optional[Callable] = None
 
 
 def _sort_triangles(setup: jnp.ndarray):
@@ -811,6 +821,8 @@ def render_frame(
     if ext is None:
         ext = ALL_EXT
     assert not (supersample and msaa), "pick one AA mode"
+    if hooks and hooks.first_pass:
+        ds = hooks.first_pass(ds)
     scale = 2 if supersample else 1
     rw2 = _pad_to(width * scale, TILE_W)
     rh2 = _pad_to(height * scale, TILE_H)

@@ -566,12 +566,22 @@ class AwsmRendererTpu:
         if cap <= 0:
             return None
         if bucket == "opaque":
-            step = max(64, 1 << max(0, (n_tiles // 16 - 1)).bit_length())
+            # ~n_tiles/32 steps: at 1080p the AABB union runs ~130 tiles
+            # over the true coverage, and the pow2-of-n/16 step added up
+            # to another 127 — the finer step shaves ~6% of compact-shade
+            # pixels for at most one extra retrace bucket
+            step = max(64, 1 << max(0, (n_tiles // 32 - 1)).bit_length())
             capb = -(-cap // step) * step
             if capb * 8 >= n_tiles * 7:   # <12.5% sky: not worth a retrace
                 return None
             return capb
-        capb = max(64, 1 << (cap - 1).bit_length())
+        # geometric 1.25x buckets (32-aligned) instead of pow2: the K-layer
+        # compact peel + shade scale with this cap, and a pow2 round-up
+        # wastes up to 2x; ~34 buckets over a 2k-tile grid keeps retraces
+        # as bounded as the old log2 scheme in practice
+        capb = 64
+        while capb < cap:
+            capb = -(-(capb * 5 // 4) // 32) * 32
         if capb * 4 >= n_tiles * 3:
             return None
         return capb
@@ -750,6 +760,8 @@ class AwsmRendererTpu:
         as a DEVICE array (the analog of the swapchain texture staying on
         GPU — no host readback)."""
         cfg = self.config
+        if hooks is not None and getattr(hooks, "pre_render", None):
+            hooks.pre_render(self)   # host hook, before the dirty flush
         self.camera.next_frame()
         if debug_mode == "none":
             # any material carrying a debug bitmask switches the shade
@@ -765,40 +777,83 @@ class AwsmRendererTpu:
         # (jax.profiler.trace + the TraceAnnotation these spans emit)
         with self.timings.span("write_gpu"):
             ds = self._flush()
-        with self.timings.span("collect_renderables"):
-            masks = self._mesh_masks()
-        has_transparent = bool(masks["transparent"].any())
-        has_hud = bool(masks["hud"].any())
-        # per-pass shading specialization: the overlay (transparent + HUD)
-        # shade compiles only against the texture slots / extensions its
-        # OWN materials use (reference: per-(buffer_info, material)
-        # transparent pipelines, material_transparent shader/cache_key.rs)
-        if has_transparent or has_hud:
-            ov_rows = self._bucket_mat_rows(masks["transparent"] | masks["hud"])
-            ov_slot_mask = self._slot_mask(ov_rows)
-            ov_ext = self._ext_mask(ov_rows)
-            ov_crop = self._overlay_crop(masks)
-            ov_idx = self._overlay_tri_idx(masks)
-            # 32x32 units: the transparent cap drives the compacted
-            # PEEL grid (binned-raster tiles), not the 8x128 shade tiles
-            ov_tile_cap = (self._bucket_tile_cap(masks, "transparent",
-                                                 tile_h=32, tile_w=32)
-                           if has_transparent else None)
+        # per-frame derived state (cull masks, pass specializations, tile
+        # caps, crops, DoF rings): ~9 ms of host numpy per frame on a
+        # small host, re-derivable only from (meshes, materials, camera,
+        # config) — memoized on their mutation counters so a static
+        # scene/camera pays it once (the reference's analog: bind-group
+        # recreate lists are drained, not rebuilt, on clean frames)
+        prep_key = (
+            getattr(self.meshes, "mutation_count", 0),
+            getattr(self.materials, "mutation_count", 0),
+            getattr(self.transforms, "mutation_count", 0),
+            self.camera.view.tobytes(), self.camera.projection.tobytes(),
+            self.camera.dof.focus_distance, self.camera.dof.aperture,
+            cfg,
+        )
+        cached = getattr(self, "_prep_cache", None)
+        if cached is not None and cached[0] == prep_key:
+            prep = cached[1]
+            masks = prep["masks"]
         else:
-            ov_slot_mask = None
-            ov_ext = None
-            ov_crop = None
-            ov_idx = None
-            ov_tile_cap = None
-        op_rows = self._bucket_mat_rows(masks["opaque"])
-        # opaque covered-tile compaction: MSAA path (solid envs fill
-        # skipped tiles with the constant; image envs sample sky from the
-        # texel-pool env rows — frame.py _opaque_band_msaa gates
-        # identically on the traced side)
-        op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
-                       if cfg.anti_aliasing.msaa else None)
-        dof_rings = (self._dof_ring_set() if cfg.post_processing.dof
-                     else None)
+            with self.timings.span("collect_renderables"):
+                masks = self._mesh_masks()
+            has_transparent = bool(masks["transparent"].any())
+            has_hud = bool(masks["hud"].any())
+            # per-pass shading specialization: the overlay (transparent +
+            # HUD) shade compiles only against the texture slots /
+            # extensions its OWN materials use (reference: per-
+            # (buffer_info, material) transparent pipelines,
+            # material_transparent shader/cache_key.rs)
+            if has_transparent or has_hud:
+                ov_rows = self._bucket_mat_rows(
+                    masks["transparent"] | masks["hud"])
+                ov_slot_mask = self._slot_mask(ov_rows)
+                ov_ext = self._ext_mask(ov_rows)
+                ov_crop = self._overlay_crop(masks)
+                ov_idx = self._overlay_tri_idx(masks)
+                # 32x32 units: the transparent cap drives the compacted
+                # PEEL grid (binned-raster tiles), not the 8x128 shade tiles
+                ov_tile_cap = (self._bucket_tile_cap(masks, "transparent",
+                                                     tile_h=32, tile_w=32)
+                               if has_transparent else None)
+            else:
+                ov_slot_mask = None
+                ov_ext = None
+                ov_crop = None
+                ov_idx = None
+                ov_tile_cap = None
+            op_rows = self._bucket_mat_rows(masks["opaque"])
+            # opaque covered-tile compaction: MSAA path (solid envs fill
+            # skipped tiles with the constant; image envs sample sky from
+            # the texel-pool env rows — frame.py _opaque_band_msaa gates
+            # identically on the traced side)
+            op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
+                           if cfg.anti_aliasing.msaa else None)
+            dof_rings = (self._dof_ring_set() if cfg.post_processing.dof
+                         else None)
+            prep = dict(
+                masks=masks, has_transparent=has_transparent,
+                has_hud=has_hud, ov_slot_mask=ov_slot_mask, ov_ext=ov_ext,
+                ov_crop=ov_crop, ov_idx=ov_idx, ov_tile_cap=ov_tile_cap,
+                op_rows=op_rows, op_tile_cap=op_tile_cap,
+                dof_rings=dof_rings,
+                op_slot_mask=self._slot_mask(op_rows),
+                op_ext=self._ext_mask(op_rows),
+                has_morphs=bool(np.any(self.meshes.mesh_info[:, 3] > 0)),
+                skin_sets=(int(self.meshes.mesh_info[:, 5].max())
+                           if self.meshes.count else 0),
+            )
+            self._prep_cache = (prep_key, prep)
+        has_transparent = prep["has_transparent"]
+        has_hud = prep["has_hud"]
+        ov_slot_mask = prep["ov_slot_mask"]
+        ov_ext = prep["ov_ext"]
+        ov_crop = prep["ov_crop"]
+        ov_idx = prep["ov_idx"]
+        ov_tile_cap = prep["ov_tile_cap"]
+        op_tile_cap = prep["op_tile_cap"]
+        dof_rings = prep["dof_rings"]
         static_kwargs = dict(
             width=cfg.width,
             height=cfg.height,
@@ -806,18 +861,18 @@ class AwsmRendererTpu:
             msaa=cfg.anti_aliasing.msaa,
             tonemap=cfg.post_processing.tonemapping,
             use_mips=cfg.anti_aliasing.mipmap,
-            has_morphs=bool(np.any(self.meshes.mesh_info[:, 3] > 0)),
-            skin_sets=int(self.meshes.mesh_info[:, 5].max()) if self.meshes.count else 0,
+            has_morphs=prep["has_morphs"],
+            skin_sets=prep["skin_sets"],
             has_transparent=has_transparent,
             has_hud=has_hud,
             n_transparent_layers=cfg.max_transparent_layers,
-            slot_mask=self._slot_mask(op_rows),
+            slot_mask=prep["op_slot_mask"],
             solid_env=self.environment.is_solid,
             has_nearest=bool(
                 (self.textures.descriptors[:, 5] == 0).any()
                 and self.textures.descriptor_capacity > 0),
             needs_clip=masks["needs_clip"],
-            ext=self._ext_mask(op_rows),
+            ext=prep["op_ext"],
             overlay_slot_mask=ov_slot_mask,
             overlay_ext=ov_ext,
             overlay_crop_h=(ov_crop[1] if ov_crop else None),
@@ -847,6 +902,8 @@ class AwsmRendererTpu:
         frame_span.__exit__(None, None, None)
         self.timings.end_frame()
         self._last_tri_id = tri_id
+        if hooks is not None and getattr(hooks, "post_render", None):
+            hooks.post_render(self)  # host hook, after the dispatch
         return ldr
 
     def render(self, debug_mode: str = "none", hooks=None) -> np.ndarray:

@@ -16,18 +16,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache for the CPU test backend: interpret-mode
-# frame variants take minutes of XLA CPU compile on a small host; cached
-# reloads verified bit-identical on this machine (r3). Separate dir from
-# the TPU cache; nuke it if a reload ever misbehaves.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("AWSM_JAX_CPU_CACHE",
-                       os.path.expanduser("~/.cache/awsm_jax_cpu")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# persistent compile cache for the CPU test backend — OPT-IN via
+# AWSM_JAX_CPU_CACHE=<dir>: cached reloads are bit-identical and turn
+# minute-long interpret-mode compiles into seconds, but two full-suite
+# runs with the cache enabled segfaulted inside XLA CPU
+# backend_compile_and_load on a big FRESH compile ~40 min in (r3; the
+# cache-less run only ever ran slow). Use it for chunked per-file dev
+# runs, where a crash is isolated and restarts are cheap; leave the
+# driver's single-process `pytest tests/` uncached.
+if os.environ.get("AWSM_JAX_CPU_CACHE"):
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["AWSM_JAX_CPU_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import pytest  # noqa: E402
 

@@ -484,11 +484,18 @@ class TestFailureRecovery:
         import numpy as np
         import pytest
 
+        from awsm_renderer_tpu import Transform
+
         r, keys = self._scene()
         img0 = r.render()
-        # corrupt one mesh's world bounds (NaN transform analog)
+        # corrupt one mesh through the SUPPORTED path: a NaN transform
+        # propagates to NaN world bounds via update_world (direct field
+        # writes bypass the stores' mutation counters, which the
+        # renderer's per-frame prep memo keys on)
         bad = r.meshes.get(keys[0])
-        bad.world_aabb.min[:] = np.nan
+        r.transforms.set_local(bad.transform_key, Transform(
+            translation=np.array([np.nan, 0, 0], np.float32)))
+        r.update_all(0.0)
         with pytest.warns(RuntimeWarning, match="skipping mesh"):
             img1 = r.render()
         assert np.isfinite(img1).all()
@@ -500,13 +507,18 @@ class TestFailureRecovery:
         import numpy as np
         import pytest
 
+        from awsm_renderer_tpu import Transform
+
         r, keys = self._scene()
         img0 = r.render()
         bad = r.meshes.get(keys[0])
-        saved = bad.world_aabb.min.copy()
-        bad.world_aabb.min[:] = np.nan
+        r.transforms.set_local(bad.transform_key, Transform(
+            translation=np.array([np.nan, 0, 0], np.float32)))
+        r.update_all(0.0)
         with pytest.warns(RuntimeWarning):
             r.render()
-        bad.world_aabb.min[:] = saved
+        r.transforms.set_local(bad.transform_key, Transform(
+            translation=np.array([-1.0, 0, 0], np.float32)))
+        r.update_all(0.0)
         img2 = r.render()
         np.testing.assert_array_equal(img2, img0)

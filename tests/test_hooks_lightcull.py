@@ -131,3 +131,61 @@ class TestExtraPass:
         c = img[32, 64]
         # 50% red blended over the white box face
         assert c[0] > 0.7 and c[1] < 0.8 and c[1] > 0.3, c
+
+
+def test_host_and_first_pass_hooks():
+    """The 3 remaining reference hook points (render.rs:28-46):
+    pre_render (host, before flush), first_pass (in-jit, before
+    vertex/raster), post_render (host, after dispatch)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awsm_renderer_tpu import (
+        AwsmRendererTpu, PostProcessing, RendererConfig, ToneMapping,
+        UnlitMaterial,
+    )
+    from awsm_renderer_tpu.geometry import box
+    from awsm_renderer_tpu.passes.frame import RenderHooks
+    from awsm_renderer_tpu.utils import math3d as m3
+
+    F = np.float32
+    r = AwsmRendererTpu(RendererConfig(
+        width=128, height=32,
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([0, 0, 1, 1], F)))
+    r.add_mesh(box(), mat)
+    r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, 4.0, 0.1, 100.0))
+
+    calls = {"pre": 0, "post": 0}
+
+    def pre_render(renderer):
+        calls["pre"] += 1
+        # mutate scene state before the flush: recolor the material red
+        renderer.materials.update(mat, UnlitMaterial(
+            base_color_factor=np.array([1, 0, 0, 1], F)))
+
+    def first_pass(ds):
+        # advanced geometry setup: scale every world matrix to half size
+        ds = dict(ds)
+        scale = jnp.diag(jnp.array([0.5, 0.5, 0.5, 1.0], jnp.float32))
+        w = ds["world"]                      # (cap, 16) row-major mat4s
+        m = w.reshape(-1, 4, 4) @ scale
+        ds["world"] = m.reshape(-1, 16)
+        return ds
+
+    def post_render(renderer):
+        calls["post"] += 1
+
+    img = r.render(hooks=RenderHooks(
+        pre_render=pre_render, first_pass=first_pass,
+        post_render=post_render))
+    assert calls == {"pre": 1, "post": 1}
+    c = img[16, 64, :3]
+    assert c[0] > 0.8 and c[2] < 0.2, c       # pre_render recolored to red
+    # first_pass halved the box: covered width shrinks vs the plain frame
+    img2 = r.render()
+    cov_hook = (img[..., 0] > 0.5).sum()
+    cov_plain = (img2[..., 0] > 0.5).sum()
+    assert 0 < cov_hook < cov_plain * 0.5, (cov_hook, cov_plain)

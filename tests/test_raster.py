@@ -345,7 +345,6 @@ def test_shared_edge_watertight_no_pinholes():
     (ops/vertex.py finish_setup: canonical-anchor C). The old
     xa*yb - xb*ya form left ~10 holes along a box-face diagonal at
     128x64 because XLA's fma broke exact negation symmetry."""
-    import jax.numpy as jnp
     import numpy as np
 
     from awsm_renderer_tpu import (
@@ -353,7 +352,6 @@ def test_shared_edge_watertight_no_pinholes():
         UnlitMaterial,
     )
     from awsm_renderer_tpu.geometry import box
-    from awsm_renderer_tpu.passes.frame import render_frame
     from awsm_renderer_tpu.utils import math3d as m3
 
     F = np.float32
@@ -365,13 +363,11 @@ def test_shared_edge_watertight_no_pinholes():
     r.add_mesh(box(0.8), mat)
     r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
                     m3.perspective(np.pi / 3, 2.0, 0.1, 100.0))
-    ds = r._flush()
-    masks = r._mesh_masks()
-    _, tid, _ = render_frame(
-        ds, jnp.asarray(masks["opaque"]), width=128, height=64,
-        supersample=False, tonemap=ToneMapping.NONE, use_mips=True,
-        has_morphs=False, skin_sets=0)
-    tid = np.asarray(tid)
+    # render through the renderer (the common jit specialization other
+    # tests already compile) — a direct render_frame call with one-off
+    # static args compiled a fresh full-frame module just for this test
+    r.render()
+    tid = np.asarray(r._last_tri_id)
     ys, xs = np.where(tid >= 0)
     # interior of the face silhouette (1 px margin off the boundary)
     sub = tid[ys.min() + 1 : ys.max(), xs.min() + 1 : xs.max()]

@@ -78,6 +78,7 @@ def full_scene():
     return ds, masks
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(scene):
     ds, mask = scene
     n = min(8, len(jax.devices()))

@@ -9,6 +9,7 @@ forward transparent pass simply has no fragments outside its draws
 """
 
 import numpy as np
+import pytest
 
 from awsm_renderer_tpu import (
     AlphaMode, AwsmRendererTpu, Light, PbrMaterial, PostProcessing,
@@ -83,6 +84,7 @@ def _frame(r, tile_cap):
     )
 
 
+@pytest.mark.slow
 def test_compact_matches_band_unlit():
     r = _scene(pbr_glass=False)
     ldr_a, tid_a, _ = _frame(r, None)
@@ -93,6 +95,7 @@ def test_compact_matches_band_unlit():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_compact_matches_band_pbr_textured():
     r = _scene(pbr_glass=True)
     ldr_a, _, _ = _frame(r, None)
