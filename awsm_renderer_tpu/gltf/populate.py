@@ -405,6 +405,11 @@ def populate_gltf(renderer, data: GltfData, scene_index: Optional[int] = None,
     renderer.skins.update_transforms(renderer.transforms)
 
     # pass 5 (meshes) runs before animations so weight channels can bind
+    # primitive-resource dedup: N nodes referencing one glTF mesh share
+    # ONE converted MeshResource (the reference's MeshResource refcount
+    # sharing, meshes.rs:303) — without this a Sponza-class scene
+    # re-runs indices/normals/tangents conversion per node
+    prim_resources: Dict[Tuple[int, int], Tuple[int, int]] = {}
     for node_index, tk in list(lookups.node_transforms.items()):
         node = nodes[node_index]
         if "mesh" not in node:
@@ -417,15 +422,19 @@ def populate_gltf(renderer, data: GltfData, scene_index: Optional[int] = None,
                 lookups.material_keys[mat_index] = _convert_material(
                     renderer, data, mat_index, tex_cache)
             mat_key = lookups.material_keys[mat_index]
-            geo = _convert_primitive(data, prim)
             weights0 = mesh.get("weights") or nodes[node_index].get("weights")
             skin_key = skin_keys.get(node.get("skin"))
 
             target_tks = instancing.get(node_index, [tk])
-            resource = renderer.meshes.insert_resource(geo)
+            rk = (node["mesh"], pi)
+            if rk not in prim_resources:
+                geo = _convert_primitive(data, prim)
+                prim_resources[rk] = (renderer.meshes.insert_resource(geo),
+                                      geo.morph_target_count)
+            resource, morph_targets = prim_resources[rk]
             prim_keys = []
             if (node_index in instancing and skin_key is None
-                    and geo.morph_target_count == 0):
+                    and morph_targets == 0):
                 # shared-geometry instanced draw: corners stored/uploaded
                 # ONCE, per-instance transforms only (instances.rs:22-203)
                 prim_keys = renderer.meshes.insert_instanced(

@@ -785,10 +785,102 @@ def glb_extensions_compare():
     }), ((0.0, 0.0, 4.6), (0.0, 0.0, 0.0))
 
 
+def glb_sponza_lite():
+    """Sponza-class open-world probe through the FULL glTF path: a
+    textured floor, a 7x7 colonnade of shared-mesh columns and spheres
+    (many nodes referencing few meshes — exercises the populate
+    primitive-resource dedup), a ring of alpha-blended glass panes, and
+    KHR_lights_punctual directional + point lights. ~21k triangles —
+    the benchmark protocol's config-5 scene shape at CPU-testable
+    scale (bench.py measures the 260k-triangle procedural analog)."""
+    b = _GlbBuilder()
+    tex0 = b.image_png(_checker_rgba(a=(200, 160, 110), b=(90, 70, 50)))
+    tex1 = b.image_png(_checker_rgba(a=(70, 90, 140), b=(210, 210, 220)))
+
+    # shared meshes: column (box), sphere, pane, floor
+    col = np.array([[-0.3, 0, -0.3], [0.3, 0, -0.3], [0.3, 1.6, -0.3],
+                    [-0.3, 1.6, -0.3], [-0.3, 0, 0.3], [0.3, 0, 0.3],
+                    [0.3, 1.6, 0.3], [-0.3, 1.6, 0.3]], F)
+    col_uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0],
+                       [0, 1], [1, 1], [1, 0], [0, 0]], F)
+    col_idx = np.array([0, 2, 1, 0, 3, 2, 4, 5, 6, 4, 6, 7,
+                        0, 1, 5, 0, 5, 4, 3, 7, 6, 3, 6, 2,
+                        0, 4, 7, 0, 7, 3, 1, 2, 6, 1, 6, 5], np.uint16)
+    pos_s, nrm_s, idx_s = _sphere_mesh(b, radius=0.45, rings=16, sectors=32)
+    pane = np.array([[-0.45, 0, 0], [0.45, 0, 0],
+                     [0.45, 1.2, 0], [-0.45, 1.2, 0]], F)
+    pane_idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    floor = np.array([[-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]], F)
+    floor_uv = np.array([[0, 8], [8, 8], [8, 0], [0, 0]], F)
+    floor_idx = np.array([0, 2, 1, 0, 3, 2], np.uint16)  # up-facing
+
+    meshes = [
+        {"primitives": [{"attributes": {
+            "POSITION": b.acc(col, minmax=True), "TEXCOORD_0": b.acc(col_uv)},
+            "indices": b.acc(col_idx), "material": 0}]},          # 0 column
+        {"primitives": [{"attributes": {
+            "POSITION": pos_s, "NORMAL": nrm_s},
+            "indices": idx_s, "material": 1}]},                   # 1 sphere
+        {"primitives": [{"attributes": {
+            "POSITION": b.acc(pane, minmax=True)},
+            "indices": b.acc(pane_idx), "material": 2}]},         # 2 pane
+        {"primitives": [{"attributes": {
+            "POSITION": b.acc(floor, minmax=True),
+            "TEXCOORD_0": b.acc(floor_uv)},
+            "indices": b.acc(floor_idx), "material": 3}]},        # 3 floor
+    ]
+    mats = [
+        {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                  "metallicFactor": 0.1,
+                                  "roughnessFactor": 0.7}},
+        {"pbrMetallicRoughness": {"baseColorFactor": [0.8, 0.7, 0.4, 1.0],
+                                  "metallicFactor": 0.8,
+                                  "roughnessFactor": 0.25}},
+        {"pbrMetallicRoughness": {"baseColorFactor": [0.4, 0.7, 0.9, 0.4],
+                                  "roughnessFactor": 0.1},
+         "alphaMode": "BLEND", "doubleSided": True},
+        {"pbrMetallicRoughness": {"baseColorTexture": {"index": 1},
+                                  "roughnessFactor": 0.9}},
+    ]
+    nodes = [{"mesh": 3}]
+    for gx in range(-3, 4):
+        for gz in range(-3, 4):
+            m = 0 if (gx + gz) % 2 == 0 else 1
+            y = 0.0 if m == 0 else 0.6
+            nodes.append({"mesh": m,
+                          "translation": [gx * 2.0, y, gz * 2.0]})
+    for i in range(10):
+        a = 2 * np.pi * i / 10
+        nodes.append({"mesh": 2,
+                      "translation": [np.cos(a) * 5.2, 0.2, np.sin(a) * 5.2],
+                      "rotation": [0.0, float(np.sin(-a / 2)), 0.0,
+                                   float(np.cos(-a / 2))]})
+    # KHR_lights_punctual: 1 directional + 3 points
+    lights = [{"type": "directional", "intensity": 2.0}]
+    light_nodes = [{"rotation": [0.35, 0.1, 0.0, 0.93],
+                    "extensions": {"KHR_lights_punctual": {"light": 0}}}]
+    for i in range(3):
+        lights.append({"type": "point", "intensity": 12.0, "range": 12.0,
+                       "color": [1.0, 0.8 - 0.2 * i, 0.5 + 0.15 * i]})
+        a = 2 * np.pi * i / 3
+        light_nodes.append({
+            "translation": [np.cos(a) * 3.5, 2.2, np.sin(a) * 3.5],
+            "extensions": {"KHR_lights_punctual": {"light": i + 1}}})
+    nodes.extend(light_nodes)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": [{"source": tex0}, {"source": tex1}],
+        "extensions": {"KHR_lights_punctual": {"lights": lights}},
+        "extensionsUsed": ["KHR_lights_punctual"],
+    }), ((7.5, 4.5, 7.5), (0.0, 0.6, 0.0))
+
+
 SAMPLES = {
     "glb-helmet": glb_helmet,
     "glb-metal-rough-spheres": glb_metal_rough_spheres,
     "glb-extensions-compare": glb_extensions_compare,
+    "glb-sponza-lite": glb_sponza_lite,
     "glb-many-influences": glb_many_influences,
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,

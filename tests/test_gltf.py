@@ -345,3 +345,23 @@ def test_khr_texture_transform_import(tmp_path):
     row = ref.transform_id
     np.testing.assert_allclose(r.textures.tex_transforms[row, :6],
                                [2, 0, 0, 2, 0.25, 0.5])
+
+
+def test_populate_dedups_primitive_resources(tmp_path):
+    """N nodes referencing one glTF mesh share ONE converted MeshResource
+    (reference MeshResource refcounting, meshes.rs:303) — the sponza-lite
+    scene has ~60 nodes over 4 primitives."""
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+    from awsm_renderer_tpu.gltf.loader import load_gltf
+    from awsm_renderer_tpu.gltf.populate import populate_gltf
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
+
+    glb, _cam = SAMPLES["glb-sponza-lite"]()
+    p = tmp_path / "s.glb"
+    p.write_bytes(glb)
+    r = AwsmRendererTpu(RendererConfig(width=64, height=32))
+    lk = populate_gltf(r, load_gltf(str(p)))
+    n_meshes = sum(len(v) for v in lk.node_meshes.values())
+    assert n_meshes >= 55, n_meshes
+    assert len(r.meshes._resources) == 4, len(r.meshes._resources)
+    assert r.lights.count == 4          # KHR_lights_punctual: 1 dir + 3 point
