@@ -876,11 +876,102 @@ def glb_sponza_lite():
     }), ((7.5, 4.5, 7.5), (0.0, 0.6, 0.0))
 
 
+def glb_multi_uv():
+    """MultiUVTest-class: one quad with TWO uv sets — baseColor samples
+    TEXCOORD_0, emissive samples TEXCOORD_1 (shifted/scaled), so a wrong
+    uv-set route shows immediately."""
+    b = _GlbBuilder()
+    img0 = b.image_png(_checker_rgba(a=(40, 120, 220), b=(235, 235, 235)))
+    emis = np.zeros((64, 64, 4), np.uint8)
+    emis[24:40, :, 1] = 200                      # horizontal green band
+    emis[..., 3] = 255
+    img1 = b.image_png(emis)
+    quad = np.array([[-0.8, -0.5, 0], [0.8, -0.5, 0],
+                     [0.8, 0.5, 0], [-0.8, 0.5, 0]], F)
+    uv0 = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    uv1 = np.array([[0, 2], [2, 2], [2, 0], [0, 0]], F)   # 2x tiled band
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(quad, minmax=True),
+                           "TEXCOORD_0": b.acc(uv0),
+                           "TEXCOORD_1": b.acc(uv1)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0, "texCoord": 0},
+                "roughnessFactor": 0.9},
+            "emissiveTexture": {"index": 1, "texCoord": 1},
+            "emissiveFactor": [1.0, 1.0, 1.0],
+        }],
+        "textures": [{"source": img0}, {"source": img1}],
+    }), ((0.0, 0.0, 1.9), (0.0, 0.0, 0.0))
+
+
+def glb_negative_scale():
+    """NegativeScaleTest-class: the same box under positive and negative
+    node scale — mirrored geometry flips triangle winding, and the
+    populate/vertex path must keep the mirrored mesh visible (the
+    reference fixes winding at conversion; here the orientation swap in
+    finish_setup handles it)."""
+    b = _GlbBuilder()
+    col = np.array([[-0.4, -0.4, -0.4], [0.4, -0.4, -0.4],
+                    [0.4, 0.4, -0.4], [-0.4, 0.4, -0.4],
+                    [-0.4, -0.4, 0.4], [0.4, -0.4, 0.4],
+                    [0.4, 0.4, 0.4], [-0.4, 0.4, 0.4]], F)
+    idx = np.array([0, 2, 1, 0, 3, 2, 4, 5, 6, 4, 6, 7,
+                    0, 1, 5, 0, 5, 4, 3, 7, 6, 3, 6, 2,
+                    0, 4, 7, 0, 7, 3, 1, 2, 6, 1, 6, 5], np.uint16)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "translation": [-0.7, 0, 0]},
+            {"mesh": 0, "translation": [0.7, 0, 0],
+             "scale": [-1.0, 1.0, 1.0]},
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(col, minmax=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.3, 0.7, 0.4, 1.0],
+            "roughnessFactor": 0.5, "metallicFactor": 0.1}}],
+    }), ((0.0, 0.8, 2.6), (0.0, 0.0, 0.0))
+
+
+def glb_cameras():
+    """Cameras-class: a scene carrying its own glTF perspective camera
+    node — populate surfaces it through GltfKeyLookups.cameras so the
+    app can frame the scene exactly as authored."""
+    b = _GlbBuilder()
+    tri = np.array([[-0.6, -0.4, 0], [0.6, -0.4, 0], [0.0, 0.6, 0]], F)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {"camera": 0, "translation": [0.4, 0.3, 2.2],
+             "rotation": [0.0, 0.08715574, 0.0, 0.9961947]},  # yaw 10°
+        ],
+        "cameras": [{"type": "perspective", "perspective": {
+            "yfov": 0.9, "znear": 0.05, "zfar": 50.0}}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(tri, minmax=True)},
+            "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.9, 0.5, 0.1, 1.0],
+            "roughnessFactor": 0.7}}],
+    }), ((0.4, 0.3, 2.2), (0.0, 0.0, 0.0))
+
+
 SAMPLES = {
     "glb-helmet": glb_helmet,
     "glb-metal-rough-spheres": glb_metal_rough_spheres,
     "glb-extensions-compare": glb_extensions_compare,
     "glb-sponza-lite": glb_sponza_lite,
+    "glb-multi-uv": glb_multi_uv,
+    "glb-negative-scale": glb_negative_scale,
+    "glb-cameras": glb_cameras,
     "glb-many-influences": glb_many_influences,
     "glb-sparse-displaced": glb_sparse_displaced,
     "glb-mirrored-tangent": glb_mirrored_tangent,

@@ -365,3 +365,26 @@ def test_populate_dedups_primitive_resources(tmp_path):
     assert n_meshes >= 55, n_meshes
     assert len(r.meshes._resources) == 4, len(r.meshes._resources)
     assert r.lights.count == 4          # KHR_lights_punctual: 1 dir + 3 point
+
+
+def test_gltf_camera_exposed(tmp_path):
+    """glTF camera nodes surface through GltfKeyLookups.cameras
+    (reference: frontend consumes authored cameras)."""
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+    from awsm_renderer_tpu.gltf.loader import load_gltf
+    from awsm_renderer_tpu.gltf.populate import populate_gltf
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
+
+    glb, _ = SAMPLES["glb-cameras"]()
+    p = tmp_path / "c.glb"
+    p.write_bytes(glb)
+    r = AwsmRendererTpu(RendererConfig(width=64, height=32))
+    lk = populate_gltf(r, load_gltf(str(p)))
+    assert len(lk.cameras) == 1
+    cam = next(iter(lk.cameras.values()))
+    assert cam["type"] == "perspective"
+    assert abs(cam["params"]["yfov"] - 0.9) < 1e-6
+    assert cam["world"].shape == (4, 4)
+    # the camera node's transform is in the scene graph for placement
+    node_idx = next(iter(lk.cameras))
+    assert node_idx in lk.node_transforms
