@@ -887,6 +887,17 @@ class AwsmRendererTpu:
             smaa=cfg.anti_aliasing.smaa,
         )
         self._log_retrace(static_kwargs, ds, ov_idx, hooks)
+        # host-only hooks (pre/post_render) must not reach the jit static
+        # key — swapping them would needlessly retrace the frame
+        jit_hooks = hooks
+        if hooks is not None and (getattr(hooks, "pre_render", None)
+                                  or getattr(hooks, "post_render", None)):
+            import dataclasses as _dc
+
+            jit_hooks = _dc.replace(hooks, pre_render=None, post_render=None)
+            if all(getattr(jit_hooks, f.name) is None
+                   for f in _dc.fields(jit_hooks)):
+                jit_hooks = None
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
         ldr, tri_id, depth = render_frame(
@@ -896,7 +907,7 @@ class AwsmRendererTpu:
             self._device_mask("hud", masks["hud"]) if has_hud else None,
             overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
             overlay_tri_idx=ov_idx,
-            hooks=hooks,
+            hooks=jit_hooks,
             **static_kwargs,
         )
         frame_span.__exit__(None, None, None)
