@@ -105,13 +105,23 @@ def main(argv=None):
         print(f"loaded {args.gltf}: {len(lookups.node_transforms)} nodes, "
               f"{r.meshes.count} meshes, {len(lookups.material_keys)} materials",
               file=sys.stderr)
-        # frame the scene by its bounds (frontend AABB-fit camera)
-        mins, maxs, _ = r.meshes.world_bounds()
-        if len(mins) and not catalog_cam:
-            c = (mins.min(axis=0) + maxs.max(axis=0)) / 2
-            radius = float(np.linalg.norm(maxs.max(axis=0) - mins.min(axis=0)) / 2) or 1.0
-            center = c
-            eye = c + np.array([0.8, 0.5, 1.2]) * radius * 1.8
+        # authored glTF camera wins (GltfKeyLookups.cameras — the
+        # reference frontend consumes scene cameras the same way);
+        # otherwise frame the scene by its bounds (AABB-fit camera)
+        if lookups.cameras and not catalog_cam:
+            cam = next(iter(lookups.cameras.values()))
+            w = cam["world"]
+            eye = w[:3, 3]
+            center = eye - w[:3, 2]      # glTF cameras look down -Z
+            print(f"using authored {cam['type']} camera", file=sys.stderr)
+        else:
+            mins, maxs, _ = r.meshes.world_bounds()
+            if len(mins) and not catalog_cam:
+                c = (mins.min(axis=0) + maxs.max(axis=0)) / 2
+                radius = float(np.linalg.norm(
+                    maxs.max(axis=0) - mins.min(axis=0)) / 2) or 1.0
+                center = c
+                eye = c + np.array([0.8, 0.5, 1.2]) * radius * 1.8
         if r.lights.count == 0:
             from awsm_renderer_tpu import Light
 
