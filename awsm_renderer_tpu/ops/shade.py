@@ -458,6 +458,8 @@ def shade_surface(
     *,
     width: int, height: int, height_full: int, row_offset,
     use_mips: bool, slot_mask: Tuple[bool, ...],
+    width_full: Optional[int] = None,   # full viewport width (2-D shards)
+    col_offset=0,                       # this shard's first column
     solid_env: bool = False,
     has_nearest: bool = True,
     ext: Tuple[bool, ...] = ALL_EXT,
@@ -525,7 +527,9 @@ def shade_surface(
         # longer encodes screen position
         xs, ys = planes["ndc_x"], planes["ndc_y"]
     else:
-        xs = (jnp.arange(P, dtype=jnp.float32) % W + 0.5) / W * 2.0 - 1.0
+        W_full = W if width_full is None else width_full
+        xs = ((jnp.arange(P, dtype=jnp.float32) % W
+               + jnp.float32(col_offset) + 0.5) / W_full * 2.0 - 1.0)
         rows = jnp.arange(P, dtype=jnp.float32) // W
         if n_layer_tiles > 1:   # stacked layers: screen rows wrap per layer
             rows = rows % jnp.float32(H // n_layer_tiles)
@@ -916,9 +920,9 @@ def shade_surface(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "height_full", "use_mips",
-                     "slot_mask", "solid_env", "has_nearest", "ext",
-                     "debug_mode"),
+    static_argnames=("width", "height", "height_full", "width_full",
+                     "use_mips", "slot_mask", "solid_env", "has_nearest",
+                     "ext", "debug_mode"),
 )
 def shade_deferred_c(
     vis, ds,
@@ -927,6 +931,8 @@ def shade_deferred_c(
     height: int,
     height_full: int | None = None,
     row_offset=0,
+    width_full: int | None = None,
+    col_offset=0,
     use_mips: bool = True,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
@@ -947,6 +953,7 @@ def shade_deferred_c(
     color, _alpha, valid, n_final, sky = shade_surface(
         planes, ds,
         width=W, height=H, height_full=H_full, row_offset=row_offset,
+        width_full=width_full, col_offset=col_offset,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest, ext=ext,
         debug_mode=(debug_mode
@@ -1308,6 +1315,8 @@ def shade_transparent_layers_c(
     width: int, height: int,
     height_full: int | None = None,
     row_offset=0,
+    width_full: int | None = None,
+    col_offset=0,
     use_mips: bool = True,
     slot_mask: Tuple[bool, ...] = ALL_SLOTS,
     solid_env: bool = False,
@@ -1369,6 +1378,7 @@ def shade_transparent_layers_c(
             flat, ds,
             width=W, height=Kg * H, height_full=H_full,
             row_offset=row_offset,
+            width_full=width_full, col_offset=col_offset,
             use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
             has_nearest=has_nearest, ext=ext,
             transparent_pass=True, want_transmission_factor=True,

@@ -43,6 +43,8 @@ from ..passes.frame import (
     _total_triangles,
 )
 
+EXT_VOLUME = 5
+
 
 def render_frame_sharded(
     mesh: Mesh,
@@ -237,6 +239,122 @@ def render_frame_sharded(
         else:
             r, g, b, a, tri_id, depth = _band_single_scale(ds_rep, om, tm, hm)
             hdr_ch = [x.reshape(rh1 * rw1) for x in (r, g, b, a)]
+        ldr, tri_id, depth = _finish_frame(
+            hdr_ch, tri_id, depth, ds_rep,
+            rw=rw1, rh=rh1, width=width, height=height,
+            tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=None,
+        )
+        T_pool = _total_triangles(ds_rep)
+        tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
+        return ldr, tri_id, depth
+
+    return _frame(ds_rep, om, tm, hm)
+
+
+def render_frame_sharded_2d(
+    mesh: Mesh,
+    ds,
+    opaque_mask,
+    transparent_mask=None,
+    hud_mask=None,
+    *,
+    width: int,
+    height: int,
+    tonemap: ToneMapping = ToneMapping.KHRONOS_PBR_NEUTRAL,
+    use_mips: bool = True,
+    has_morphs: bool = False,
+    skin_sets: int = 0,
+    has_transparent: bool = False,
+    has_hud: bool = False,
+    n_transparent_layers: int = 4,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
+    bloom: bool = False,
+    dof: bool = False,
+    smaa: bool = False,
+    has_nearest: bool = True,
+    needs_clip: bool = True,
+    ext=None,
+    has_uv1: bool = True,
+    has_color: bool = True,
+    interpret: bool | None = None,
+):
+    """Single-scale frame over a 2-D ("rows", "cols") device mesh:
+    framebuffer SCREEN TILES sharded along both axes. Each device owns a
+    (band_h x band_w) tile, translates the shared plane-equation setup
+    into fully local coordinates (_shift_rows_band + _shift_cols_band),
+    and runs the production band pipeline on its tile; the image-space
+    tail (effects, tonemap) runs as pjit'd stencils over the 2-D-sharded
+    image, where GSPMD inserts the halo exchanges along BOTH axes.
+
+    This generalizes the 1-D row sharding (render_frame_sharded) when a
+    slab of chips makes tall bands ICI-unfriendly — e.g. a 4x2 mesh
+    keeps each shard's halo perimeter smaller than 8 stacked rows would.
+    Constraints: single-scale only (no supersample/MSAA resolve between
+    stages), and no KHR_materials_volume refraction (its background
+    gather crosses tile boundaries)."""
+    if ext is None:
+        ext = ALL_EXT
+    assert not (has_transparent and ext[EXT_VOLUME]), (
+        "2-D tile sharding cannot serve screen-space refraction — pass "
+        "ext with the volume flag off (renderer buckets do this when no "
+        "material uses KHR_materials_volume)")
+    rows_ax, cols_ax = mesh.axis_names
+    nr = mesh.shape[rows_ax]
+    nc = mesh.shape[cols_ax]
+    rw1 = _pad_to(width, TILE_W)
+    rh1 = _pad_to(height, TILE_H)
+    assert rh1 % (TILE_H * nr) == 0, (rh1, nr)
+    assert rw1 % (TILE_W * nc) == 0, (rw1, nc)
+    band_h = rh1 // nr
+    band_w = rw1 // nc
+
+    replicated = NamedSharding(mesh, P())
+    tile_sharded = NamedSharding(mesh, P(rows_ax, cols_ax))
+
+    common = dict(
+        use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
+        slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
+        hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
+        ext=ext, has_uv1=has_uv1, has_color=has_color,
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=tuple(P(rows_ax, cols_ax) for _ in range(6)),
+        check_rep=False,
+    )
+    def _tile(ds_rep, om, tm, hm):
+        y0 = jax.lax.axis_index(rows_ax) * band_h
+        x0 = jax.lax.axis_index(cols_ax) * band_w
+        hdr_ch, tri_id, depth = _frame_band(
+            ds_rep, om,
+            tm if has_transparent else None,
+            hm if has_hud else None,
+            rw=band_w, band_h=band_h, rh_full=rh1, row_offset=y0,
+            shift_rows=True, rw_full=rw1, col_offset=x0, shift_cols=True,
+            has_transparent=has_transparent, has_hud=has_hud,
+            n_transparent_layers=n_transparent_layers,
+            debug_mode="none", **common,
+        )
+        r, g, b, a = (c.reshape(band_h, band_w) for c in hdr_ch)
+        return r, g, b, a, tri_id, depth
+
+    ds_rep = jax.device_put(ds, replicated)
+    om = jax.device_put(jnp.asarray(opaque_mask), replicated)
+    zeros = jnp.zeros_like(jnp.asarray(opaque_mask))
+    tm = jax.device_put(
+        jnp.asarray(transparent_mask) if transparent_mask is not None
+        else zeros, replicated)
+    hm = jax.device_put(
+        jnp.asarray(hud_mask) if hud_mask is not None else zeros, replicated)
+
+    @functools.partial(jax.jit, out_shardings=(tile_sharded,) * 3)
+    def _frame(ds_rep, om, tm, hm):
+        r, g, b, a, tri_id, depth = _tile(ds_rep, om, tm, hm)
+        hdr_ch = [x.reshape(rh1 * rw1) for x in (r, g, b, a)]
         ldr, tri_id, depth = _finish_frame(
             hdr_ch, tri_id, depth, ds_rep,
             rw=rw1, rh=rh1, width=width, height=height,

@@ -136,6 +136,26 @@ def _shift_rows_band(rows: jnp.ndarray, y0) -> jnp.ndarray:
     return s
 
 
+def _shift_cols_band(rows: jnp.ndarray, x0) -> jnp.ndarray:
+    """x-axis analog of _shift_rows_band: E(px - x0, py) — every
+    x-linear plane's constant gains A*x0 and the x bboxes translate.
+    Composing both shifts gives a 2-D (rows x cols) screen-tile shard
+    its fully local coordinates."""
+    from ..ops.vertex import (
+        S_BB_MAXX, S_BB_MINX, S_E0A, S_E0C, S_E1A, S_E1C, S_E2A, S_E2C,
+        S_ZA, S_ZC,
+    )
+
+    x0 = jnp.float32(x0)
+    s = rows
+    for ra, rc in ((S_E0A, S_E0C), (S_E1A, S_E1C), (S_E2A, S_E2C),
+                   (S_ZA, S_ZC)):
+        s = s.at[:, rc].add(s[:, ra] * x0)
+    s = s.at[:, S_BB_MINX].add(-x0)
+    s = s.at[:, S_BB_MAXX].add(-x0)
+    return s
+
+
 _CORNER_NAMES = ("c_pos", "c_norm", "c_tang", "c_uv0", "c_uv1", "c_color",
                  "c_joints", "c_weights", "c_morph_base")
 
@@ -185,7 +205,8 @@ def _total_triangles(ds) -> int:
 
 
 def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
-                has_morphs, skin_sets, needs_clip):
+                has_morphs, skin_sets, needs_clip,
+                col_offset=0, shift_cols=False):
     geo, tri_mesh = _combined_geometry(ds)
     rows, key = vertex_stage(
         geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
@@ -199,6 +220,8 @@ def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
     )
     if shift_rows:
         rows = _shift_rows_band(rows, row_offset)
+    if shift_cols:
+        rows = _shift_cols_band(rows, col_offset)
     return rows, key
 
 
@@ -254,6 +277,9 @@ def _opaque_band(
     rh_full: int,       # full padded render height
     row_offset,         # band start row (traced ok; 0 = single device)
     shift_rows: bool,   # translate setup into band-local coordinates
+    rw_full: int | None = None,   # full padded width (2-D shards)
+    col_offset=0,                 # band start column
+    shift_cols: bool = False,
     use_mips: bool,
     has_morphs: bool,
     skin_sets: int,
@@ -273,8 +299,10 @@ def _opaque_band(
     production channel-plane layout. Returns
     (hdr_ch [r,g,b,a] (band_h*rw,) planes, tri_id, depth (band_h, rw))."""
     sorted_rows = prep_setup_rows(*_run_vertex(
-        ds, opaque_mask, rw=rw, rh_full=rh_full, row_offset=row_offset,
-        shift_rows=shift_rows, has_morphs=has_morphs, skin_sets=skin_sets,
+        ds, opaque_mask, rw=(rw_full or rw), rh_full=rh_full,
+        row_offset=row_offset, shift_rows=shift_rows,
+        col_offset=col_offset, shift_cols=shift_cols,
+        has_morphs=has_morphs, skin_sets=skin_sets,
         needs_clip=needs_clip))
     vis = rasterize_rows(sorted_rows, width=rw, height=band_h,
                          interpret=interpret, has_uv1=has_uv1,
@@ -286,6 +314,7 @@ def _opaque_band(
     hdr_ch = shade_deferred_c(
         vis, ds,
         width=rw, height=band_h, height_full=rh_full, row_offset=row_offset,
+        width_full=rw_full, col_offset=col_offset,
         use_mips=use_mips, slot_mask=slot_mask,
         solid_env=solid_env, has_nearest=has_nearest, ext=ext,
         debug_mode=debug_mode,
@@ -302,6 +331,9 @@ def _overlay_band(
     rh_full: int,
     row_offset,
     shift_rows: bool,
+    rw_full: int | None = None,
+    col_offset=0,
+    shift_cols: bool = False,
     use_mips: bool,
     has_morphs: bool,
     skin_sets: int,
@@ -374,14 +406,17 @@ def _overlay_band(
 
     def run_vertex(mask):
         if ov_tri_idx is not None:
+            assert not shift_cols, "compacted overlay pools are 1-D only"
             return _run_vertex_compact(
                 ds, mask, ov_tri_idx, rw=rw, rh_full=rh_full,
                 row_offset=row_offset, shift_rows=shift_rows,
                 has_morphs=has_morphs, skin_sets=skin_sets,
                 needs_clip=needs_clip)
         return _run_vertex(
-            ds, mask, rw=rw, rh_full=rh_full, row_offset=row_offset,
-            shift_rows=shift_rows, has_morphs=has_morphs,
+            ds, mask, rw=(rw_full or rw), rh_full=rh_full,
+            row_offset=row_offset, shift_rows=shift_rows,
+            col_offset=col_offset, shift_cols=shift_cols,
+            has_morphs=has_morphs,
             skin_sets=skin_sets, needs_clip=needs_clip)
 
     def _stack(ch):
@@ -436,6 +471,7 @@ def _overlay_band(
                 layers, hdr_ch, ds,
                 width=rw, height=band_h, height_full=rh_full,
                 row_offset=row_offset,
+                width_full=rw_full, col_offset=col_offset,
                 use_mips=use_mips, slot_mask=overlay_slot_mask,
                 solid_env=solid_env,
                 has_nearest=has_nearest, ext=overlay_ext,
@@ -469,6 +505,7 @@ def _overlay_band(
             h_planes, ds,
             width=rw, height=band_h, height_full=rh_full,
             row_offset=row_offset,
+            width_full=rw_full, col_offset=col_offset,
             use_mips=use_mips, slot_mask=overlay_slot_mask,
             solid_env=solid_env,
             has_nearest=has_nearest, ext=overlay_ext,
@@ -491,6 +528,9 @@ def _frame_band(
     rh_full: int,
     row_offset,
     shift_rows: bool,
+    rw_full: int | None = None,
+    col_offset=0,
+    shift_cols: bool = False,
     use_mips: bool,
     has_morphs: bool,
     skin_sets: int,
@@ -519,7 +559,9 @@ def _frame_band(
     hdr_ch, tri_id, depth = _opaque_band(
         ds, opaque_mask,
         rw=rw, band_h=band_h, rh_full=rh_full, row_offset=row_offset,
-        shift_rows=shift_rows, use_mips=use_mips, has_morphs=has_morphs,
+        shift_rows=shift_rows, rw_full=rw_full, col_offset=col_offset,
+        shift_cols=shift_cols,
+        use_mips=use_mips, has_morphs=has_morphs,
         skin_sets=skin_sets, slot_mask=slot_mask, solid_env=solid_env,
         debug_mode=debug_mode, interpret=interpret, hooks=hooks,
         has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
@@ -528,7 +570,9 @@ def _frame_band(
     hdr_ch, tri_id = _overlay_band(
         hdr_ch, tri_id, depth, ds, transparent_mask, hud_mask,
         rw=rw, band_h=band_h, rh_full=rh_full, row_offset=row_offset,
-        shift_rows=shift_rows, use_mips=use_mips, has_morphs=has_morphs,
+        shift_rows=shift_rows, rw_full=rw_full, col_offset=col_offset,
+        shift_cols=shift_cols,
+        use_mips=use_mips, has_morphs=has_morphs,
         skin_sets=skin_sets, has_transparent=has_transparent,
         has_hud=has_hud, n_transparent_layers=n_transparent_layers,
         slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,

@@ -161,3 +161,55 @@ def test_sharded_bands_cover_distinct_rows(scene):
     assert len(shards) == n
     rows = sorted(s.index[0].start or 0 for s in shards)
     assert rows == [i * (H // n) for i in range(n)]
+
+
+def test_sharded_2d_matches_single_device(scene):
+    """2-D (rows x cols) screen-tile sharding == single device on the
+    base scene: both setup shifts compose, shading reconstructs world
+    positions from (row_offset, col_offset), and the tail stencils run
+    over the 2-D-sharded image."""
+    from awsm_renderer_tpu.parallel.sharding import render_frame_sharded_2d
+
+    ds, mask = scene
+    n = min(8, len(jax.devices()))
+    if n < 4:
+        pytest.skip("needs >= 4 devices")
+    nr, nc = (4, 2) if n >= 8 else (2, 2)
+    mesh = Mesh(np.array(jax.devices()[:nr * nc]).reshape(nr, nc),
+                axis_names=("rows", "cols"))
+
+    # W=128 is one TILE_W: use 256 wide so 2 columns of 128 exist
+    W2, H2 = 256, 64
+    r = AwsmRendererTpu(RendererConfig(
+        width=W2, height=H2,
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([1, 0, 0, 1], np.float32)))
+    r.add_mesh(box(), mat)
+    pbr = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.4, 0.7, 0.3, 1], np.float32),
+        roughness_factor=0.4, metallic_factor=0.3))
+    r.add_mesh(uv_sphere(0.45), pbr, transform=Transform(
+        translation=np.array([1.1, 0.2, 0], np.float32)))
+    r.lights.insert(Light.directional([-0.5, -1, -0.3], intensity=2.0))
+    view = m3.look_at([0, 0.5, 2.5], [0, 0, 0], [0, 1, 0])
+    proj = m3.perspective(np.pi / 3, W2 / H2, 0.1, 100.0)
+    r.camera.update(view, proj)
+    ds2 = r._flush()
+    m2 = jnp.asarray(r._mesh_masks()["opaque"])
+
+    ldr_s, tid_s, dep_s = render_frame_sharded_2d(
+        mesh, ds2, m2, width=W2, height=H2, tonemap=TM.NONE)
+    ldr_1, tid_1, dep_1 = render_frame(
+        ds2, m2, width=W2, height=H2, supersample=False, tonemap=TM.NONE,
+        use_mips=True, has_morphs=False, skin_sets=0)
+
+    np.testing.assert_array_equal(np.asarray(tid_s), np.asarray(tid_1))
+    np.testing.assert_allclose(np.asarray(ldr_s), np.asarray(ldr_1),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_1),
+                               atol=1e-6)
+    assert (np.asarray(tid_s) >= 0).sum() > 100
+    # shards own 2-D tiles
+    shards = ldr_s.addressable_shards
+    assert len(shards) == nr * nc
