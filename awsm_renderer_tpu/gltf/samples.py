@@ -964,7 +964,102 @@ def glb_cameras():
     }), ((0.4, 0.3, 2.2), (0.0, 0.0, 0.0))
 
 
+def glb_box_animated():
+    """BoxAnimated-class: one node driven by THREE channels, one per
+    glTF interpolation mode — LINEAR rotation, CUBICSPLINE translation
+    (in-tangent/value/out-tangent triples), STEP scale — so every
+    sampler path of animation parsing and playback shows in one probe."""
+    b = _GlbBuilder()
+    col = np.array([[-0.3, -0.3, -0.3], [0.3, -0.3, -0.3],
+                    [0.3, 0.3, -0.3], [-0.3, 0.3, -0.3],
+                    [-0.3, -0.3, 0.3], [0.3, -0.3, 0.3],
+                    [0.3, 0.3, 0.3], [-0.3, 0.3, 0.3]], F)
+    idx = np.array([0, 2, 1, 0, 3, 2, 4, 5, 6, 4, 6, 7,
+                    0, 1, 5, 0, 5, 4, 3, 7, 6, 3, 6, 2,
+                    0, 4, 7, 0, 7, 3, 1, 2, 6, 1, 6, 5], np.uint16)
+    t_in = np.array([0.0, 0.5, 1.0], F)
+    # LINEAR rotation: identity -> yaw 90 -> yaw 180 (shortest-path slerp)
+    rot = np.array([[0, 0, 0, 1],
+                    [0, np.sin(np.pi / 4), 0, np.cos(np.pi / 4)],
+                    [0, 1, 0, 0]], F)
+    # CUBICSPLINE translation: (in_tangent, value, out_tangent) per key
+    trans = np.array([
+        [[0, 0, 0], [0.0, -0.2, 0], [0, 2.4, 0]],
+        [[0, 2.4, 0], [0.0, 0.4, 0], [0, -2.4, 0]],
+        [[0, -2.4, 0], [0.0, -0.2, 0], [0, 0, 0]],
+    ], F).reshape(9, 3)
+    # STEP scale: 1 -> 1.4 -> 0.8
+    scl = np.array([[1, 1, 1], [1.4, 1.4, 1.4], [0.8, 0.8, 0.8]], F)
+    t_acc = b.acc(t_in, minmax=True)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(col, minmax=True)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.9, 0.45, 0.15, 1.0],
+            "roughnessFactor": 0.5}}],
+        "animations": [{
+            "samplers": [
+                {"input": t_acc, "interpolation": "LINEAR",
+                 "output": b.acc(rot)},
+                {"input": t_acc, "interpolation": "CUBICSPLINE",
+                 "output": b.acc(trans)},
+                {"input": t_acc, "interpolation": "STEP",
+                 "output": b.acc(scl)},
+            ],
+            "channels": [
+                {"sampler": 0, "target": {"node": 0, "path": "rotation"}},
+                {"sampler": 1, "target": {"node": 0, "path": "translation"}},
+                {"sampler": 2, "target": {"node": 0, "path": "scale"}},
+            ]}],
+    }), ((0.9, 0.7, 1.9), (0.0, 0.1, 0.0))
+
+
+def glb_unlit():
+    """KHR_materials_unlit probe: an unlit textured quad next to a lit
+    PBR quad of the same base color — the unlit one must ignore the
+    oblique directional light entirely."""
+    b = _GlbBuilder()
+    img = b.image_png(_checker_rgba(a=(220, 60, 150), b=(245, 235, 235)))
+    quad = np.array([[-0.45, -0.45, 0], [0.45, -0.45, 0],
+                     [0.45, 0.45, 0], [-0.45, 0.45, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    q = b.acc(quad, minmax=True)
+    u = b.acc(uv)
+    i = b.acc(idx)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1, 2]}],
+        "nodes": [
+            {"mesh": 0, "translation": [-0.55, 0, 0]},
+            {"mesh": 1, "translation": [0.55, 0, 0]},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}},
+             "rotation": [-0.3826834, 0.0, 0.0, 0.9238795]},
+        ],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": q, "TEXCOORD_0": u},
+                             "indices": i, "material": 0}]},
+            {"primitives": [{"attributes": {"POSITION": q, "TEXCOORD_0": u},
+                             "indices": i, "material": 1}]},
+        ],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+             "extensions": {"KHR_materials_unlit": {}}},
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                      "roughnessFactor": 0.6}},
+        ],
+        "textures": [{"source": 0}],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "directional", "intensity": 1.2}]}},
+        "extensionsUsed": ["KHR_materials_unlit", "KHR_lights_punctual"],
+    }), ((0.0, 0.15, 1.9), (0.0, 0.0, 0.0))
+
+
 SAMPLES = {
+    "glb-box-animated": glb_box_animated,
+    "glb-unlit": glb_unlit,
     "glb-helmet": glb_helmet,
     "glb-metal-rough-spheres": glb_metal_rough_spheres,
     "glb-extensions-compare": glb_extensions_compare,

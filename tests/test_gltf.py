@@ -388,3 +388,54 @@ def test_gltf_camera_exposed(tmp_path):
     # the camera node's transform is in the scene graph for placement
     node_idx = next(iter(lk.cameras))
     assert node_idx in lk.node_transforms
+
+
+def test_unlit_extension_ignores_lighting(tmp_path):
+    """KHR_materials_unlit: the unlit quad shows the exact texture while
+    the lit PBR twin is visibly shaded by the oblique directional light."""
+    import numpy as np
+
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+    from awsm_renderer_tpu.gltf.loader import load_gltf
+    from awsm_renderer_tpu.gltf.populate import populate_gltf
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
+    from awsm_renderer_tpu.utils import math3d as m3
+
+    glb, (eye, center) = SAMPLES["glb-unlit"]()
+    p = tmp_path / "u.glb"
+    p.write_bytes(glb)
+    r = AwsmRendererTpu(RendererConfig(width=256, height=128))
+    populate_gltf(r, load_gltf(str(p)))
+    r.update_all(0.0, m3.look_at(eye, center, (0, 1, 0)),
+                 m3.perspective(np.pi / 3, 2.0, 0.1, 100.0))
+    img = r.render()
+    unlit = img[40:90, 40:110].mean(axis=(0, 1))
+    lit = img[40:90, 150:220].mean(axis=(0, 1))
+    assert unlit[0] - lit[0] > 0.03, (unlit, lit)   # lit one is darkened
+
+
+def test_box_animated_moves_over_time(tmp_path):
+    """All three glTF interpolation modes drive one node (BoxAnimated-
+    class): the render changes between t=0 and t=0.6 (STEP scale jump +
+    LINEAR rotation + CUBICSPLINE translation)."""
+    import numpy as np
+
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+    from awsm_renderer_tpu.gltf.loader import load_gltf
+    from awsm_renderer_tpu.gltf.populate import populate_gltf
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
+    from awsm_renderer_tpu.utils import math3d as m3
+
+    glb, (eye, center) = SAMPLES["glb-box-animated"]()
+    p = tmp_path / "a.glb"
+    p.write_bytes(glb)
+    r = AwsmRendererTpu(RendererConfig(width=128, height=64))
+    populate_gltf(r, load_gltf(str(p)))
+    view = m3.look_at(eye, center, (0, 1, 0))
+    proj = m3.perspective(np.pi / 3, 2.0, 0.1, 100.0)
+    r.update_all(0.0, view, proj)
+    img0 = r.render()
+    r.update_all(0.6, view, proj)     # crosses the STEP key at t=0.5
+    img1 = r.render()
+    changed = (np.abs(img1 - img0) > 0.05).mean()
+    assert changed > 0.01, changed
