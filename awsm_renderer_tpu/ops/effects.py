@@ -285,7 +285,13 @@ def depth_of_field_c(rgb_ch, depth: jnp.ndarray, camera: dict,
             # radial falloff at the tap's true distance:
             # 1 - smoothstep(coc/2, coc, dist), divide-free
             t = jnp.clip((dist - coc * 0.5) * inv_half, 0.0, 1.0)
-            w = w * ring_w * (1.0 - t * t * (3.0 - 2.0 * t))
+            # per-tap weight floor (dof.wgsl:116 `weight = max(weight,
+            # 0.01)`) applied BEFORE the ring hat: the rings partition
+            # unity over CoC, so flooring the WGSL weight per ring keeps
+            # the renormalized blend equal to the reference's for the
+            # matched ring even in fully occluded neighborhoods
+            w = jnp.maximum(w * (1.0 - t * t * (3.0 - 2.0 * t)),
+                            0.01) * ring_w
             blur = [b + sc * w for b, sc in zip(blur, (s_r, s_g, s_b))]
             total_w = total_w + w
     inv = 1.0 / jnp.maximum(total_w, 0.01)

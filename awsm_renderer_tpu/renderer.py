@@ -671,10 +671,22 @@ class AwsmRendererTpu:
         far_d = linearize_depth_host(1.0, proj)
         mins, maxs, _keys = self.meshes.world_bounds()
         if len(mins):
-            cam = _np.asarray(self.camera.position, _np.float64)
-            nearest = _np.clip(cam, mins, maxs) - cam
-            dmin = float(_np.sqrt((nearest ** 2).sum(axis=1)).min())
-            dmin = max(dmin, min(near_d, far_d))
+            # exact min VIEW depth (what linearize_depth returns), not the
+            # Euclidean camera distance: off-axis geometry sits closer in
+            # view z than in Euclidean distance by up to cos(half-FOV), and
+            # CoC grows as depth shrinks below focus — a Euclidean dmin
+            # would under-bound the CoC and wrongly compile out live rings.
+            # View depth is linear in p, so its min over an AABB is the min
+            # over the 8 corners: depth(p) = -(view[2,:3]·p + view[2,3]).
+            view = _np.asarray(self.camera.view, _np.float64)
+            corners = _np.stack([
+                _np.stack([_np.where(b & 1, maxs[:, 0], mins[:, 0]),
+                           _np.where(b & 2, maxs[:, 1], mins[:, 1]),
+                           _np.where(b & 4, maxs[:, 2], mins[:, 2])],
+                          axis=-1)
+                for b in range(8)], axis=1)          # (N, 8, 3)
+            vz = -(corners.reshape(-1, 3) @ view[2, :3] + view[2, 3])
+            dmin = max(float(vz.min()), min(near_d, far_d))
         else:
             dmin = min(near_d, far_d)
         dmax = max(far_d, dmin)
@@ -759,9 +771,12 @@ class AwsmRendererTpu:
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
         GPU — no host readback)."""
-        cfg = self.config
         if hooks is not None and getattr(hooks, "pre_render", None):
             hooks.pre_render(self)   # host hook, before the dirty flush
+        # snapshot config AFTER pre_render: mutating renderer.config from
+        # a pre-flush host hook is a natural use and takes effect THIS
+        # frame (ADVICE r3: the pre-hook snapshot applied it a frame late)
+        cfg = self.config
         self.camera.next_frame()
         if debug_mode == "none":
             # any material carrying a debug bitmask switches the shade
@@ -886,7 +901,6 @@ class AwsmRendererTpu:
             dof_rings=dof_rings,
             smaa=cfg.anti_aliasing.smaa,
         )
-        self._log_retrace(static_kwargs, ds, ov_idx, hooks)
         # host-only hooks (pre/post_render) must not reach the jit static
         # key — swapping them would needlessly retrace the frame
         jit_hooks = hooks
@@ -898,6 +912,9 @@ class AwsmRendererTpu:
             if all(getattr(jit_hooks, f.name) is None
                    for f in _dc.fields(jit_hooks)):
                 jit_hooks = None
+        # record the STRIPPED hooks (the actual jit static arg): swapping
+        # only host-side pre/post hooks must not log a spurious retrace
+        self._log_retrace(static_kwargs, ds, ov_idx, jit_hooks)
         frame_span = self.timings.span("render_frame/dispatch")
         frame_span.__enter__()
         ldr, tri_id, depth = render_frame(

@@ -451,7 +451,8 @@ def test_dof_matches_numpy_wgsl_loop():
                     # background bleed guard (dof.wgsl:104-107)
                     if D[yy, xx] > c_D and coc[yy, xx] < c_coc:
                         w = coc[yy, xx] / max(c_coc, 0.01)
-                    w *= rw_ * (1.0 - smoothstep(c_coc * 0.5, c_coc, dist))
+                    w *= 1.0 - smoothstep(c_coc * 0.5, c_coc, dist)
+                    w = max(w, 0.01) * rw_   # dof.wgsl:116 tap floor
                     blur += rgb[yy, xx] * w
                     total_w += w
             blur /= max(total_w, 0.01)
