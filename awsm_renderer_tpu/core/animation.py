@@ -121,7 +121,13 @@ class AnimationClip:
 
 @dataclass
 class AnimationPlayer:
-    """Playback state machine (reference: player.rs:7-105)."""
+    """Playback state machine (reference: player.rs:7-105).
+
+    weight: blend contribution when several playing clips target the
+    same node/path (Fox-class: multiple clips on ONE skeleton). 1.0 and
+    a unique target = direct application (the reference's behavior);
+    otherwise values blend weighted (quaternions sign-aligned nlerp).
+    Drives Animations.crossfade."""
 
     clip: AnimationClip
     speed: float = 1.0
@@ -129,6 +135,7 @@ class AnimationPlayer:
     playing: bool = True
     time: float = 0.0
     direction: float = 1.0
+    weight: float = 1.0
 
     def advance(self, dt: float) -> float:
         if not self.playing:
@@ -171,6 +178,7 @@ class Animations:
         self._players: Dict[int, AnimationPlayer] = {}
         self._next_key = 1
         self._native_tables = None  # rebuilt when the player set changes
+        self._fades: List[list] = []  # [from_key, to_key, t, duration]
 
     def insert(self, player: AnimationPlayer) -> int:
         key = self._next_key
@@ -240,6 +248,23 @@ class Animations:
             "out_size": oo_cur,
         }
 
+    def crossfade(self, from_key: int, to_key: int, duration: float) -> None:
+        """Blend playback from one clip to another over `duration`
+        seconds (Fox-class clip switching on one skeleton). The target
+        clip starts playing at weight 0 and ramps to 1 while the source
+        ramps to 0; at the end the source stops and both weights reset.
+        duration <= 0 switches instantly."""
+        src = self.get(from_key)
+        dst = self.get(to_key)
+        dst.playing = True
+        if duration <= 0.0:
+            src.playing = False
+            src.weight = 1.0
+            dst.weight = 1.0
+            return
+        dst.weight = 0.0
+        self._fades.append([from_key, to_key, 0.0, float(duration)])
+
     def _apply(self, ch, v, transforms, meshes) -> None:
         if ch.path == TargetPath.WEIGHTS:
             if ch.mesh_key is not None:
@@ -254,10 +279,49 @@ class Animations:
         elif ch.path == TargetPath.SCALE:
             transforms.set_scale(ch.transform_key, v)
 
+    @staticmethod
+    def _blend(entries, is_rotation: bool):
+        """Weighted blend of [(value, weight)] samples: normalized
+        weighted mean; quaternions sign-align to the first then nlerp
+        (the standard animation-blend approximation)."""
+        total = sum(w for _, w in entries)
+        if total <= 1e-9:
+            return entries[0][0]
+        first = np.asarray(entries[0][0], np.float32)
+        acc = np.zeros_like(first, dtype=np.float64)
+        for v, w in entries:
+            v = np.asarray(v, np.float64).reshape(first.shape)
+            if is_rotation and np.dot(v, np.asarray(first, np.float64)) < 0:
+                v = -v
+            acc += v * (w / total)
+        out = acc.astype(np.float32)
+        return m3.quat_normalize(out) if is_rotation else out
+
     def update(self, dt: float, transforms, meshes) -> None:
         """Sample all playing clips and apply to targets
-        (reference: animations.rs:84 update_animations)."""
+        (reference: animations.rs:84 update_animations). Values from
+        several playing clips that target the same node/path blend by
+        player weight (crossfade support); the common one-clip-per-
+        target case applies directly, exactly as before."""
         from ..utils import native
+
+        # advance crossfades first: they ramp player weights/playing
+        for fade in list(self._fades):
+            fade[2] += dt
+            src = self._players.get(fade[0])
+            dst = self._players.get(fade[1])
+            u = min(fade[2] / max(fade[3], 1e-9), 1.0)
+            if dst is not None:
+                dst.weight = u
+            if src is not None:
+                src.weight = 1.0 - u
+            if u >= 1.0:
+                if src is not None:
+                    src.playing = False
+                    src.weight = 1.0
+                if dst is not None:
+                    dst.weight = 1.0
+                self._fades.remove(fade)
 
         active_players = [p for p in self._players.values()
                           if p.playing or p.time != 0.0]
@@ -270,6 +334,16 @@ class Animations:
             self._build_native_tables()
         nt = self._native_tables
         used_native = False
+        # sampled contributions keyed by target: blended before applying
+        contrib: Dict[tuple, list] = {}
+
+        def _stash(player, ch, v):
+            if ch.path == TargetPath.WEIGHTS:
+                key = ("w", ch.mesh_key, ch.path)
+            else:
+                key = ("t", ch.transform_key, ch.path)
+            contrib.setdefault(key, []).append((ch, v, player.weight))
+
         if nt["entries"]:
             t = np.asarray([p.time for p, _, _ in nt["entries"]], np.float32)
             out = np.zeros(nt["out_size"], np.float32)
@@ -280,7 +354,7 @@ class Animations:
                 for (player, ch, D), oo in zip(nt["entries"], nt["out_off"]):
                     if not player.playing and player.time == 0.0:
                         continue
-                    self._apply(ch, out[oo : oo + D], transforms, meshes)
+                    _stash(player, ch, out[oo : oo + D])
 
         # python path: cubic-spline channels always; everything when the
         # native library is unavailable
@@ -291,4 +365,20 @@ class Animations:
                     continue
                 v = ch.sampler.sample(
                     player.time, is_rotation=(ch.path == TargetPath.ROTATION))
+                _stash(player, ch, v)
+
+        for key, entries in contrib.items():
+            ch = entries[0][0]
+            if len(entries) == 1:
+                self._apply(ch, entries[0][1], transforms, meshes)
+            elif all(w == 1.0 for _, _, w in entries):
+                # several full-weight clips on one target: sequential
+                # overwrite, last writer wins — the reference applies
+                # channels in order (animations.rs update_animations),
+                # so this is exact parity outside a crossfade
+                self._apply(entries[-1][0], entries[-1][1],
+                            transforms, meshes)
+            else:
+                v = self._blend([(v, w) for _, v, w in entries],
+                                is_rotation=(ch.path == TargetPath.ROTATION))
                 self._apply(ch, v, transforms, meshes)

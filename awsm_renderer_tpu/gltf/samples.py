@@ -1057,7 +1057,279 @@ def glb_unlit():
     }), ((0.0, 0.15, 1.9), (0.0, 0.0, 0.0))
 
 
+def glb_fox():
+    """Fox-class (collections.rs Animation set): THREE named clips on ONE
+    skeleton — the skeleton is a 3-bone chain skinning a vertical strip,
+    and the clips (\"Survey\", \"Walk\", \"Run\") bend it by different
+    amounts at different rates. Probes multiple-animations-per-skin
+    parsing, per-clip players, runtime clip switching and crossfade
+    (Animations.crossfade)."""
+    b = _GlbBuilder()
+    n = 6
+    pos, jnts, wts = [], [], []
+    for i in range(n + 1):
+        y = i / n * 3.0
+        # hard-assign vertices to the nearest bone (y=0/1/2), blend 50/50
+        # midway — keeps expected tip positions analytic for the tests
+        fb = min(y, 2.0)
+        b0 = int(np.floor(fb + 0.5)) if fb < 2.0 else 2
+        for x in (-0.2, 0.2):
+            pos.append([x, y, 0])
+            jnts.append([b0, 0, 0, 0])
+            wts.append([1.0, 0, 0, 0])
+    idx = []
+    for i in range(n):
+        v = i * 2
+        idx += [v, v + 1, v + 3, v, v + 3, v + 2]
+    ibm = np.stack([np.eye(4, dtype=F) for _ in range(3)])
+    ibm[1][1, 3] = -1.0
+    ibm[2][1, 3] = -2.0
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(3, 16)
+    t_in = np.array([0.0, 1.0, 2.0], F)
+
+    def bend_clip(max_angle, node):
+        """rotation channel around z on `node`: 0 -> max -> 0."""
+        h = max_angle / 2
+        quats = np.array([
+            [0, 0, 0, 1],
+            [0, 0, np.sin(h), np.cos(h)],
+            [0, 0, 0, 1]], F)
+        return quats
+
+    anims = []
+    for name, ang in (("Survey", 0.15), ("Walk", 0.5), ("Run", 1.0)):
+        anims.append({
+            "name": name,
+            "samplers": [
+                {"input": b.acc(t_in, minmax=True),
+                 "interpolation": "LINEAR",
+                 "output": b.acc(bend_clip(ang, 2))},
+                {"input": b.acc(t_in, minmax=True),
+                 "interpolation": "LINEAR",
+                 "output": b.acc(bend_clip(ang * 0.7, 3))},
+            ],
+            "channels": [
+                {"sampler": 0, "target": {"node": 2, "path": "rotation"}},
+                {"sampler": 1, "target": {"node": 3, "path": "rotation"}},
+            ]})
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},                         # bone0 root at y=0
+            {"translation": [0, 1, 0], "children": [3]},   # bone1
+            {"translation": [0, 1, 0]},                    # bone2 (y=2)
+        ],
+        "skins": [{"joints": [1, 2, 3],
+                   "inverseBindMatrices": b.acc(ibm_cm.reshape(3, 16))}],
+        "meshes": [{"primitives": [{
+            "attributes": {
+                "POSITION": b.acc(np.asarray(pos, F), minmax=True),
+                "JOINTS_0": b.acc(np.asarray(jnts, np.uint8)),
+                "WEIGHTS_0": b.acc(np.asarray(wts, F))},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.85, 0.45, 0.15, 1.0],
+            "roughnessFactor": 0.6}}],
+        "animations": anims,
+    }), ((0.5, 1.6, 4.4), (0.0, 1.5, 0.0))
+
+
+def glb_recursive_skeletons():
+    """RecursiveSkeletons-class: a 12-deep joint chain (each joint a
+    child of the previous, unit y-offsets) skinning a tall strip, every
+    vertex bound to its nearest single joint. Probes deep hierarchy
+    world propagation + joint-matrix recompute along long dirty chains;
+    bending the ROOT must move the tip by the full chain length."""
+    b = _GlbBuilder()
+    depth = 12
+    pos, jnts, wts = [], [], []
+    for i in range(depth + 1):
+        y = float(i)
+        for x in (-0.15, 0.15):
+            pos.append([x, y, 0])
+            jnts.append([min(i, depth - 1), 0, 0, 0])
+            wts.append([1.0, 0, 0, 0])
+    idx = []
+    for i in range(depth):
+        v = i * 2
+        idx += [v, v + 1, v + 3, v, v + 3, v + 2]
+    ibm = np.stack([np.eye(4, dtype=F) for _ in range(depth)])
+    for j in range(depth):
+        ibm[j][1, 3] = -float(j)
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(depth, 16)
+    # node 0 = mesh; nodes 1..depth = joint chain
+    nodes = [{"mesh": 0, "skin": 0}]
+    for j in range(depth):
+        nd = {"translation": [0, 0 if j == 0 else 1, 0]}
+        if j < depth - 1:
+            nd["children"] = [j + 2]
+        nodes.append(nd)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": nodes,
+        "skins": [{"joints": list(range(1, depth + 1)),
+                   "inverseBindMatrices": b.acc(ibm_cm.reshape(depth, 16))}],
+        "meshes": [{"primitives": [{
+            "attributes": {
+                "POSITION": b.acc(np.asarray(pos, F), minmax=True),
+                "JOINTS_0": b.acc(np.asarray(jnts, np.uint8)),
+                "WEIGHTS_0": b.acc(np.asarray(wts, F))},
+            "indices": b.acc(np.asarray(idx, np.uint16)), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.3, 0.7, 0.5, 1.0],
+            "roughnessFactor": 0.7}}],
+    }), ((2.0, 6.0, 16.0), (0.0, 6.0, 0.0))
+
+
+def glb_orientation():
+    """OrientationTest-class: boxes under COMPOSED non-identity TRS —
+    parent (translate + 90° yaw + scale 2) × child (translate + 45°
+    roll + scale 0.5). The composed world positions are analytic, so
+    the test asserts the loader/propagation applies T·R·S in glTF
+    order through the hierarchy."""
+    b = _GlbBuilder()
+    col = np.array([[-0.5, -0.5, -0.5], [0.5, -0.5, -0.5],
+                    [0.5, 0.5, -0.5], [-0.5, 0.5, -0.5],
+                    [-0.5, -0.5, 0.5], [0.5, -0.5, 0.5],
+                    [0.5, 0.5, 0.5], [-0.5, 0.5, 0.5]], F)
+    idx = np.array([0, 2, 1, 0, 3, 2, 4, 5, 6, 4, 6, 7,
+                    0, 1, 5, 0, 5, 4, 3, 7, 6, 3, 6, 2,
+                    0, 4, 7, 0, 7, 3, 1, 2, 6, 1, 6, 5], np.uint16)
+    s2 = float(np.sin(np.pi / 4))
+    c2 = float(np.cos(np.pi / 4))
+    s8 = float(np.sin(np.pi / 8))
+    c8 = float(np.cos(np.pi / 8))
+    p = b.acc(col, minmax=True)
+    i = b.acc(idx)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 2]}],
+        "nodes": [
+            # parent: translate(1,0,0), yaw 90 (quat y), scale 2, child 1
+            {"translation": [1, 0, 0], "rotation": [0, s2, 0, c2],
+             "scale": [2, 2, 2], "children": [1]},
+            # child: translate(0,1,0), roll 45 (quat z), scale 0.5
+            {"mesh": 0, "translation": [0, 1, 0],
+             "rotation": [0, 0, s8, c8], "scale": [0.5, 0.5, 0.5]},
+            # reference box at origin, identity
+            {"mesh": 1},
+        ],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": p}, "indices": i,
+                             "material": 0}]},
+            {"primitives": [{"attributes": {"POSITION": p}, "indices": i,
+                             "material": 1}]},
+        ],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.9, 0.2, 0.2, 1.0],
+                "roughnessFactor": 0.6}},
+            {"pbrMetallicRoughness": {
+                "baseColorFactor": [0.2, 0.2, 0.9, 1.0],
+                "roughnessFactor": 0.6}},
+        ],
+    }), ((2.5, 3.2, 7.0), (0.6, 1.0, 0.0))
+
+
+def glb_texture_settings():
+    """TextureSettingsTest-class: one texture bound through SIX distinct
+    glTF samplers — {REPEAT, CLAMP_TO_EDGE, MIRRORED_REPEAT} wrap ×
+    {LINEAR, NEAREST} mag filter — on a 3×2 grid of quads whose UVs run
+    [-0.25, 2.25] so out-of-range behavior is visible. Probes the full
+    loader sampler path (populate _WRAP_MAP + filter flags), which r3
+    only covered at op level."""
+    b = _GlbBuilder()
+    img = b.image_png(_checker_rgba(size=32, a=(200, 40, 40),
+                                    b=(245, 245, 245)))
+    quad = np.array([[-0.45, -0.45, 0], [0.45, -0.45, 0],
+                     [0.45, 0.45, 0], [-0.45, 0.45, 0]], F)
+    uv = np.array([[-0.25, 2.25], [2.25, 2.25],
+                   [2.25, -0.25], [-0.25, -0.25]], F)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    q = b.acc(quad, minmax=True)
+    u = b.acc(uv)
+    i = b.acc(idx)
+    wraps = [10497, 33071, 33648]             # repeat / clamp / mirror
+    mags = [9729, 9728]                       # linear / nearest
+    samplers, textures, mats, meshes, nodes = [], [], [], [], []
+    k = 0
+    for row, mag in enumerate(mags):
+        for colm, wrap in enumerate(wraps):
+            samplers.append({"magFilter": mag, "minFilter": mag,
+                             "wrapS": wrap, "wrapT": wrap})
+            textures.append({"source": img, "sampler": k})
+            mats.append({"pbrMetallicRoughness": {
+                "baseColorTexture": {"index": k}, "roughnessFactor": 0.9}})
+            meshes.append({"primitives": [{
+                "attributes": {"POSITION": q, "TEXCOORD_0": u},
+                "indices": i, "material": k}]})
+            nodes.append({"mesh": k,
+                          "translation": [(colm - 1) * 1.05,
+                                          (0.5 - row) * 1.05, 0]})
+            k += 1
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": list(range(6))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "textures": textures, "samplers": samplers,
+    }), ((0.0, 0.0, 2.6), (0.0, 0.0, 0.0))
+
+
+def glb_morph_stress():
+    """MorphStressTest-class: EIGHT position morph targets on one grid
+    mesh with ALL EIGHT weights animated simultaneously by one weights
+    channel (8 values per keyframe). Probes wide-weight parsing, the
+    pow2 morph-bucket widening, and per-frame many-target playback."""
+    b = _GlbBuilder()
+    n = 4
+    xs = np.linspace(-1, 1, n + 1, dtype=F)
+    ys = np.linspace(-0.5, 0.5, n + 1, dtype=F)
+    pos = np.array([[x, y, 0] for y in ys for x in xs], F)
+    idx = []
+    for r in range(n):
+        for c in range(n):
+            v = r * (n + 1) + c
+            idx += [v, v + 1, v + n + 2, v, v + n + 2, v + n + 1]
+    idx = np.asarray(idx, np.uint16)
+    targets = []
+    rng = np.random.default_rng(11)
+    for t in range(8):
+        d = np.zeros_like(pos)
+        # each target pushes a distinct bump in +z
+        cx, cy = rng.uniform(-0.8, 0.8), rng.uniform(-0.4, 0.4)
+        w = np.exp(-(((pos[:, 0] - cx) / 0.4) ** 2
+                     + ((pos[:, 1] - cy) / 0.3) ** 2))
+        d[:, 2] = 0.4 * w
+        targets.append({"POSITION": b.acc(d.astype(F), minmax=True)})
+    t_in = np.array([0.0, 1.0, 2.0], F)
+    w0 = np.zeros(8, F)
+    w1 = np.linspace(0.1, 1.0, 8).astype(F)
+    t_out = np.concatenate([w0, w1, w0])
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(pos, minmax=True)},
+            "indices": b.acc(idx), "material": 0,
+            "targets": targets}],
+            "weights": [0.0] * 8}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.4, 0.6, 0.9, 1.0],
+            "roughnessFactor": 0.5}}],
+        "animations": [{
+            "samplers": [{"input": b.acc(t_in, minmax=True),
+                          "interpolation": "LINEAR",
+                          "output": b.acc(t_out)}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "weights"}}]}],
+    }), ((0.0, 0.7, 2.6), (0.0, 0.0, 0.0))
+
+
 SAMPLES = {
+    "glb-fox": glb_fox,
+    "glb-recursive-skeletons": glb_recursive_skeletons,
+    "glb-orientation": glb_orientation,
+    "glb-texture-settings": glb_texture_settings,
+    "glb-morph-stress": glb_morph_stress,
     "glb-box-animated": glb_box_animated,
     "glb-unlit": glb_unlit,
     "glb-helmet": glb_helmet,

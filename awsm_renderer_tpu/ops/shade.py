@@ -83,61 +83,155 @@ def env_brdf_approx(n_dot_v, roughness):
     return a004 * -1.04 + rz, a004 * 1.04 + rw  # (A, B)
 
 
-def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
+def _one_light(row, active, n_pos, n, v, base_diffuse, f0, alpha_rough,
+               n_dot_v, total):
+    """Shade ONE light into `total` (reference: lighting/lights.wgsl
+    per-light body). `row` is indexable by light-field constant and may
+    yield scalars (the dense capacity loop) or (n_units, 1) columns
+    broadcasting against (n_units, 128) pixel planes (the tiled-list
+    loop); `active` likewise."""
+    kind = row[L_KIND]
+    intensity = row[4]
+    lrange = row[L_RANGE]
+    is_dir = kind == 0.0
+
+    tl = [jnp.where(is_dir, -row[L_DIRECTION + k],
+                    row[L_POSITION + k] - n_pos[k]) for k in range(3)]
+    dist = jnp.sqrt(dot3(tl, tl))
+    inv_d = 1.0 / jnp.maximum(dist, _EPS)
+    l = v_scale(tl, inv_d)
+
+    atten = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, _EPS))
+    window = jnp.where(
+        (lrange > 0.0) & ~is_dir,
+        jnp.clip(1.0 - (dist / jnp.maximum(lrange, _EPS)) ** 4, 0.0, 1.0) ** 2,
+        1.0,
+    )
+    cd = -(l[0] * row[L_DIRECTION] + l[1] * row[L_DIRECTION + 1]
+           + l[2] * row[L_DIRECTION + 2])
+    spot = jnp.where(
+        kind == 2.0,
+        jnp.clip(
+            (cd - row[L_OUTER_COS]) / jnp.maximum(row[L_INNER_COS] - row[L_OUTER_COS], 1e-4),
+            0.0, 1.0,
+        ),
+        1.0,
+    )
+
+    n_dot_l = jnp.maximum(dot3(n, l), 0.0)
+    h = norm3(v_add(l, v))
+    n_dot_h = jnp.maximum(dot3(n, h), 0.0)
+    v_dot_h = jnp.maximum(dot3(v, h), 0.0)
+
+    f = brdf.f_schlick3(v_dot_h, f0)
+    spec_s = brdf.specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough)
+    rad = atten * window * spot * n_dot_l * intensity
+    gated = jnp.where(active, rad, 0.0)
+    inv_pi = 1.0 / jnp.pi
+    for c in range(3):
+        lobe = base_diffuse[c] * inv_pi * (1.0 - f[c]) + spec_s * f[c]
+        total[c] = total[c] + (row[L_COLOR + c] * gated) * lobe
+    return total
+
+
+def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
+                     light_tiles: bool = False):
     """Accumulate punctual lighting (reference: lighting/lights.wgsl loop).
 
     Channel-column form: n_pos/n/v/base_diffuse/f0 are channel lists.
-    Loops the static light capacity; rows >= n_lights are masked."""
+    Default: loops the static light capacity; rows >= n_lights are
+    masked. light_tiles=True dispatches to the tiled-light-list path
+    (passes/light_culling.py design — the pass the reference stubbed)."""
+    if light_tiles:
+        return _punctual_lights_tiled(
+            ds, n_pos, n, v, base_diffuse, f0, alpha_rough)
     lights = ds["lights"]
     n_lights = ds["n_lights"]
     n_dot_v = jnp.maximum(dot3(n, v), _EPS)
 
     total = [jnp.zeros_like(alpha_rough) for _ in range(3)]
     for li in range(lights.shape[0]):
-        row = lights[li]
-        active = li < n_lights
-        kind = row[L_KIND]
-        intensity = row[4]
-        lrange = row[L_RANGE]
-        is_dir = kind == 0.0
-
-        tl = [jnp.where(is_dir, -row[L_DIRECTION + k],
-                        row[L_POSITION + k] - n_pos[k]) for k in range(3)]
-        dist = jnp.sqrt(dot3(tl, tl))
-        inv_d = 1.0 / jnp.maximum(dist, _EPS)
-        l = v_scale(tl, inv_d)
-
-        atten = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist * dist, _EPS))
-        window = jnp.where(
-            (lrange > 0.0) & ~is_dir,
-            jnp.clip(1.0 - (dist / jnp.maximum(lrange, _EPS)) ** 4, 0.0, 1.0) ** 2,
-            1.0,
-        )
-        cd = -(l[0] * row[L_DIRECTION] + l[1] * row[L_DIRECTION + 1]
-               + l[2] * row[L_DIRECTION + 2])
-        spot = jnp.where(
-            kind == 2.0,
-            jnp.clip(
-                (cd - row[L_OUTER_COS]) / jnp.maximum(row[L_INNER_COS] - row[L_OUTER_COS], 1e-4),
-                0.0, 1.0,
-            ),
-            1.0,
-        )
-
-        n_dot_l = jnp.maximum(dot3(n, l), 0.0)
-        h = norm3(v_add(l, v))
-        n_dot_h = jnp.maximum(dot3(n, h), 0.0)
-        v_dot_h = jnp.maximum(dot3(v, h), 0.0)
-
-        f = brdf.f_schlick3(v_dot_h, f0)
-        spec_s = brdf.specular_ggx(n_dot_l, n_dot_v, n_dot_h, alpha_rough)
-        rad = atten * window * spot * n_dot_l * intensity
-        gated = jnp.where(active, rad, 0.0)
-        inv_pi = 1.0 / jnp.pi
-        for c in range(3):
-            lobe = base_diffuse[c] * inv_pi * (1.0 - f[c]) + spec_s * f[c]
-            total[c] = total[c] + (row[L_COLOR + c] * gated) * lobe
+        total = _one_light(lights[li], li < n_lights, n_pos, n, v,
+                           base_diffuse, f0, alpha_rough, n_dot_v, total)
     return total
+
+
+def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
+    """Tiled-light-list punctual accumulation — the real implementation
+    of the pass the reference left as a stub (light_culling/
+    render_pass.rs:30-34 `// TODO!`; docs/ROADMAP.md:24-33 sketches
+    tiled lists). TPU-native shape (passes/light_culling.py design):
+
+    - units are the shading layout's native 128-pixel lanes groups:
+      every (P,) plane reshapes to (n_units, 128) for free, in band
+      space AND in the strip/tile-compacted space
+    - per unit: world AABB of its pixels' positions (two reduces per
+      axis; miss pixels only inflate the box — conservative)
+    - overlap matrix (n_units, L): sphere-vs-AABB per light; directional
+      / infinite-range lights always overlap; spot cones conservatively
+      treated as point spheres (exact — excluded lights contribute 0 by
+      the range window, lights.wgsl)
+    - top_k by (overlap * priority) -> per-unit list of
+      MAX_LIGHTS_PER_TILE light rows (build_bins pattern)
+    - the shading loop runs the LIST length with per-unit (n_units, 1)
+      light params broadcasting against (n_units, 128) pixels —
+      O(pixels x K) ALU instead of O(pixels x light capacity).
+
+    Exact vs the dense loop whenever <= MAX_LIGHTS_PER_TILE lights
+    genuinely reach any one unit (tests/test_hooks_lightcull.py);
+    beyond that the dimmest-priority lights drop per unit, the standard
+    tiled-deferred contract."""
+    from ..passes.light_culling import MAX_LIGHTS_PER_TILE
+
+    lights = ds["lights"]           # (L, 16)
+    n_lights = ds["n_lights"]
+    L = lights.shape[0]
+    K = min(MAX_LIGHTS_PER_TILE, L)
+    P = alpha_rough.shape[0]
+    U = 128
+    n_units = P // U
+
+    pos_u = [p.reshape(n_units, U) for p in n_pos]
+    mn = [jnp.min(p, axis=1) for p in pos_u]          # (n_units,)
+    mx = [jnp.max(p, axis=1) for p in pos_u]
+
+    kind = lights[:, L_KIND]                          # (L,)
+    lrange = lights[:, L_RANGE]
+    always = (kind == 0.0) | (lrange <= 0.0)
+    # squared distance from each light center to each unit AABB
+    d2 = jnp.zeros((n_units, L), jnp.float32)
+    for a in range(3):
+        c = lights[None, :, L_POSITION + a]           # (1, L)
+        dd = jnp.maximum(mn[a][:, None] - c, 0.0) + jnp.maximum(
+            c - mx[a][:, None], 0.0)
+        d2 = d2 + dd * dd
+    li = jnp.arange(L, dtype=jnp.int32)
+    live = li[None, :] < n_lights
+    overlap = (always[None, :] | (d2 <= (lrange * lrange)[None, :])) & live
+    score = jnp.where(overlap, L - li[None, :], 0)    # stable priority
+    _vals, lidx = jax.lax.top_k(score, K)             # (n_units, K)
+    valid = _vals > 0
+
+    n_dot_v = jnp.maximum(dot3(n, v), _EPS)
+    shp = [x.reshape(n_units, U) for x in (n_dot_v, alpha_rough)]
+    n_u = [x.reshape(n_units, U) for x in n]
+    v_u = [x.reshape(n_units, U) for x in v]
+    bd_u = [x.reshape(n_units, U) for x in base_diffuse]
+    f0_u = [jnp.broadcast_to(x, alpha_rough.shape).reshape(n_units, U)
+            for x in f0]
+
+    total = [jnp.zeros((n_units, U), jnp.float32) for _ in range(3)]
+    for k in range(K):
+        params = lights[lidx[:, k]]                   # (n_units, 16) tiny
+
+        class _Row:
+            def __getitem__(self, j):
+                return params[:, j : j + 1]           # (n_units, 1)
+
+        total = _one_light(
+            _Row(), valid[:, k : k + 1], pos_u, n_u, v_u, bd_u, f0_u,
+            shp[1], shp[0], total)
+    return [t.reshape(P) for t in total]
 
 
 def _material_table(ds):
@@ -472,6 +566,7 @@ def shade_surface(
     want_sky: bool = False,     # also return the miss-path skybox color
     want_transmission_factor: bool = False,  # return the background factor
     n_layer_tiles: int = 1,     # planes hold this many stacked layer images
+    light_tiles: bool = False,  # per-128-px-unit tiled light lists
 ):
     """Shared fragment shading → (rgb (P,3), alpha (P,), valid, normal).
 
@@ -678,7 +773,8 @@ def shade_surface(
         c_diff = v_scale(c_diff, 1.0 - transmission)
 
     # ---- punctual + IBL -------------------------------------------------------
-    direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0, alpha_rough)
+    direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0,
+                              alpha_rough, light_tiles=light_tiles)
 
     n_dot_v = jnp.maximum(dot3(n_final, v), _EPS)
 
@@ -922,7 +1018,7 @@ def shade_surface(
     jax.jit,
     static_argnames=("width", "height", "height_full", "width_full",
                      "use_mips", "slot_mask", "solid_env", "has_nearest",
-                     "ext", "debug_mode"),
+                     "ext", "debug_mode", "light_tiles"),
 )
 def shade_deferred_c(
     vis, ds,
@@ -940,6 +1036,7 @@ def shade_deferred_c(
     ext: Tuple[bool, ...] = ALL_EXT,
     debug_mode: str = "none",   # none | normals | ibl | punctual
     setup_rows=None,
+    light_tiles: bool = False,
 ):
     """Deferred opaque shading → HDR linear [r, g, b, a] channel planes
     (P,). The frame pipeline keeps HDR as channel planes end-to-end —
@@ -959,7 +1056,7 @@ def shade_deferred_c(
         debug_mode=(debug_mode
                     if debug_mode in ("ibl", "punctual", "material")
                     else "none"),
-        setup_rows=setup_rows, want_sky=True,
+        setup_rows=setup_rows, want_sky=True, light_tiles=light_tiles,
     )
 
     if sky is None:   # solid environment: a broadcast constant
@@ -977,20 +1074,27 @@ def shade_deferred(vis, ds, *, width: int, height: int, **kw):
     return jnp.stack(ch, axis=-1).reshape(height, width, 4)
 
 
-def _tile_swizzle(p: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
-    """(..., H*W) row-major plane → (..., n_tiles, 1024) of 8x128 tiles.
+def _tile_swizzle(p: jnp.ndarray, H: int, W: int, th: int = 8) -> jnp.ndarray:
+    """(..., H*W) row-major plane → (..., n_units, th*128) of (th, 128)
+    units.
 
-    8x128 is the native f32 memory tile, so this transpose is a cheap
-    tile relabeling for XLA (the raster kernels use the same blocking)."""
+    th=8 is the native f32 memory tile, so that transpose is a cheap
+    tile relabeling for XLA (the raster kernels use the same blocking);
+    th=1 degenerates to a plain reshape (strip granularity — no
+    transpose at all)."""
     lead = p.shape[:-1]
-    t = p.reshape(*lead, H // 8, 8, W // 128, 128)
+    if th == 1:
+        return p.reshape(*lead, H * (W // 128), 128)
+    t = p.reshape(*lead, H // th, th, W // 128, 128)
     t = jnp.swapaxes(t, -3, -2)
-    return t.reshape(*lead, (H // 8) * (W // 128), 1024)
+    return t.reshape(*lead, (H // th) * (W // 128), th * 128)
 
 
-def _tile_unswizzle(t: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
-    """(n_tiles, 1024) of 8x128 tiles → (H*W,) row-major plane."""
-    return (t.reshape(H // 8, W // 128, 8, 128)
+def _tile_unswizzle(t: jnp.ndarray, H: int, W: int, th: int = 8) -> jnp.ndarray:
+    """(n_units, th*128) of (th, 128) units → (H*W,) row-major plane."""
+    if th == 1:
+        return t.reshape(H * W)
+    return (t.reshape(H // th, W // 128, th, 128)
             .swapaxes(1, 2).reshape(H * W))
 
 
@@ -1000,6 +1104,7 @@ def shade_deferred_compact_c(
     resolve_row_offset, coord_scale: int,
     use_mips: bool, slot_mask, solid_env: bool, has_nearest: bool,
     ext, debug_mode: str, tile_cap: int, interpret: bool = False,
+    tile_rows: int = 8, light_tiles: bool = False,
 ):
     """Covered-tile-compacted deferred opaque shade (slim/MSAA path).
 
@@ -1020,47 +1125,59 @@ def shade_deferred_compact_c(
     (want_sky), and the skipped tiles pay ONE skybox-only gather of
     O(sky pixels) rows into the same texel-pool table
     (cubemap.sample_skybox_pool_c) — total gather work stays O(covered
-    material taps + sky pixels), the compaction's point."""
+    material taps + sky pixels), the compaction's point.
+
+    tile_rows (th): compaction-unit height — (th, 128) units. th=8 is
+    the native tile AND the production choice. The r4 granularity
+    experiment measured th=1 a LOSS (34.6 vs 31.0 ms at 1080p): strip
+    coverage is 61.3% vs tile coverage 62.4% (sky gaps are sub-128px
+    wide, so row granularity buys ~1%), while the finer units add a
+    16k-key argsort + 16k-row take/scatter and replace the free
+    8-sublane tile relabeling with real data movement. Kept as a
+    parameter because the equality tests pin both granularities and
+    other scenes (letterboxed / top-heavy coverage) may differ."""
     H, W = height, width
-    n_tiles = (H // 8) * (W // 128)
+    th = tile_rows
+    U = th * 128
+    n_tiles = (H // th) * (W // 128)
     C = min(tile_cap, n_tiles)
-    sw_tid = _tile_swizzle(tid_flat, H, W)               # (n_tiles, 1024)
+    sw_tid = _tile_swizzle(tid_flat, H, W, th)           # (n_units, U)
     cov = jnp.any(sw_tid >= 0, axis=-1)
     order = jnp.argsort(~cov)                            # covered-first
     idx = order[:C]
-    tid_c = jnp.take(sw_tid, idx, axis=0).reshape(C * 1024)
-    dep_c = jnp.take(_tile_swizzle(depth_flat, H, W), idx,
-                     axis=0).reshape(C * 1024)
+    tid_c = jnp.take(sw_tid, idx, axis=0).reshape(C * U)
+    dep_c = jnp.take(_tile_swizzle(depth_flat, H, W, th), idx,
+                     axis=0).reshape(C * U)
 
     ntx = W // 128
     tx = (idx % ntx).astype(jnp.float32)
     ty = (idx // ntx).astype(jnp.float32)
-    q = jnp.arange(1024, dtype=jnp.float32)
-    gx = tx[:, None] * 128.0 + (q % 128)[None, :]        # (C, 1024) display
-    gy = ty[:, None] * 8.0 + (q // 128)[None, :]
+    q = jnp.arange(U, dtype=jnp.float32)
+    gx = tx[:, None] * 128.0 + (q % 128)[None, :]        # (C, U) display
+    gy = ty[:, None] * float(th) + (q // 128)[None, :]
     # raster-space eval coords: what the non-compact resolve derives from
     # the flat index (px = x*coord_scale + 0.5 at the supersample center)
-    px = (gx * coord_scale + 0.5).reshape(C * 1024)
+    px = (gx * coord_scale + 0.5).reshape(C * U)
     py = ((gy + jnp.float32(resolve_row_offset))
-          * coord_scale + 0.5).reshape(C * 1024)
+          * coord_scale + 0.5).reshape(C * U)
     vis = resolve_planes_fused(tid_c, setup_rows, width=W,
                                height_full=height_full,
                                px=px, py=py, interpret=interpret)
     planes = {k: vis[k] for k in RESOLVE_NAMES}
     planes["depth"] = dep_c
-    planes["ndc_x"] = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * 1024)
+    planes["ndc_x"] = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * U)
     planes["ndc_y"] = (1.0 - (gy + jnp.float32(row_offset) + 0.5)
-                       / height_full * 2.0).reshape(C * 1024)
+                       / height_full * 2.0).reshape(C * U)
 
     color, _alpha, valid, n_final, sky = shade_surface(
         planes, ds,
-        width=128, height=C * 8, height_full=height_full, row_offset=0,
+        width=128, height=C * th, height_full=height_full, row_offset=0,
         use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
         has_nearest=has_nearest, ext=ext,
         debug_mode=(debug_mode
                     if debug_mode in ("ibl", "punctual", "material")
                     else "none"),
-        want_sky=True,
+        want_sky=True, light_tiles=light_tiles,
     )
     if debug_mode == "normals":
         color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
@@ -1078,12 +1195,12 @@ def shade_deferred_compact_c(
         # far plane (exactly what shade_surface's miss path reconstructs)
         idx_rest = order[C:]
         gxr = ((idx_rest % ntx).astype(jnp.float32)[:, None] * 128.0
-               + (jnp.arange(1024, dtype=jnp.float32) % 128)[None, :])
-        gyr = ((idx_rest // ntx).astype(jnp.float32)[:, None] * 8.0
-               + (jnp.arange(1024, dtype=jnp.float32) // 128)[None, :])
-        nx = ((gxr + 0.5) / W * 2.0 - 1.0).reshape(R * 1024)
+               + (jnp.arange(U, dtype=jnp.float32) % 128)[None, :])
+        gyr = ((idx_rest // ntx).astype(jnp.float32)[:, None] * float(th)
+               + (jnp.arange(U, dtype=jnp.float32) // 128)[None, :])
+        nx = ((gxr + 0.5) / W * 2.0 - 1.0).reshape(R * U)
         ny = (1.0 - (gyr + jnp.float32(row_offset) + 0.5)
-              / height_full * 2.0).reshape(R * 1024)
+              / height_full * 2.0).reshape(R * U)
         ivp = ds["camera"]["inv_view_proj"]
         wp = [nx * ivp[j, 0] + ny * ivp[j, 1] + ivp[j, 2] + ivp[j, 3]
               for j in range(4)]
@@ -1099,20 +1216,21 @@ def shade_deferred_compact_c(
     for c in range(3):
         full = jnp.broadcast_to(
             ds["skybox"][0, c] if solid_env else jnp.float32(0.0),
-            (n_tiles, 1024))
-        scat = full.at[idx].set(out_c[c].reshape(C, 1024))
+            (n_tiles, U))
+        scat = full.at[idx].set(out_c[c].reshape(C, U))
         if rest_sky is not None:
-            scat = scat.at[idx_rest].set(rest_sky[c].reshape(R, 1024))
-        out_full.append(_tile_unswizzle(scat, H, W))
-    a_scat = jnp.zeros((n_tiles, 1024), jnp.float32).at[idx].set(
-        valid.astype(jnp.float32).reshape(C, 1024))
-    return out_full + [_tile_unswizzle(a_scat, H, W)]
+            scat = scat.at[idx_rest].set(rest_sky[c].reshape(R, U))
+        out_full.append(_tile_unswizzle(scat, H, W, th))
+    a_scat = jnp.zeros((n_tiles, U), jnp.float32).at[idx].set(
+        valid.astype(jnp.float32).reshape(C, U))
+    return out_full + [_tile_unswizzle(a_scat, H, W, th)]
 
 
 def _shade_transparent_compact(
     layers, opaque_ch, ds, *, width: int, height: int, height_full: int,
     row_offset, use_mips: bool, slot_mask, solid_env: bool,
     has_nearest: bool, ext, n_layers: int, tile_cap: int,
+    light_tiles: bool = False,
 ):
     """Covered-tile-compacted K-layer transparent shade + composite.
 
@@ -1173,6 +1291,7 @@ def _shade_transparent_compact(
             row_offset=0, use_mips=use_mips, slot_mask=slot_mask,
             solid_env=solid_env, has_nearest=has_nearest, ext=ext,
             transparent_pass=True, want_transmission_factor=True,
+            light_tiles=light_tiles,
         )
         color = [c.reshape(Kg, Pc) for c in color]
         a = jnp.where(valid, alpha, 0.0).reshape(Kg, Pc)
@@ -1216,6 +1335,7 @@ def shade_transparent_compact32(
     has_nearest: bool = True,
     ext: Tuple[bool, ...] = ALL_EXT,
     n_layers: int = 4,
+    light_tiles: bool = False,
 ):
     """Shade + composite K transparent peels that were RASTERIZED in
     covered-tile-compacted space (ops/raster.py rasterize_layers_compact).
@@ -1271,6 +1391,7 @@ def shade_transparent_compact32(
             row_offset=0, use_mips=use_mips, slot_mask=slot_mask,
             solid_env=solid_env, has_nearest=has_nearest, ext=ext,
             transparent_pass=True, want_transmission_factor=True,
+            light_tiles=light_tiles,
         )
         color = [c.reshape(Kg, Pc) for c in color]
         a = jnp.where(valid, alpha, 0.0).reshape(Kg, Pc)
@@ -1305,7 +1426,7 @@ def shade_transparent_compact32(
     jax.jit,
     static_argnames=("width", "height", "height_full", "use_mips",
                      "slot_mask", "solid_env", "has_nearest", "ext",
-                     "n_layers", "tile_cap"),
+                     "n_layers", "tile_cap", "light_tiles"),
 )
 def shade_transparent_layers_c(
     layers,            # dict of (K, P) plane arrays from rasterize_layers
@@ -1325,6 +1446,7 @@ def shade_transparent_layers_c(
     n_layers: int = 4,
     setup_rows=None,
     tile_cap: Optional[int] = None,
+    light_tiles: bool = False,
 ):
     """Forward-shade K depth-peeled transparent layers and composite
     back-to-front over the opaque result (reference: render.rs transparent
@@ -1368,7 +1490,7 @@ def shade_transparent_layers_c(
             layers, opaque_ch, ds, width=W, height=H, height_full=H_full,
             row_offset=row_offset, use_mips=use_mips, slot_mask=slot_mask,
             solid_env=solid_env, has_nearest=has_nearest, ext=ext,
-            n_layers=K, tile_cap=tile_cap)
+            n_layers=K, tile_cap=tile_cap, light_tiles=light_tiles)
 
     def shade_group(sub, Kg, out_rgb):
         """Shade Kg stacked layers and composite back-to-front onto
@@ -1383,6 +1505,7 @@ def shade_transparent_layers_c(
             has_nearest=has_nearest, ext=ext,
             transparent_pass=True, want_transmission_factor=True,
             setup_rows=setup_rows, n_layer_tiles=Kg,
+            light_tiles=light_tiles,
         )
         color = [c.reshape(Kg, P) for c in color]
         a = jnp.where(valid, alpha, 0.0).reshape(Kg, P)

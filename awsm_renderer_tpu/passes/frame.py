@@ -290,6 +290,7 @@ def _opaque_band(
     hooks,
     has_nearest: bool,
     needs_clip: bool,
+    light_tiles: bool = False,
     ext,
     has_uv1: bool,
     has_color: bool,
@@ -317,7 +318,7 @@ def _opaque_band(
         width_full=rw_full, col_offset=col_offset,
         use_mips=use_mips, slot_mask=slot_mask,
         solid_env=solid_env, has_nearest=has_nearest, ext=ext,
-        debug_mode=debug_mode,
+        debug_mode=debug_mode, light_tiles=light_tiles,
     )
     return hdr_ch, vis["tri_id"], vis["depth"]
 
@@ -346,6 +347,7 @@ def _overlay_band(
     hooks,
     has_nearest: bool,
     needs_clip: bool,
+    light_tiles: bool = False,
     ext,
     has_uv1: bool,
     has_color: bool,
@@ -396,6 +398,7 @@ def _overlay_band(
             slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
             hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
             ext=ext, has_uv1=has_uv1, has_color=has_color,
+            light_tiles=light_tiles,
             overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
             ov_tri_idx=ov_tri_idx, tile_cap=tile_cap,
         )
@@ -454,6 +457,7 @@ def _overlay_band(
                 use_mips=use_mips, slot_mask=overlay_slot_mask,
                 solid_env=solid_env, has_nearest=has_nearest,
                 ext=overlay_ext, n_layers=n_transparent_layers,
+                light_tiles=light_tiles,
             )
         else:
             # analytic (plane-equation) uv derivatives here too: the
@@ -476,7 +480,7 @@ def _overlay_band(
                 solid_env=solid_env,
                 has_nearest=has_nearest, ext=overlay_ext,
                 n_layers=n_transparent_layers,
-                tile_cap=None,
+                tile_cap=None, light_tiles=light_tiles,
             )
 
     if hooks and hooks.after_transparent:
@@ -509,6 +513,7 @@ def _overlay_band(
             use_mips=use_mips, slot_mask=overlay_slot_mask,
             solid_env=solid_env,
             has_nearest=has_nearest, ext=overlay_ext,
+            light_tiles=light_tiles,
         )
         a = jnp.where(h_valid, h_alpha, 0.0)
         out = [jnp.where(h_valid, h_color[c] * a + hdr_ch[c] * (1 - a),
@@ -547,6 +552,7 @@ def _frame_band(
     ext,
     has_uv1: bool,
     has_color: bool,
+    light_tiles: bool = False,
     overlay_slot_mask=None,
     overlay_ext=None,
     ov_tri_idx=None,
@@ -603,7 +609,9 @@ def _opaque_band_msaa(
     ext,
     has_uv1: bool,
     has_color: bool,
+    light_tiles: bool = False,
     tile_cap: Optional[int] = None,
+    tile_rows: int = 8,
 ):
     """MSAA-4x-equivalent opaque stage: coverage + depth at 2x2 samples
     per display pixel (slim raster — ids and depth only), shading ONCE
@@ -660,9 +668,13 @@ def _opaque_band_msaa(
     # (ds["env_pool_base"]) — per-pixel sky for skipped tiles is one
     # O(sky pixels) gather into the same table. Hooks see full-frame
     # vis planes, so compaction is skipped with an after_geometry hook.
+    n_units = ((band1_h // tile_rows) * (rw1 // 128)
+               if band1_h % tile_rows == 0 else 0)
     if (tile_cap is not None and (solid_env or "env_pool_base" in ds)
             and band1_h % 8 == 0 and rw1 % 128 == 0
-            and tile_cap * 1024 < band1_h * rw1
+            and band1_h % tile_rows == 0
+            and (min(tile_cap, n_units) * tile_rows) % 8 == 0
+            and tile_cap * tile_rows * 128 < band1_h * rw1
             and not (hooks and hooks.after_geometry)):
         from ..ops.shade import shade_deferred_compact_c
 
@@ -674,6 +686,7 @@ def _opaque_band_msaa(
             coord_scale=2, use_mips=use_mips, slot_mask=slot_mask,
             solid_env=solid_env, has_nearest=has_nearest, ext=ext,
             debug_mode=debug_mode, tile_cap=tile_cap, interpret=interpret,
+            tile_rows=tile_rows, light_tiles=light_tiles,
         )
         return hdr_ch, samp, depth1
 
@@ -691,7 +704,7 @@ def _opaque_band_msaa(
         row_offset=row_offset1,
         use_mips=use_mips, slot_mask=slot_mask,
         solid_env=solid_env, has_nearest=has_nearest, ext=ext,
-        debug_mode=debug_mode,
+        debug_mode=debug_mode, light_tiles=light_tiles,
     )
     return hdr_ch, samp, depth1
 
@@ -809,7 +822,8 @@ def _finish_frame(
         "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
         "max_bins", "needs_clip", "ext", "has_uv1", "has_color",
         "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
-        "overlay_tile_cap", "opaque_tile_cap", "dof_rings",
+        "overlay_tile_cap", "opaque_tile_cap", "opaque_tile_rows",
+        "dof_rings", "light_tiles",
     ),
 )
 def render_frame(
@@ -850,7 +864,9 @@ def render_frame(
     overlay_tri_idx=None,
     overlay_tile_cap: Optional[int] = None,
     opaque_tile_cap: Optional[int] = None,
+    opaque_tile_rows: int = 8,
     dof_rings=None,
+    light_tiles: bool = False,
 ):
     """Returns (display_rgba (H,W,4) f32 in [0,1], tri_id (H,W) i32, depth).
 
@@ -878,6 +894,7 @@ def render_frame(
         slot_mask=slot_mask, solid_env=solid_env,
         interpret=interpret, hooks=hooks, has_nearest=has_nearest,
         needs_clip=needs_clip, ext=ext, has_uv1=has_uv1, has_color=has_color,
+        light_tiles=light_tiles,
     )
     if msaa:
         hdr_ch, samp, depth = _opaque_band_msaa(
@@ -885,7 +902,7 @@ def render_frame(
             rw2=_pad_to(width * 2, TILE_W), band2_h=2 * rh1, rh2_full=2 * rh1,
             rw1=rw1, band1_h=rh1, rh1_full=rh1,
             row_offset1=0, shift_rows=False, debug_mode=debug_mode,
-            tile_cap=opaque_tile_cap, **common,
+            tile_cap=opaque_tile_cap, tile_rows=opaque_tile_rows, **common,
         )
         hdr_ch = _msaa_edge_blend(hdr_ch, samp, rh1, rw1)
         tri_id = samp[0]

@@ -1,22 +1,32 @@
-"""Light culling pass — structural placeholder.
+"""Light culling — tiled light lists (IMPLEMENTED; the reference never
+finished this pass).
 
 The reference's light-culling pass is an explicit STUB: bind groups and
 pipelines exist but `render()` is `// TODO!` and both WGSL files are empty
-(crates/renderer/src/render_passes/light_culling/render_pass.rs:30-34;
-docs/ROADMAP.md:24-33 sketches tiled light lists). We replicate it as the
-same structural placeholder, with the TPU-native design documented:
+(crates/renderer/src/render_passes/light_culling/render_pass.rs:30-34);
+docs/ROADMAP.md:24-33 sketches tiled light lists. r4 implements the
+sketch TPU-natively — see ops/shade.py `_punctual_lights_tiled`:
 
-Planned design (tiled light lists, the ROADMAP sketch):
-- screen tiles reuse the rasterizer's (8, 128) tiling
-- per tile: test every light's bounding sphere against the tile frustum
-  (built from the tile corners + depth bounds from the raster depth plane)
-- output: (n_tiles, MAX_LIGHTS_PER_TILE) i32 light lists + counts, built
-  exactly like ops/raster.py build_bins (overlap matrix → top_k)
-- the shading pass then loops the tile's list instead of every light
+- units are the shading layout's native 128-pixel lane groups (free
+  reshape of every (P,) plane, in band space AND compacted space)
+- per unit: world AABB of its pixels' positions (reduces), overlap
+  matrix vs every light's bounding sphere, top_k → per-unit list of
+  MAX_LIGHTS_PER_TILE light rows (the ops/raster.py build_bins pattern)
+- the shading loop then runs the list length with per-unit (n_units, 1)
+  light params broadcasting against (n_units, 128) pixels — O(px × K)
+  instead of O(px × light capacity)
 
-`cull_lights` currently returns the identity "all lights in every tile"
-lists so the interface is exercisable and the shading loop could consume
-it unchanged.
+The renderer engages it automatically when `lights.count > 8`
+(renderer.py static_kwargs light_tiles). Exact vs the dense loop
+whenever ≤ MAX_LIGHTS_PER_TILE lights genuinely reach any one unit
+(tests/test_hooks_lightcull.py::TestTiledLights); beyond that the
+lowest-priority lights drop per unit — the standard tiled-deferred
+contract the ROADMAP sketch implies.
+
+`cull_lights` below is the standalone pass-level interface (lists +
+counts per screen tile) kept for hook consumers; the production shading
+path builds its lists in shading-layout unit space instead (no extra
+pass, no HBM round-trip for the lists).
 """
 
 from __future__ import annotations
@@ -28,7 +38,10 @@ MAX_LIGHTS_PER_TILE = 16
 
 def cull_lights(lights, n_lights, depth_plane, *, width: int, height: int,
                 tile_h: int = 8, tile_w: int = 128):
-    """Placeholder: every tile lists all lights (reference stub parity).
+    """Standalone tile-list interface: every tile lists the first
+    MAX_LIGHTS_PER_TILE live lights (screen-tile granularity, no world
+    bounds available at this interface — the production culling runs
+    inside shading where world positions exist, _punctual_lights_tiled).
 
     Returns (light_lists (n_tiles, MAX_LIGHTS_PER_TILE) i32,
              counts (n_tiles,) i32)."""

@@ -34,6 +34,15 @@ from .ops.brdf_lut import generate_brdf_lut
 from .passes.frame import render_frame
 from .utils.profiling import RenderTimings
 
+# compaction-unit height of the opaque deferred shade: (th, 128) units.
+# 8 = the native f32 tile. r4 MEASURED anti-lesson: th=1 strips LOSE
+# (34.6 vs 31.0 ms on the stress bench) — coverage at 1x128 granularity
+# is 61.3% vs 62.4% at 8x128 (the scene is horizontally dense; sky gaps
+# are sub-128px), so 8x finer units shave ~1% of compact pixels while
+# adding a 16k-key argsort + 16k-row take/scatter and losing the free
+# 8-sublane tile relabeling (scripts/bench_pixel_compact.py --cov).
+OPAQUE_TILE_ROWS = 8
+
 
 class AwsmRendererTpu:
     def __init__(self, config: Optional[RendererConfig] = None):
@@ -233,6 +242,14 @@ class AwsmRendererTpu:
                     .reshape(3 * cc, rows.size))
 
             plan = m.device_updates()
+            # triangle-layout generation: bump ONLY when the device pool
+            # layout changed (full re-upload / append / tombstone / inst
+            # edits) — a morph-weight or flag edit also sets gpu_dirty,
+            # and bumping the gen for those forced the overlay tri-idx
+            # cache (an np.isin scan over the whole pool, ~ms) to rebuild
+            # EVERY animated frame
+            if plan[0] == "full" or plan[1] or m.inst_groups_changed:
+                self._mesh_flush_gen += 1
             if plan[0] == "full":
                 _, idx, dead = plan
                 for name, c in corners:
@@ -302,7 +319,6 @@ class AwsmRendererTpu:
                     np.where(np.tile(tpl, rows.size) < 0, -1,
                              np.repeat(rows, grp.livemask.size)))
             m.gpu_dirty = False
-            self._mesh_flush_gen += 1
             self._mesh_row_to_key = {row: key for key, row in m._mesh_alloc.items()}
             mesh_span.__exit__(None, None, None)
 
@@ -547,8 +563,10 @@ class AwsmRendererTpu:
         # the overlay band's tile grid can sit up to (tile_h - 8) rows
         # off this frame-aligned grid (_overlay_crop clamps y0 to
         # rh1 - band_h, an 8-multiple); expand the rects by that slack
-        # so the count still bounds the band-grid coverage
-        slack = tile_h - 8
+        # so the count still bounds the band-grid coverage. Sub-8-row
+        # units (the strip-compacted opaque shade) are frame-aligned:
+        # no slack, and never negative.
+        slack = max(0, tile_h - 8)
         tx0 = np.clip(np.floor((sx.min(1) - 1) / tile_w), 0, ntx - 1).astype(int)
         tx1 = np.clip(np.floor((sx.max(1) + 1) / tile_w), 0, ntx - 1).astype(int)
         ty0 = np.clip(np.floor((sy.min(1) - 1 - slack) / tile_h), 0, nty - 1).astype(int)
@@ -650,16 +668,20 @@ class AwsmRendererTpu:
         self._mask_cache[name] = (arr.copy(), dev)
         return dev
 
-    def _dof_ring_set(self):
+    def _dof_ring_set(self, masks=None):
         """Static DoF ring specialization from a host-side CoC bound
         (ops/effects.py dof_max_coc / dof_active_rings): view-distance
-        range = [nearest AABB point across all meshes (floored at the
-        near plane), far plane] — sky pixels sit at the far plane, a
-        mesh crossing the near plane floors dmin there. Rings the bound
-        proves weightless compile out; () compiles DoF out entirely
-        (the WGSL coc<0.5 early-out at specialization time). Changes
-        only when the camera/aperture crosses a ring threshold (4
-        possible sets), like every other variant key."""
+        range = [nearest AABB point across the VISIBLE meshes (floored
+        at the near plane), far plane] — sky pixels sit at the far
+        plane, a mesh crossing the near plane floors dmin there. Only
+        visible meshes produce depth-plane pixels, so culled ones must
+        not tighten the bound (r4: an off-screen box BESIDE the camera
+        put dmin at ~1 and fired all 3 rings, +3.5 ms/frame on the
+        stress bench). Rings the bound proves weightless compile out;
+        () compiles DoF out entirely (the WGSL coc<0.5 early-out at
+        specialization time). Changes only when the camera/aperture
+        crosses a ring threshold (4 possible sets), like every other
+        variant key."""
         import numpy as _np
 
         from .ops.effects import (
@@ -669,7 +691,12 @@ class AwsmRendererTpu:
         proj = _np.asarray(self.camera.projection, _np.float64)
         near_d = linearize_depth_host(0.0, proj)
         far_d = linearize_depth_host(1.0, proj)
-        mins, maxs, _keys = self.meshes.world_bounds()
+        mins, maxs, keys = self.meshes.world_bounds()
+        if masks is not None and len(mins):
+            vis = masks["opaque"] | masks["transparent"] | masks["hud"]
+            sel = [i for i, k in enumerate(keys)
+                   if vis[self.meshes.row_of(k)]]
+            mins, maxs = mins[sel], maxs[sel]
         if len(mins):
             # exact min VIEW depth (what linearize_depth returns), not the
             # Euclidean camera distance: off-axis geometry sits closer in
@@ -767,6 +794,24 @@ class AwsmRendererTpu:
             self.config = cfg0
         return n
 
+    def _scene_signature(self, cfg=None):
+        """Cheap content signature of everything a rendered frame depends
+        on: store mutation counters + camera + config. Used both as the
+        per-frame derived-state memo key and as the pick-staleness epoch
+        (pick() re-renders when the scene changed since the cached
+        tri_id plane — reference picking is an any-time 1x1 dispatch of
+        CURRENT state, picker.rs:56-115)."""
+        return (
+            getattr(self.meshes, "mutation_count", 0),
+            getattr(self.materials, "mutation_count", 0),
+            getattr(self.transforms, "mutation_count", 0),
+            self.skins.gpu_dirty, self.environment.gpu_dirty,
+            self.textures.gpu_dirty, self.lights.gpu_dirty,
+            self.camera.view.tobytes(), self.camera.projection.tobytes(),
+            self.camera.dof.focus_distance, self.camera.dof.aperture,
+            cfg if cfg is not None else self.config,
+        )
+
     def render_device(self, debug_mode: str = "none", hooks=None):
         """Render one frame; returns the (H, W, 4) f32 sRGB display image
         as a DEVICE array (the analog of the swapchain texture staying on
@@ -798,14 +843,7 @@ class AwsmRendererTpu:
         # config) — memoized on their mutation counters so a static
         # scene/camera pays it once (the reference's analog: bind-group
         # recreate lists are drained, not rebuilt, on clean frames)
-        prep_key = (
-            getattr(self.meshes, "mutation_count", 0),
-            getattr(self.materials, "mutation_count", 0),
-            getattr(self.transforms, "mutation_count", 0),
-            self.camera.view.tobytes(), self.camera.projection.tobytes(),
-            self.camera.dof.focus_distance, self.camera.dof.aperture,
-            cfg,
-        )
+        prep_key = self._scene_signature(cfg)
         cached = getattr(self, "_prep_cache", None)
         if cached is not None and cached[0] == prep_key:
             prep = cached[1]
@@ -842,11 +880,14 @@ class AwsmRendererTpu:
             # opaque covered-tile compaction: MSAA path (solid envs fill
             # skipped tiles with the constant; image envs sample sky from
             # the texel-pool env rows — frame.py _opaque_band_msaa gates
-            # identically on the traced side)
-            op_tile_cap = (self._bucket_tile_cap(masks, "opaque")
-                           if cfg.anti_aliasing.msaa else None)
-            dof_rings = (self._dof_ring_set() if cfg.post_processing.dof
-                         else None)
+            # identically on the traced side). Unit height is
+            # OPAQUE_TILE_ROWS (8 — see the constant's measured
+            # anti-lesson for why finer strips lose).
+            op_tile_cap = (self._bucket_tile_cap(
+                masks, "opaque", tile_h=OPAQUE_TILE_ROWS, tile_w=128)
+                if cfg.anti_aliasing.msaa else None)
+            dof_rings = (self._dof_ring_set(masks)
+                         if cfg.post_processing.dof else None)
             prep = dict(
                 masks=masks, has_transparent=has_transparent,
                 has_hud=has_hud, ov_slot_mask=ov_slot_mask, ov_ext=ov_ext,
@@ -893,8 +934,15 @@ class AwsmRendererTpu:
             overlay_crop_h=(ov_crop[1] if ov_crop else None),
             overlay_tile_cap=ov_tile_cap,
             opaque_tile_cap=op_tile_cap,
+            opaque_tile_rows=OPAQUE_TILE_ROWS,
             has_uv1=bool((self.materials.tex_slots[:, :, 1] == 1).any()),
             has_color=self.meshes.uses_vertex_colors,
+            # tiled light lists (the pass the reference stubbed) engage
+            # once the dense capacity loop would dominate: per-128-px
+            # units shade only the lights whose sphere reaches them.
+            # _force_dense_lights is a bench/test escape hatch.
+            light_tiles=(self.lights.count > 8
+                         and not getattr(self, "_force_dense_lights", False)),
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
@@ -930,6 +978,7 @@ class AwsmRendererTpu:
         frame_span.__exit__(None, None, None)
         self.timings.end_frame()
         self._last_tri_id = tri_id
+        self._rendered_sig = prep_key   # pick-staleness epoch
         if hooks is not None and getattr(hooks, "post_render", None):
             hooks.post_render(self)  # host hook, after the dispatch
         return ldr
@@ -949,9 +998,21 @@ class AwsmRendererTpu:
     # ---- picking (reference: picker.rs:56-115) -------------------------------
 
     def pick(self, x: int, y: int) -> Optional[int]:
-        """Returns the mesh key under pixel (x, y), or None."""
-        if self._last_tri_id is None:
-            return None
+        """Returns the mesh key under pixel (x, y), or None.
+
+        Reference semantics (picker.rs:56-115): picking is an
+        independent any-time dispatch against the CURRENT scene. The
+        tri_id plane is cached from the last render, so if the scene,
+        camera or config changed since (tracked by _scene_signature),
+        the plane is STALE — re-render device-side first instead of
+        returning a stale (or missing) result. Cost on a clean scene is
+        unchanged: one signature compare."""
+        if (self._last_tri_id is None
+                or getattr(self, "_rendered_sig", None)
+                != self._scene_signature()):
+            if self.meshes.count == 0:
+                return None
+            self.render_device()
         h, w = self._last_tri_id.shape
         if not (0 <= x < w and 0 <= y < h):
             return None

@@ -24,10 +24,82 @@ import time
 import numpy as np
 
 
-def build_stress_scene(width: int, height: int, effects: bool = True):
+def add_animation(r, anim_tks, morph_meshes):
+    """Attach per-frame animation to an existing scene (BASELINE.json
+    config 3 class: skinning + morph targets animated per frame).
+
+    - rotation clips on `anim_tks` transforms (reference: RiggedFigure-
+      class node animation),
+    - weight clips on `morph_meshes` (AnimatedMorphCube-class),
+    - one 2-joint skinned pillar whose top joint sways (SimpleSkin-class).
+    Returns the number of players inserted."""
+    from awsm_renderer_tpu import PbrMaterial, Transform
+    from awsm_renderer_tpu.core.animation import (
+        AnimationChannel, AnimationClip, AnimationPlayer, AnimationSampler,
+        TargetPath,
+    )
+    from awsm_renderer_tpu.core.meshes import MeshGeometry
+    from awsm_renderer_tpu.geometry import box
+
+    n = 0
+    times = np.array([0.0, 1.0, 2.0, 3.0, 4.0], np.float32)
+    # unit quats around Y at 0/90/180/270/360 degrees
+    quats = np.array([[0, np.sin(a / 2), 0, np.cos(a / 2)]
+                      for a in np.linspace(0, 2 * np.pi, 5)], np.float32)
+    for tk in anim_tks:
+        clip = AnimationClip(channels=[AnimationChannel(
+            sampler=AnimationSampler(times=times, values=quats),
+            path=TargetPath.ROTATION, transform_key=tk)])
+        r.animations.insert(AnimationPlayer(clip=clip, speed=1.0))
+        n += 1
+    wtimes = np.array([0.0, 1.0, 2.0], np.float32)
+    wvals = np.array([[0.0, 1.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    for mk in morph_meshes:
+        clip = AnimationClip(channels=[AnimationChannel(
+            sampler=AnimationSampler(times=wtimes, values=wvals),
+            path=TargetPath.WEIGHTS, mesh_key=mk)])
+        r.animations.insert(AnimationPlayer(clip=clip, speed=1.3))
+        n += 1
+    # skinned pillar: 2 joints, top vertices follow the swaying joint 1
+    g = box(0.5)
+    V = g.positions.shape[0]
+    top = (g.positions[:, 1] > 0).astype(np.float32)
+    joints = np.zeros((V, 4), np.float32)
+    joints[:, 0] = 1.0   # joint index 1 in slot 0 where top, else joint 0
+    joints[:, 0] *= top
+    weights = np.zeros((V, 4), np.float32)
+    weights[:, 0] = 1.0
+    root = r.transforms.insert(Transform(
+        translation=np.array([0.0, 2.5, 0.0], np.float32)))
+    j1 = r.transforms.insert(Transform(), parent=root)
+    r.transforms.update_world()
+    ibm = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    skin = r.skins.insert([root, j1], ibm)
+    mat = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.9, 0.8, 0.2, 1.0], np.float32)))
+    geo = MeshGeometry(positions=g.positions, indices=g.indices,
+                       normals=g.normals, uv0=g.uv0,
+                       joints=joints, weights=weights)
+    r.add_mesh(geo, mat, transform_key=root, skin_key=skin)
+    sway = np.array([[0, 0, np.sin(a / 2), np.cos(a / 2)]
+                     for a in (np.pi / 6) * np.sin(
+                         np.linspace(0, 2 * np.pi, 5))], np.float32)
+    clip = AnimationClip(channels=[AnimationChannel(
+        sampler=AnimationSampler(times=times, values=sway),
+        path=TargetPath.ROTATION, transform_key=j1)])
+    r.animations.insert(AnimationPlayer(clip=clip))
+    return n + 1
+
+
+def build_stress_scene(width: int, height: int, effects: bool = True,
+                       animated: bool = False):
     """Sponza-class stand-in: a colonnade grid of textured boxes + spheres
     (~260k triangles, multiple materials/textures, several lights, a ring
-    of alpha-blended glass panes for the transparent pass)."""
+    of alpha-blended glass panes for the transparent pass).
+
+    animated=True additionally attaches config-3-class per-frame
+    animation (add_animation): 24 rotating grid nodes, 6 morph-weight
+    spheres, one 2-joint skinned pillar."""
     from awsm_renderer_tpu import (
         AntiAliasing, AwsmRendererTpu, Light, PbrMaterial, PostProcessing,
         RendererConfig, Transform,
@@ -71,6 +143,7 @@ def build_stress_scene(width: int, height: int, effects: bool = True):
     sph_res = r.meshes.insert_resource(uv_sphere(0.45, rings=24, sectors=48))
     pane_res = r.meshes.insert_resource(box(0.9))
 
+    grid_tks = []
     for gx in range(-7, 8):
         for gz in range(-7, 8):
             res = box_res if (gx + gz) % 2 == 0 else sph_res
@@ -80,6 +153,7 @@ def build_stress_scene(width: int, height: int, effects: bool = True):
             r.transforms.update_world()
             r.meshes.insert(
                 res, r.transforms.row_of(tk), r.materials.row_of(mat), tk, mat)
+            grid_tks.append(tk)
     # transparent glass panes around the center (config 5: transparency
     # blended over the opaque result with shared depth)
     for i in range(12):
@@ -97,6 +171,29 @@ def build_stress_scene(width: int, height: int, effects: bool = True):
         r.lights.insert(Light.point(
             [np.cos(i) * 6, 2.0, np.sin(i) * 6], color=tuple(rng.uniform(0.4, 1, 3)),
             intensity=10.0, range=15.0))
+
+    if animated:
+        from awsm_renderer_tpu.core.meshes import MeshGeometry
+
+        morph_keys = []
+        for i in range(6):
+            g = uv_sphere(0.4, rings=12, sectors=24)
+            V = g.positions.shape[0]
+            bulge = (g.positions * 0.35).reshape(1, V, 3)
+            squash = np.zeros((1, V, 3), np.float32)
+            squash[0, :, 1] = -0.6 * g.positions[:, 1]
+            geo = MeshGeometry(
+                positions=g.positions, indices=g.indices, normals=g.normals,
+                uv0=g.uv0,
+                morph_positions=np.concatenate([bulge, squash]).astype(np.float32),
+                morph_normals=np.zeros((2, V, 3), np.float32))
+            a = 2 * np.pi * i / 6
+            mk = r.add_mesh(geo, mats[i % 12], Transform(
+                translation=np.array(
+                    [np.cos(a) * 2.5, 2.2, np.sin(a) * 2.5], np.float32)))
+            morph_keys.append(mk)
+        add_animation(r, grid_tks[::10][:24], morph_keys)
+        r.meshes.update_world(r.transforms)
 
     view = m3.look_at([10, 7, 10], [0, 0, 0], [0, 1, 0])
     proj = m3.perspective(np.pi / 3, width / height, 0.1, 200.0)
@@ -220,6 +317,8 @@ def main():
 
     if "--no-split" in sys.argv:
         return
+    _animated_probe(width, height)
+    _lights_probe(width, height)
     # geometry/opaque split per BASELINE.md protocol (no effects, 1x scale:
     # the classic split is defined on the base pipeline). Compiles a second
     # jit — kept strictly after the headline line, stderr only.
@@ -233,6 +332,76 @@ def main():
               f"(msaa frame)", file=sys.stderr)
     except Exception as e:  # the split is diagnostic, never the artifact
         print(f"# split probe failed: {e!r}", file=sys.stderr)
+
+
+def _animated_probe(width, height):
+    """Animated config-3-class probe (BASELINE.json config 3: skinning
+    and morph targets animated per frame): the stress scene plus 31
+    players + 6 morph spheres + a skinned pillar; update_all(dt) runs
+    INSIDE the timing loop so host sampling/propagation/flush costs are
+    measured, not amortized away. Strictly after the headline JSON;
+    stderr only."""
+    try:
+        ra, _ = build_stress_scene(width, height, animated=True)
+        ldra = ra.render_device()
+        _ = float(np.asarray(ldra[0, 0, 0]))
+
+        def frame_anim():
+            ra.update_all(1.0 / 60.0)
+            return ra.render_device()
+
+        def fence_a(out):
+            _ = float(np.asarray(out[0, 0, 0]))
+
+        dt_stat = _differential(
+            lambda: ra.render_device(), fence_a, "animated scene, static")
+        # update_all dirties the jit static key's inputs (tile caps, DoF
+        # rings) only through quantized buckets; warm both phases
+        frame_anim()
+        dt_anim = _differential(
+            frame_anim, fence_a, "animated scene, update_all in loop")
+        print(f"# animated delta: +{(dt_anim-dt_stat)*1000:.2f} ms "
+              f"({(dt_anim/max(dt_stat,1e-9)-1)*100:.1f}% over static; "
+              f"target <15%)", file=sys.stderr)
+    except Exception as e:
+        print(f"# animated probe failed: {e!r}", file=sys.stderr)
+
+
+def _lights_probe(width, height):
+    """64-light stress variant: tiled light lists (shade.py
+    _punctual_lights_tiled — the pass the reference stubbed) vs the
+    dense capacity loop. Sublinear scaling = the tiled 64-light frame
+    costs far less than the dense one (which pays O(px x 64)). stderr
+    only, after the headline JSON."""
+    from awsm_renderer_tpu import Light
+
+    try:
+        r, _ = build_stress_scene(width, height)
+        rng = np.random.default_rng(9)
+        for i in range(64 - r.lights.count):
+            a = 2 * np.pi * i / 57.0
+            rad = 3.0 + (i % 5) * 2.0
+            r.lights.insert(Light.point(
+                [np.cos(a) * rad, 0.5 + (i % 3), np.sin(a) * rad],
+                color=tuple(rng.uniform(0.3, 1.0, 3)),
+                intensity=4.0, range=4.0))
+        assert r.lights.count == 64
+
+        def fence(out):
+            _ = float(np.asarray(out[0, 0, 0]))
+
+        fence(r.render_device())
+        dt_tiled = _differential(
+            lambda: r.render_device(), fence, "64 lights, tiled lists")
+        r._force_dense_lights = True
+        fence(r.render_device())
+        dt_dense = _differential(
+            lambda: r.render_device(), fence, "64 lights, dense loop")
+        print(f"# light scaling: tiled {dt_tiled*1000:.2f} ms vs dense "
+              f"{dt_dense*1000:.2f} ms at 64 lights "
+              f"({dt_dense/max(dt_tiled,1e-9):.2f}x)", file=sys.stderr)
+    except Exception as e:
+        print(f"# lights probe failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -33,36 +33,36 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def fetch_tid_plane():
-    """Render the bench stress scene once; fetch the MSAA rep-sample tid
-    plane (display layout, padded 1088x1920)."""
+def coverage_report():
+    """Render the bench stress scene once; reduce the MSAA rep-sample tid
+    plane to per-granularity covered-unit COUNTS on device (an 8 MB tid
+    readback through the relay blows the time budget; scalars don't)."""
+    import jax.numpy as jnp
+
     from bench import build_stress_scene
 
     r, tris = build_stress_scene(1920, 1080)
     r.render_device()
-    tid = np.asarray(r._last_tri_id)  # (1080, 1920) cropped
-    # re-pad to the raster grid the compact path sees
+    tid = r._last_tri_id  # (1080, 1920) device
     H, W = 1088, 1920
-    full = np.full((H, W), -1, np.int32)
-    full[:1080, :1920] = tid
-    return full
-
-
-def coverage_report(tid):
-    H, W = tid.shape
-    cov_px = (tid >= 0).mean()
-    print(f"pixel coverage: {cov_px:.3f} ({int(cov_px*H*W)} px)")
+    tid = jnp.pad(tid, ((0, H - tid.shape[0]), (0, W - tid.shape[1])),
+                  constant_values=-1)
+    counts = {}
+    counts["px"] = jnp.sum(tid >= 0)
     for th in (1, 2, 4, 8):
         t = tid.reshape(H // th, th, W // 128, 128)
-        cov = (t >= 0).any(axis=(1, 3))
-        frac = cov.mean()
-        px = int(cov.sum()) * th * 128
-        print(f"({th:d},128) units: {cov.size} units, covered {frac:.3f} "
+        counts[f"({th},128)"] = jnp.sum(jnp.any(t >= 0, axis=(1, 3)))
+    t = tid.reshape(H // 32, 32, W // 32, 32)
+    counts["(32,32)"] = jnp.sum(jnp.any(t >= 0, axis=(1, 3)))
+    vals = {k: int(np.asarray(v)) for k, v in counts.items()}
+    print(f"pixel coverage: {vals['px']/(H*W):.3f} ({vals['px']} px)")
+    for th in (1, 2, 4, 8):
+        n_units = (H // th) * (W // 128)
+        c = vals[f"({th},128)"]
+        px = c * th * 128
+        print(f"({th},128) units: {n_units} units, covered {c/n_units:.3f} "
               f"-> {px} px ({px/(H*W):.3f} of frame)")
-    for s in (32,):
-        t = tid[: H // s * s].reshape(H // s, s, W // s, s)
-        cov = (t >= 0).any(axis=(1, 3))
-        print(f"({s},{s}) tiles: covered {cov.mean():.3f}")
+    print(f"(32,32) tiles: covered {vals['(32,32)']/((H//32)*(W//32)):.3f}")
 
 
 def _timeit(fn, fence, n=20, label=""):
@@ -167,10 +167,6 @@ def primitive_costs():
 
 if __name__ == "__main__":
     if "--cov" in sys.argv:
-        tid = fetch_tid_plane()
-        np.save("/tmp/tid_plane.npy", tid)
-        coverage_report(tid)
-    elif "--cov-cached" in sys.argv:
-        coverage_report(np.load("/tmp/tid_plane.npy"))
+        coverage_report()
     else:
         primitive_costs()

@@ -57,6 +57,29 @@ def test_pick_center_returns_mesh():
     assert r.pick(2, 2) is None
 
 
+def test_pick_is_never_stale():
+    """Reference picking is an any-time dispatch against the CURRENT
+    scene (picker.rs:56-115). Mutating the scene after a render must not
+    let pick() answer from the stale cached tri_id plane — and picking
+    before the first render must work rather than return None."""
+    r = make_renderer()
+    mat = r.materials.insert(UnlitMaterial())
+    key = r.add_mesh(box(), mat)
+    # pick BEFORE any render: must render on demand, not return None
+    assert r.pick(W // 2, H // 2) == key
+    # move the box far off-screen: the center pick must notice
+    tk = r.meshes.get(key).transform_key
+    r.transforms.set_translation(tk, np.array([100.0, 0.0, 0.0], np.float32))
+    r.transforms.update_world()
+    r.meshes.update_world(r.transforms, {tk})
+    assert r.pick(W // 2, H // 2) is None
+    # move it back: picked again, no explicit render() call in between
+    r.transforms.set_translation(tk, np.array([0.0, 0.0, 0.0], np.float32))
+    r.transforms.update_world()
+    r.meshes.update_world(r.transforms, {tk})
+    assert r.pick(W // 2, H // 2) == key
+
+
 def test_pbr_box_lit_vs_unlit_side():
     r = make_renderer()
     r.environment.prefiltered *= 0.0

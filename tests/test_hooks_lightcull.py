@@ -189,3 +189,90 @@ def test_host_and_first_pass_hooks():
     cov_hook = (img[..., 0] > 0.5).sum()
     cov_plain = (img2[..., 0] > 0.5).sum()
     assert 0 < cov_hook < cov_plain * 0.5, (cov_hook, cov_plain)
+
+
+class TestTiledLights:
+    """Real tiled light lists (r4) — the pass the reference stubbed
+    (light_culling/render_pass.rs:30-34). Per-128-px units shade only
+    the lights whose bounding sphere reaches their pixel AABB."""
+
+    def _scene(self, n_lights, ranged=True):
+        from awsm_renderer_tpu import (
+            AwsmRendererTpu, Light, PbrMaterial, RendererConfig, Transform,
+        )
+        from awsm_renderer_tpu.config import ToneMapping
+        from awsm_renderer_tpu import PostProcessing
+
+        W, H = 128, 64
+        r = AwsmRendererTpu(RendererConfig(
+            width=W, height=H,
+            post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+        mat = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.8, 0.7, 0.6, 1.0], np.float32),
+            roughness_factor=0.5))
+        for gx in (-1.0, 0.0, 1.0):
+            r.add_mesh(box(0.8), mat, Transform(
+                translation=np.array([gx * 1.2, 0, 0], np.float32)))
+        r.lights.insert(Light.directional([-0.3, -1, -0.4], intensity=1.5))
+        rng = np.random.default_rng(3)
+        for i in range(n_lights - 1):
+            a = 2 * np.pi * i / max(n_lights - 1, 1)
+            r.lights.insert(Light.point(
+                [np.cos(a) * 2.0, 0.6, np.sin(a) * 2.0 + 1.0],
+                color=tuple(rng.uniform(0.3, 1.0, 3)),
+                intensity=3.0, range=(2.5 if ranged else 0.0)))
+        view = m3.look_at([0, 0.6, 3.0], [0, 0, 0], [0, 1, 0])
+        r.camera.update(view, m3.perspective(np.pi / 3, W / H, 0.1, 50.0))
+        return r
+
+    def test_tiled_equals_dense_when_lists_cover(self):
+        """With <= MAX_LIGHTS_PER_TILE lights total, every reaching
+        light is listed, so the tiled path must be EXACT vs the dense
+        capacity loop (excluded lights contribute 0 via the range
+        window, lights.wgsl)."""
+        n = min(MAX_LIGHTS_PER_TILE, 12)
+        r = self._scene(n)
+        assert r.lights.count == n
+        img_tiled = r.render()          # count > 8 engages tiling
+        # dense-vs-tiled on the SAME flushed scene via render_frame
+        r2 = self._scene(n)
+        from awsm_renderer_tpu.passes.frame import render_frame
+        from awsm_renderer_tpu.config import ToneMapping as TM
+        import jax.numpy as jnp
+
+        ds = r2._flush()
+        masks = r2._mesh_masks()
+        op_rows = r2._bucket_mat_rows(masks["opaque"])
+        common = dict(
+            width=128, height=64, supersample=False, msaa=False,
+            tonemap=TM.NONE, use_mips=True, has_morphs=False, skin_sets=0,
+            solid_env=True, slot_mask=r2._slot_mask(op_rows),
+            ext=r2._ext_mask(op_rows),
+            needs_clip=bool(masks["needs_clip"]))
+        ldr_d, _, _ = render_frame(
+            ds, jnp.asarray(masks["opaque"]), None, None,
+            light_tiles=False, **common)
+        ldr_t, _, _ = render_frame(
+            ds, jnp.asarray(masks["opaque"]), None, None,
+            light_tiles=True, **common)
+        np.testing.assert_allclose(np.asarray(ldr_t), np.asarray(ldr_d),
+                                   atol=1e-6)
+        # and the renderer-level image used the tiled path (count > 8)
+        np.testing.assert_allclose(
+            img_tiled[..., :3],
+            np.asarray(ldr_d)[:img_tiled.shape[0], :img_tiled.shape[1], :3],
+            atol=1e-5)
+
+    def test_out_of_reach_lights_drop_from_lists(self):
+        """A ranged light far outside every unit's AABB contributes
+        nothing AND its exclusion does not perturb in-range shading."""
+        from awsm_renderer_tpu import Light
+
+        r = self._scene(12)
+        base = r.render()
+        # add far lights (beyond range of anything visible)
+        for i in range(4):
+            r.lights.insert(Light.point(
+                [100.0 + i, 50.0, 100.0], intensity=50.0, range=3.0))
+        img = r.render()
+        np.testing.assert_allclose(img, base, atol=1e-6)

@@ -53,7 +53,7 @@ def _scene():
     return r
 
 
-def _frame(r, tile_cap, debug_mode="none"):
+def _frame(r, tile_cap, debug_mode="none", tile_rows=8):
     import jax.numpy as jnp
 
     ds = r._flush()
@@ -72,14 +72,21 @@ def _frame(r, tile_cap, debug_mode="none"):
         needs_clip=bool(masks["needs_clip"]),
         debug_mode=debug_mode,
         opaque_tile_cap=tile_cap,
+        opaque_tile_rows=tile_rows,
     )
 
 
-def test_opaque_compact_matches_band():
+import pytest
+
+
+@pytest.mark.parametrize("tile_rows,cap", [(8, 15), (1, 120)])
+def test_opaque_compact_matches_band(tile_rows, cap):
+    # cap < n_units triggers compaction; >= covered units keeps it exact.
+    # tile_rows=1 is the production strip granularity (1x128 units),
+    # tile_rows=8 the native-tile granularity of rounds 2-3.
     r = _scene()
     ldr_a, tid_a, dep_a = _frame(r, None)
-    ldr_b, tid_b, dep_b = _frame(r, 15)  # < 16 tiles triggers compaction,
-    #                                      >= covered tiles keeps it exact
+    ldr_b, tid_b, dep_b = _frame(r, cap, tile_rows=tile_rows)
     np.testing.assert_array_equal(np.asarray(tid_a), np.asarray(tid_b))
     np.testing.assert_array_equal(np.asarray(dep_a), np.asarray(dep_b))
     np.testing.assert_allclose(np.asarray(ldr_a), np.asarray(ldr_b),
@@ -94,13 +101,14 @@ def test_opaque_compact_matches_band_debug_normals():
                                atol=1e-6)
 
 
-def test_opaque_tile_cap_bound_is_safe():
-    """The host AABB bound must cover every tile the raster touches."""
+@pytest.mark.parametrize("tile_rows", [8, 1])
+def test_opaque_tile_cap_bound_is_safe(tile_rows):
+    """The host AABB bound must cover every unit the raster touches."""
     r = _scene()
     masks = r._mesh_masks()
-    cap = r._bucket_tile_cap(masks, "opaque")
+    cap = r._bucket_tile_cap(masks, "opaque", tile_h=tile_rows, tile_w=128)
     _, tid, _ = _frame(r, None)
-    t = np.asarray(tid).reshape(H // 8, 8, W // 128, 128)
+    t = np.asarray(tid).reshape(H // tile_rows, tile_rows, W // 128, 128)
     covered = int((t >= 0).any(axis=(1, 3)).sum())
     assert covered > 0
     if cap is not None:
