@@ -111,7 +111,14 @@ class _Resource:
     """Refcounted shared geometry (reference: meshes.rs:303 MeshResource).
 
     Keeps the CPU-side exploded corner arrays; device corner pools get a
-    copy per mesh instance."""
+    copy per mesh instance.
+
+    convex: the indexed geometry was VERIFIED convex with outward-wound
+    faces at insert (_is_convex) — every ray then crosses at most one
+    front-facing fragment, which lets the renderer prove a static upper
+    bound on transparent depth complexity (the K-layer peel clamp,
+    renderer._transparent_layer_bound). False = unverified (concave,
+    degenerate, or too large to test), never unsafe."""
 
     tri_count: int
     vertex_count: int
@@ -121,6 +128,32 @@ class _Resource:
     aabb: Aabb
     corners: Dict[str, np.ndarray] = field(default_factory=dict)
     refcount: int = 0
+    convex: bool = False
+
+
+def _is_convex(positions: np.ndarray, indices: np.ndarray,
+               budget: int = 4_000_000) -> bool:
+    """True iff every vertex lies on or behind every face's plane, with
+    faces wound so their geometric normal points OUTWARD — the mesh
+    surface then lies on a convex body and any ray sees <= 1
+    front-facing fragment (backface culling removes the rest). O(T*V);
+    meshes past `budget` products return False (unverified)."""
+    T = indices.shape[0]
+    V = positions.shape[0]
+    if T == 0 or T * V > budget:
+        return False
+    p = np.asarray(positions, np.float64)
+    a = p[indices[:, 0]]
+    n = np.cross(p[indices[:, 1]] - a, p[indices[:, 2]] - a)   # (T, 3)
+    norm = np.linalg.norm(n, axis=1)
+    keep = norm > 1e-12
+    if not keep.any():
+        return False
+    ext = float(np.linalg.norm(p.max(0) - p.min(0))) or 1.0
+    # signed distance of every vertex to every kept face plane
+    d = p @ n[keep].T - np.sum(a[keep] * n[keep], axis=1)[None, :]
+    eps = 1e-6 * ext * norm[keep][None, :]
+    return bool((d <= eps).all())
 
 
 @dataclass
@@ -348,6 +381,10 @@ class Meshes:
             tri_count=T, vertex_count=V, n_morph_targets=M,
             morph_base=morph_base, skin_sets=skin_sets, aabb=geo.aabb,
             corners=corners,
+            # morphed/skinned geometry deforms, so a static convexity
+            # proof would not survive animation
+            convex=(M == 0 and skin_sets == 0
+                    and _is_convex(geo.positions, geo.indices)),
         )
         return key
 
@@ -427,6 +464,7 @@ class Meshes:
             self.morph_weights[row] = 0.0
 
         res.refcount += 1
+        self._wb_cache = None
         self._meshes[key] = _Mesh(
             resource_key=resource_key, transform_key=transform_key,
             material_key=material_key, t_base=t_base, t_count=T,
@@ -519,6 +557,7 @@ class Meshes:
             self.mesh_info[row, MI_FLAGS] = flags
             self.morph_weights[row] = 0.0
             res.refcount += 1
+            self._wb_cache = None
             self._meshes[key] = _Mesh(
                 resource_key=resource_key, transform_key=transform_key,
                 material_key=material_key, t_base=-1, t_count=T,
@@ -537,6 +576,7 @@ class Meshes:
         return sorted(self._inst_groups.items())
 
     def remove(self, key: int) -> None:
+        self._wb_cache = None
         mesh = self._meshes.pop(key)
         if mesh.inst_gid is not None:
             grp = self._inst_groups[mesh.inst_gid]
@@ -616,17 +656,54 @@ class Meshes:
         maxs = np.stack([self._resources[m.resource_key].aabb.max for _, m in affected])
         omin, omax = native.transform_aabbs(
             rows, transforms.world.reshape(-1, 16), mins, maxs)
-        for i, (_, mesh) in enumerate(affected):
-            mesh.world_aabb = Aabb(omin[i], omax[i])
+        # keep the stacked world-bounds cache coherent in place: the
+        # per-frame derived state (cull masks, tile caps, crop, DoF
+        # rings, layer bound) calls world_bounds() ~6x per frame, and
+        # re-stacking per-mesh Aabb objects cost ~6 ms/frame host time
+        # on the animated stress bench (r4)
+        wb = self._wb_cache
+        if wb is not None:
+            kpos = wb[3]
+            for i, (key, mesh) in enumerate(affected):
+                mesh.world_aabb = Aabb(omin[i], omax[i])
+                j = kpos.get(key)
+                if j is not None:
+                    wb[0][j] = omin[i]
+                    wb[1][j] = omax[i]
+        else:
+            for i, (_, mesh) in enumerate(affected):
+                mesh.world_aabb = Aabb(omin[i], omax[i])
+
+    _wb_cache = None   # (mins (N,3), maxs (N,3), keys, {key: index})
 
     def world_bounds(self) -> Tuple[np.ndarray, np.ndarray, List[int]]:
-        """(mins, maxs, keys) for vectorized frustum culling."""
+        """(mins, maxs, keys) for vectorized frustum culling. Cached;
+        update_world patches moved rows in place, inserts/removes
+        invalidate (insert_geometry/remove set _wb_cache = None)."""
+        wb = self._wb_cache
+        if wb is not None:
+            return wb[0], wb[1], wb[2]
         keys = list(self._meshes.keys())
         if not keys:
             return np.zeros((0, 3), F), np.zeros((0, 3), F), keys
         mins = np.stack([self._meshes[k].world_aabb.min for k in keys])
         maxs = np.stack([self._meshes[k].world_aabb.max for k in keys])
+        self._wb_cache = (mins, maxs, keys,
+                          {k: i for i, k in enumerate(keys)})
         return mins, maxs, keys
+
+    def world_rows(self) -> np.ndarray:
+        """(N,) mesh-info rows aligned with world_bounds()' keys —
+        vectorizes the per-frame `mask[row_of(k)]` selection loops."""
+        wb = self._wb_cache
+        if wb is not None and len(wb) == 4 and wb[2]:
+            cached = getattr(self, "_wb_rows", None)
+            if cached is not None and cached[0] is wb[2]:
+                return cached[1]
+        _mins, _maxs, keys = self.world_bounds()
+        rows = np.array([self._mesh_alloc.row_of(k) for k in keys], dtype=I)
+        self._wb_rows = (keys, rows)
+        return rows
 
     @property
     def triangle_capacity(self) -> int:

@@ -584,14 +584,19 @@ def glb_many_influences():
 
 
 def glb_helmet():
-    """DamagedHelmet-grade PBR probe: a ~6k-triangle helmet dome with the
+    """DamagedHelmet-grade PBR probe AT REAL ASSET SCALE (r4): a
+    ~51k-triangle helmet dome (Khronos DamagedHelmet is ~15k) with the
     full five-map set — baseColor, metallicRoughness, tangent-space
-    normal, occlusion, emissive — through one PBR material (the texture
-    binding shape of Khronos DamagedHelmet; tangents generated by the
-    pipeline at real mesh scale). Textures are deterministic procedural
-    256x256: riveted metal panels, scratches, an emissive visor band."""
+    normal, occlusion, emissive — as 1024x1024 textures through one PBR
+    material (DamagedHelmet ships 2k^2 maps; 1k^2 keeps the in-process
+    PNG encode tractable while exercising the same mip-chain depth
+    class). The dome is procedurally DENTED (radial displacement with
+    grid-recomputed normals), so the triangle density carries real
+    geometric signal, and tangents are pipeline-generated at full mesh
+    scale. Loader-time budget: see
+    tests/test_gltf.py::test_helmet_loader_time_budget."""
     b = _GlbBuilder()
-    S = 256
+    S = 1024
     yy, xx = np.mgrid[0:S, 0:S].astype(np.float64) / S
 
     # panel grid + scratches
@@ -643,24 +648,44 @@ def glb_helmet():
     emis[..., 3] = 255
 
     # helmet dome: partial sphere (polar cap through the face region),
-    # slightly elongated
-    NLAT, NLON = 40, 80
+    # slightly elongated, at DamagedHelmet-plus density (160x160 grid =
+    # 51,200 triangles vs the Khronos asset's ~15k)
+    NLAT, NLON = 160, 160
     th = np.linspace(0.12 * np.pi, 0.78 * np.pi, NLAT + 1)
     ph = np.linspace(0.0, 2 * np.pi, NLON + 1)
     T, P = np.meshgrid(th, ph, indexing="ij")
-    pos = np.stack([np.sin(T) * np.cos(P),
-                    np.cos(T) * 1.15,
-                    np.sin(T) * np.sin(P)], axis=-1).reshape(-1, 3).astype(F)
+    grid = np.stack([np.sin(T) * np.cos(P),
+                     np.cos(T) * 1.15,
+                     np.sin(T) * np.sin(P)], axis=-1)
+    # procedural battle damage: a few gaussian dents + a soft weld seam
+    # ripple, as RADIAL displacement — real geometric detail the 51k
+    # triangles resolve (DamagedHelmet's silhouette is likewise dented)
+    dents = [((0.35, 1.2), 0.18, 0.06), ((2.4, 1.8), 0.25, 0.08),
+             ((4.6, 0.9), 0.15, 0.05), ((5.5, 2.0), 0.30, 0.04)]
+    disp = np.zeros_like(T)
+    for (p0, t0), w, depth in dents:
+        dp = np.minimum(np.abs(P - p0), 2 * np.pi - np.abs(P - p0))
+        disp -= depth * np.exp(-((dp / w) ** 2 + ((T - t0) / w) ** 2))
+    disp += 0.008 * np.sin(P * 24) * np.sin(T * 18)      # paneling ripple
+    grid = grid * (1.0 + disp)[..., None]
+    pos = grid.reshape(-1, 3).astype(F)
     uvs = np.stack([P / (2 * np.pi), (T - th[0]) / (th[-1] - th[0])],
                    axis=-1).reshape(-1, 2).astype(F)
     nlon1 = NLON + 1
-    idx = []
-    for i in range(NLAT):
-        for j in range(NLON):
-            a = i * nlon1 + j
-            idx += [a, a + 1, a + nlon1, a + 1, a + nlon1 + 1, a + nlon1]
-    idx = np.asarray(idx, np.uint32)
-    normals = (pos / np.linalg.norm(pos, axis=1, keepdims=True)).astype(F)
+    ii = np.arange(NLAT)[:, None] * nlon1 + np.arange(NLON)[None, :]
+    a = ii.reshape(-1)
+    idx = np.stack([a, a + 1, a + nlon1, a + 1, a + nlon1 + 1, a + nlon1],
+                   axis=1).reshape(-1).astype(np.uint32)
+    # grid-exact normals of the DISPLACED surface: cross of the two
+    # parameter-direction tangents (np.gradient over the position grid)
+    du = np.gradient(grid, axis=1)
+    dv = np.gradient(grid, axis=0)
+    nrm_g = np.cross(dv, du)
+    nrm_g /= np.maximum(np.linalg.norm(nrm_g, axis=-1, keepdims=True), 1e-9)
+    # orient outward
+    sgn = np.sign(np.sum(nrm_g * grid, axis=-1, keepdims=True))
+    nrm_g *= np.where(sgn == 0, 1.0, sgn)
+    normals = nrm_g.reshape(-1, 3).astype(F)
 
     imgs = [b.image_png(im) for im in (base, mr, nrm, occ, emis)]
     return b.glb({

@@ -208,16 +208,73 @@ def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
                 has_morphs, skin_sets, needs_clip,
                 col_offset=0, shift_cols=False):
     geo, tri_mesh = _combined_geometry(ds)
-    rows, key = vertex_stage(
-        geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
-        geo["c_uv1"], geo["c_color"], geo["c_joints"], geo["c_weights"],
-        geo["c_morph_base"],
-        ds["morph_deltas"], tri_mesh, ds["mesh_info"],
-        ds["morph_weights"], ds["world"], ds["normal_mat"],
-        ds["joint_matrices"], ds["camera"]["view_proj"], mask,
-        width=rw, height=rh_full, has_morphs=has_morphs,
-        skin_sets=skin_sets, needs_clip=needs_clip,
-    )
+
+    # ---- animated-subset split (r4): morph/skin vertex math costs ~18
+    # per-corner GATHERS over the WHOLE pool (6 morph-delta + 12
+    # joint-matrix fetches, ops/vertex.py) — +33 ms/frame at 262k tris
+    # when only a few thousand triangles are actually animated (the
+    # reference pays per-mesh: its geometry pass binds morph/skin shader
+    # variants per draw, geometry/pipeline.rs). When the renderer ships
+    # the animated triangle set (ds["anim_tri_idx"], pool indices, -1
+    # pads), the POOL runs the plain stage and only the compact subset
+    # pays morphs/skins; its rows overwrite theirs at the same pool
+    # positions, preserving the v5 row-index == id invariant.
+    anim_idx = ds.get("anim_tri_idx") if (has_morphs or skin_sets) else None
+    if anim_idx is not None:
+        rows, key = vertex_stage(
+            geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
+            geo["c_uv1"], geo["c_color"], geo["c_joints"], geo["c_weights"],
+            geo["c_morph_base"],
+            ds["morph_deltas"], tri_mesh, ds["mesh_info"],
+            ds["morph_weights"], ds["world"], ds["normal_mat"],
+            ds["joint_matrices"], ds["camera"]["view_proj"], mask,
+            width=rw, height=rh_full, has_morphs=False,
+            skin_sets=0, needs_clip=needs_clip,
+        )
+        T = tri_mesh.shape[0]
+        safe = jnp.maximum(anim_idx, 0)
+
+        def _cols(a):
+            cdim, t = a.shape
+            gidx = (jnp.arange(cdim, dtype=jnp.int32)[:, None] * t
+                    + safe[None, :])
+            return a.reshape(cdim * t)[gidx.reshape(-1)].reshape(cdim, -1)
+
+        ageo = {n: _cols(geo[n]) for n in _CORNER_NAMES}
+        a_tri = jnp.where(anim_idx >= 0, jnp.take(tri_mesh, safe),
+                          jnp.int32(-1))
+        rows_a, _ = vertex_stage(
+            ageo["c_pos"], ageo["c_norm"], ageo["c_tang"], ageo["c_uv0"],
+            ageo["c_uv1"], ageo["c_color"], ageo["c_joints"],
+            ageo["c_weights"], ageo["c_morph_base"],
+            ds["morph_deltas"], a_tri, ds["mesh_info"],
+            ds["morph_weights"], ds["world"], ds["normal_mat"],
+            ds["joint_matrices"], ds["camera"]["view_proj"], mask,
+            anim_idx,
+            width=rw, height=rh_full, has_morphs=has_morphs,
+            skin_sets=skin_sets, needs_clip=needs_clip,
+        )
+        Nc = anim_idx.shape[0]
+        if needs_clip:
+            # clip doubling: row t is the primary, row T+t the secondary
+            tgt = jnp.concatenate([
+                anim_idx,
+                jnp.where(anim_idx >= 0, T + anim_idx, jnp.int32(-1))])
+        else:
+            tgt = anim_idx
+            rows_a = rows_a[:Nc]
+        rows = rows.at[tgt].set(rows_a, mode="drop")
+    else:
+        rows, key = vertex_stage(
+            geo["c_pos"], geo["c_norm"], geo["c_tang"], geo["c_uv0"],
+            geo["c_uv1"], geo["c_color"], geo["c_joints"], geo["c_weights"],
+            geo["c_morph_base"],
+            ds["morph_deltas"], tri_mesh, ds["mesh_info"],
+            ds["morph_weights"], ds["world"], ds["normal_mat"],
+            ds["joint_matrices"], ds["camera"]["view_proj"], mask,
+            width=rw, height=rh_full, has_morphs=has_morphs,
+            skin_sets=skin_sets, needs_clip=needs_clip,
+        )
     if shift_rows:
         rows = _shift_rows_band(rows, row_offset)
     if shift_cols:

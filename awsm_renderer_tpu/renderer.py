@@ -392,6 +392,11 @@ class AwsmRendererTpu:
     # ---- pass bucketing (reference: renderable.rs collect_renderables) ------
 
     def _mesh_masks(self) -> Dict[str, np.ndarray]:
+        """Frustum cull + pass bucketing, fully vectorized over the
+        cached world-bounds arrays (the per-mesh python loop cost
+        ~3 ms/frame at 237 meshes on the animated bench — reference
+        collect_renderables is an O(meshes) Rust loop, ours must not be
+        an O(meshes) interpreter loop)."""
         cap = self.meshes.mesh_capacity
         opaque = np.zeros(cap, dtype=bool)
         transparent = np.zeros(cap, dtype=bool)
@@ -399,48 +404,52 @@ class AwsmRendererTpu:
         needs_clip = False
         mins, maxs, keys = self.meshes.world_bounds()
         if keys:
+            rows = self.meshes.world_rows()
+            info = self.meshes.mesh_info
             frustum = Frustum(self.camera.view_projection)
             visible = frustum.intersects_aabbs(mins, maxs)
             in_front = frustum.fully_in_front_of_near(mins, maxs)
             needs_clip = bool((~in_front).any())
-            for i, key in enumerate(keys):
-                mesh = self.meshes.get(key)
-                row = self.meshes.row_of(key)
-                # per-renderable failure recovery (SURVEY §5.3; reference
-                # render.rs warns and skips a renderable it cannot draw
-                # rather than killing the frame): bad bounds (NaN world
-                # matrix / degenerate geometry) or dangling store rows
-                # skip THIS mesh with a one-time warning
-                bad = None
-                if not (np.isfinite(mins[i]).all() and np.isfinite(maxs[i]).all()):
-                    bad = "non-finite world bounds"
-                elif not (0 <= self.meshes.mesh_info[row, 1]
-                          < max(self.materials.capacity, 1)):
-                    bad = f"material row {self.meshes.mesh_info[row, 1]} out of range"
-                elif not (0 <= self.meshes.mesh_info[row, 0]
-                          < max(self.transforms.capacity, 1)):
-                    bad = f"transform row {self.meshes.mesh_info[row, 0]} out of range"
-                if bad is not None:
-                    if key not in self._skipped_renderables:
-                        self._skipped_renderables.add(key)
-                        import warnings
+            # per-renderable failure recovery (SURVEY §5.3; reference
+            # render.rs warns and skips a renderable it cannot draw
+            # rather than killing the frame): bad bounds (NaN world
+            # matrix / degenerate geometry) or dangling store rows skip
+            # THAT mesh with a one-time warning
+            finite = (np.isfinite(mins).all(axis=1)
+                      & np.isfinite(maxs).all(axis=1))
+            mat_ok = ((info[rows, 1] >= 0)
+                      & (info[rows, 1] < max(self.materials.capacity, 1)))
+            tf_ok = ((info[rows, 0] >= 0)
+                     & (info[rows, 0] < max(self.transforms.capacity, 1)))
+            ok = finite & mat_ok & tf_ok
+            if not ok.all():
+                import warnings
 
-                        warnings.warn(
-                            f"skipping mesh {key}: {bad} (frame continues "
-                            f"without it)", RuntimeWarning, stacklevel=3)
-                    continue
-                self._skipped_renderables.discard(key)
-                if mesh.hidden:
-                    continue
-                if mesh.hud:
-                    hud[row] = True
-                    continue
-                if not visible[i]:
-                    continue
-                if mesh.transparent:
-                    transparent[row] = True
-                else:
-                    opaque[row] = True
+                for i in np.nonzero(~ok)[0]:
+                    key = keys[i]
+                    if key in self._skipped_renderables:
+                        continue
+                    self._skipped_renderables.add(key)
+                    bad = ("non-finite world bounds" if not finite[i]
+                           else (f"material row {info[rows[i], 1]} out of "
+                                 f"range" if not mat_ok[i]
+                                 else f"transform row {info[rows[i], 0]} "
+                                      f"out of range"))
+                    warnings.warn(
+                        f"skipping mesh {key}: {bad} (frame continues "
+                        f"without it)", RuntimeWarning, stacklevel=3)
+            if self._skipped_renderables:
+                self._skipped_renderables &= {
+                    keys[i] for i in np.nonzero(~ok)[0]}
+            flags = info[rows, 2]
+            hidden = (flags & MESH_FLAG_HIDDEN) != 0
+            hud_f = (flags & MESH_FLAG_HUD) != 0
+            transp = (flags & MESH_FLAG_TRANSPARENT) != 0
+            live = ok & ~hidden
+            hud[rows[live & hud_f]] = True
+            vis_live = live & ~hud_f & visible
+            transparent[rows[vis_live & transp]] = True
+            opaque[rows[vis_live & ~transp]] = True
         return {"opaque": opaque, "transparent": transparent, "hud": hud,
                 "needs_clip": needs_clip}
 
@@ -474,6 +483,39 @@ class AwsmRendererTpu:
         self._mask_cache["ov_tri_idx"] = (mask.copy(), self._mesh_flush_gen, dev)
         return dev
 
+    def _anim_tri_idx(self):
+        """Pool triangle indices of every mesh with morph targets or a
+        skin, pow2-padded with -1 — the animated-subset vertex split
+        (passes/frame.py _run_vertex): morph/skin vertex math gathers
+        scale with the POOL size (+33 ms/frame at 262k tris measured on
+        the r4 animated bench), so only this compact subset pays them,
+        like the reference's per-mesh morph/skin shader variants
+        (geometry/pipeline.rs). None = nothing animated, no device
+        layout yet, or an animated mesh lives in an instanced group
+        (whose corners aren't pool-indexable). Cached per mesh-layout
+        generation — weight/pose changes don't alter the SET."""
+        info = self.meshes.mesh_info
+        anim_rows = np.where((info[:, 3] > 0) | (info[:, 5] > 0))[0]
+        tm = self._tri_mesh_device_order
+        if anim_rows.size == 0 or tm is None:
+            return None
+        if self._inst_tri_mesh and any(
+                np.isin(g, anim_rows).any() for g in self._inst_tri_mesh):
+            return None
+        cached = self._mask_cache.get("anim_tri_idx")
+        if cached is not None and cached[0] == self._mesh_flush_gen:
+            return cached[1]
+        sel = np.where(np.isin(tm, anim_rows))[0].astype(np.int32)
+        if sel.size == 0:
+            dev = None
+        else:
+            cap = max(128, 1 << (int(sel.size) - 1).bit_length())
+            out = np.full(cap, -1, np.int32)
+            out[: sel.size] = sel
+            dev = jnp.asarray(out)
+        self._mask_cache["anim_tri_idx"] = (self._mesh_flush_gen, dev)
+        return dev
+
     def _overlay_crop(self, masks):
         """Screen row band covered by transparent/HUD geometry:
         (y0 row offset, bucketed static band height), or None = full.
@@ -487,8 +529,10 @@ class AwsmRendererTpu:
         mask = masks["transparent"] | masks["hud"]
         rh1 = ((self.config.height + 7) // 8) * 8
         mins, maxs, keys = self.meshes.world_bounds()
-        sel = [i for i, k in enumerate(keys) if mask[self.meshes.row_of(k)]]
-        if not sel:
+        if not keys:
+            return None
+        sel = np.nonzero(mask[self.meshes.world_rows()])[0]
+        if sel.size == 0:
             return None
         mn = mins[sel]
         mx = maxs[sel]
@@ -517,6 +561,65 @@ class AwsmRendererTpu:
         y0q = max(0, min(y0q, rh1 - b))
         return y0q, b
 
+    def _transparent_layer_bound(self, masks):
+        """PROVEN upper bound on per-pixel transparent depth complexity,
+        or None when unprovable: every visible transparent mesh must be
+        a verified-convex resource (core/meshes._is_convex), so it
+        contributes at most 1 front-facing fragment per ray (2 when
+        double-sided); the bound is then the max point-stab of the
+        multiplicity-weighted projected-AABB screen rects (the
+        _bucket_tile_cap 2-D stamp, max instead of popcount). Drives a
+        static clamp of the K-layer peel: peels the bound proves empty
+        (and their runtime skip conds) compile away — on the stress
+        bench the 12-pane glass ring proves depth<=2, halving K=4. This
+        is exact, not approximate: layers beyond the bound cannot
+        receive fragments, so the clamped composite is bit-identical."""
+        mask = masks["transparent"]
+        mins, maxs, keys = self.meshes.world_bounds()
+        if not keys:
+            return None
+        sel = np.nonzero(mask[self.meshes.world_rows()])[0]
+        if sel.size == 0:
+            return None
+        mult = []
+        for i in sel:
+            mesh = self.meshes.get(keys[i])
+            res = self.meshes._resources.get(mesh.resource_key)
+            if res is None or not res.convex:
+                return None
+            mult.append(2 if mesh.double_sided else 1)
+        mn, mx = mins[sel], maxs[sel]
+        corners = np.stack([
+            np.stack([np.where(b & 1, mx[:, 0], mn[:, 0]),
+                      np.where(b & 2, mx[:, 1], mn[:, 1]),
+                      np.where(b & 4, mx[:, 2], mn[:, 2])], axis=-1)
+            for b in range(8)], axis=1)
+        vp = np.asarray(self.camera.view_projection, np.float32)
+        h = corners.reshape(-1, 3)
+        clip = h @ vp[:3, :3].T + vp[:3, 3]
+        w = h @ vp[3, :3] + vp[3, 3]
+        if (w <= 1e-6).any():
+            return None     # near-plane crossing: unbounded screen rect
+        WW = max(self.config.width, 1)
+        HH = max(self.config.height, 1)
+        sx = ((0.5 + 0.5 * clip[:, 0] / w) * WW).reshape(-1, 8)
+        sy = ((0.5 - 0.5 * clip[:, 1] / w) * HH).reshape(-1, 8)
+        # 8px-grid point-stab stamp (1px safety pad); over-counting is
+        # safe (rects only ever EXPAND onto grid cells)
+        gx = max(WW // 8, 1)
+        gy = max(HH // 8, 1)
+        x0 = np.clip(np.floor((sx.min(1) - 1) / 8), 0, gx - 1).astype(int)
+        x1 = np.clip(np.floor((sx.max(1) + 1) / 8), 0, gx - 1).astype(int)
+        y0 = np.clip(np.floor((sy.min(1) - 1) / 8), 0, gy - 1).astype(int)
+        y1 = np.clip(np.floor((sy.max(1) + 1) / 8), 0, gy - 1).astype(int)
+        m = np.asarray(mult, np.int32)
+        acc = np.zeros((gy + 1, gx + 1), np.int32)
+        np.add.at(acc, (y0, x0), m)
+        np.add.at(acc, (y0, x1 + 1), -m)
+        np.add.at(acc, (y1 + 1, x0), -m)
+        np.add.at(acc, (y1 + 1, x1 + 1), m)
+        return int(acc.cumsum(0).cumsum(1)[:-1, :-1].max())
+
     def _bucket_tile_cap(self, masks, bucket: str,
                          tile_h: int = 8, tile_w: int = 128):
         """Upper bound on the (tile_h x tile_w) raster tiles one pass
@@ -542,8 +645,10 @@ class AwsmRendererTpu:
         rh_t = -(-rh1 // tile_h) * tile_h
         n_tiles = (rh_t // tile_h) * (rw1 // tile_w)
         mins, maxs, keys = self.meshes.world_bounds()
-        sel = [i for i, k in enumerate(keys) if mask[self.meshes.row_of(k)]]
-        if not sel:
+        if not keys:
+            return None
+        sel = np.nonzero(mask[self.meshes.world_rows()])[0]
+        if sel.size == 0:
             return None
         mn, mx = mins[sel], maxs[sel]
         corners = np.stack([
@@ -870,12 +975,15 @@ class AwsmRendererTpu:
                 ov_tile_cap = (self._bucket_tile_cap(masks, "transparent",
                                                      tile_h=32, tile_w=32)
                                if has_transparent else None)
+                layer_bound = (self._transparent_layer_bound(masks)
+                               if has_transparent else None)
             else:
                 ov_slot_mask = None
                 ov_ext = None
                 ov_crop = None
                 ov_idx = None
                 ov_tile_cap = None
+                layer_bound = None
             op_rows = self._bucket_mat_rows(masks["opaque"])
             # opaque covered-tile compaction: MSAA path (solid envs fill
             # skipped tiles with the constant; image envs sample sky from
@@ -892,6 +1000,10 @@ class AwsmRendererTpu:
                 masks=masks, has_transparent=has_transparent,
                 has_hud=has_hud, ov_slot_mask=ov_slot_mask, ov_ext=ov_ext,
                 ov_crop=ov_crop, ov_idx=ov_idx, ov_tile_cap=ov_tile_cap,
+                # static K clamp: peels a PROVEN depth-complexity bound
+                # shows empty compile away along with their skip conds
+                n_layers=(min(cfg.max_transparent_layers, layer_bound)
+                          if layer_bound else cfg.max_transparent_layers),
                 op_rows=op_rows, op_tile_cap=op_tile_cap,
                 dof_rings=dof_rings,
                 op_slot_mask=self._slot_mask(op_rows),
@@ -921,7 +1033,7 @@ class AwsmRendererTpu:
             skin_sets=prep["skin_sets"],
             has_transparent=has_transparent,
             has_hud=has_hud,
-            n_transparent_layers=cfg.max_transparent_layers,
+            n_transparent_layers=prep["n_layers"],
             slot_mask=prep["op_slot_mask"],
             solid_env=self.environment.is_solid,
             has_nearest=bool(
@@ -949,6 +1061,14 @@ class AwsmRendererTpu:
             dof_rings=dof_rings,
             smaa=cfg.anti_aliasing.smaa,
         )
+        # animated-subset vertex split: ship the (cached) animated
+        # triangle set; its presence/shape in ds is part of the trace key
+        anim_idx = (self._anim_tri_idx()
+                    if (prep["has_morphs"] or prep["skin_sets"]) else None)
+        if anim_idx is not None:
+            ds["anim_tri_idx"] = anim_idx
+        else:
+            ds.pop("anim_tri_idx", None)
         # host-only hooks (pre/post_render) must not reach the jit static
         # key — swapping them would needlessly retrace the frame
         jit_hooks = hooks

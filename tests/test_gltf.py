@@ -439,3 +439,31 @@ def test_box_animated_moves_over_time(tmp_path):
     img1 = r.render()
     changed = (np.abs(img1 - img0) > 0.05).mean()
     assert changed > 0.01, changed
+
+
+def test_helmet_loader_time_budget(tmp_path):
+    """Real-scale asset probe (r4): glb-helmet is 51,200 triangles with
+    five 1024x1024 maps — DamagedHelmet-plus scale. The FULL load path
+    (GLB parse -> PNG decode x5 -> ensure_tangents at 51k tris ->
+    triangle explosion -> pool insert + texture mip chains) must stay
+    interactive-class. Budget is generous (shared CI boxes); the
+    measured number prints for the record."""
+    import time
+
+    from awsm_renderer_tpu import AwsmRendererTpu, RendererConfig
+    from awsm_renderer_tpu.gltf.loader import load_gltf
+    from awsm_renderer_tpu.gltf.populate import populate_gltf
+    from awsm_renderer_tpu.gltf.samples import SAMPLES
+
+    glb_bytes, _cam = SAMPLES["glb-helmet"]()
+    p = tmp_path / "helmet.glb"
+    p.write_bytes(glb_bytes)
+    r = AwsmRendererTpu(RendererConfig(width=64, height=32))
+    t0 = time.perf_counter()
+    data = load_gltf(str(p))
+    lookups = populate_gltf(r, data)
+    dt = time.perf_counter() - t0
+    tris = int(np.sum(r.meshes.tri_mesh >= 0))
+    assert tris >= 50_000, tris
+    print(f"helmet load+populate: {dt:.2f}s for {tris} tris")
+    assert dt < 60.0, f"loader blew the budget: {dt:.1f}s"

@@ -166,3 +166,75 @@ def test_effect_golden_refraction():
     r.add_mesh(uv_sphere(0.55), glass)
     r.lights.insert(Light.directional([-0.5, -1, -0.3], intensity=2.0))
     _check_tight("effect-refraction", r.render_u8())
+
+
+@pytest.mark.slow
+def test_parity_production_msaa_1024():
+    """Production-scale pin (r4, VERDICT item 4): 1024x512 with the full
+    config-5 machinery — MSAA coverage raster, covered-tile compaction
+    with a real host tile cap, overlay band crop, K-layer transparency,
+    bloom + DoF — at T2 tolerance. The resolution-dependent paths
+    (tile-cap quantization buckets, overlay crop bands, per-subgroup
+    quadrant masks) previously ran only at <=512px in tests; a cap bug
+    that needs production-scale geometry density would reach the bench
+    unseen (VERDICT r3 weak #3)."""
+    Wp, Hp = 1024, 512
+    r = AwsmRendererTpu(RendererConfig(
+        width=Wp, height=Hp,
+        anti_aliasing=AntiAliasing(msaa=True, mipmap=True),
+        post_processing=PostProcessing(
+            tonemapping=ToneMapping.ACES, bloom=True, dof=True)))
+    rng = np.random.default_rng(5)
+    tex = r.textures.add_image(
+        checker_texture(64, 8, (210, 160, 90), (60, 50, 45)), srgb=True)
+    from awsm_renderer_tpu.core.materials import TS_BASE_COLOR, TextureRef
+
+    mats = [r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([*rng.uniform(0.3, 1.0, 3), 1.0], F),
+        metallic_factor=float(rng.uniform(0, 1)),
+        roughness_factor=float(rng.uniform(0.25, 0.9)),
+        textures={TS_BASE_COLOR: TextureRef(r.textures.row_of(tex))}))
+        for _ in range(6)]
+    glass = r.materials.insert(PbrMaterial(
+        base_color_factor=np.array([0.35, 0.6, 0.9, 0.45], F),
+        alpha_mode=AlphaMode.BLEND, roughness_factor=0.1))
+    box_res = r.meshes.insert_resource(box(0.7))
+    sph_res = r.meshes.insert_resource(uv_sphere(0.4, rings=12, sectors=24))
+    for gx in range(-3, 4):
+        for gz in range(-3, 4):
+            res = box_res if (gx + gz) % 2 == 0 else sph_res
+            tk = r.transforms.insert(Transform(translation=np.array(
+                [gx * 1.3, float(rng.uniform(-0.25, 0.25)), gz * 1.3], F)))
+            r.transforms.update_world()
+            r.meshes.insert(res, r.transforms.row_of(tk),
+                            r.materials.row_of(mats[(gx * 7 + gz) % 6]),
+                            tk, mats[(gx * 7 + gz) % 6])
+    pane = r.meshes.insert_resource(box(0.8))
+    for i in range(6):
+        a = 2 * np.pi * i / 6
+        tk = r.transforms.insert(Transform(translation=np.array(
+            [np.cos(a) * 2.6, 0.9, np.sin(a) * 2.6], F)))
+        r.transforms.update_world()
+        r.meshes.insert(pane, r.transforms.row_of(tk),
+                        r.materials.row_of(glass), tk, glass,
+                        transparent=True)
+    r.meshes.update_world(r.transforms)
+    r.lights.insert(Light.directional([-0.5, -1, -0.3], intensity=2.0))
+    r.lights.insert(Light.point([3, 2, 3], intensity=8.0, range=12.0))
+    view = m3.look_at([6, 4.2, 6], [0, 0, 0], [0, 1, 0])
+    proj = m3.perspective(np.pi / 3, Wp / Hp, 0.1, 120.0)
+    r.camera.update(view, proj)
+    r.camera.dof.focus_distance = 9.0
+    r.camera.dof.aperture = 1.0
+
+    # the resolution-dependent machinery must actually ENGAGE
+    masks = r._mesh_masks()
+    assert r._bucket_tile_cap(masks, "opaque") is not None, (
+        "opaque tile cap declined — scene not production-shaped")
+    assert r._bucket_tile_cap(masks, "transparent",
+                              tile_h=32, tile_w=32) is not None
+    img = r.render_u8()
+    _check_tight("parity-production-msaa-1024", img)
+    # dense coverage: most of the frame is geometry, some sky remains
+    cov = (np.abs(np.diff(img[..., 1].astype(np.int16), axis=0)) > 6).mean()
+    assert cov > 0.02

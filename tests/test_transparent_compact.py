@@ -128,3 +128,96 @@ def test_overlay_tile_cap_bound_is_safe():
     assert covered > 0
     if cap is not None:
         assert cap >= covered
+
+
+class TestStaticLayerClamp:
+    """r4: provable static K clamp — verified-convex transparent meshes
+    bound per-pixel depth complexity via a multiplicity-weighted
+    rect-stab, and peels beyond the bound compile away (exact)."""
+
+    def test_is_convex_classifier(self):
+        from awsm_renderer_tpu.core.meshes import _is_convex
+        from awsm_renderer_tpu.geometry import box, uv_sphere
+
+        g = box(1.0)
+        assert _is_convex(g.positions, g.indices)
+        s = uv_sphere(0.5)
+        assert _is_convex(s.positions, s.indices)
+        # concave L-shape: two boxes sharing a face region
+        b1 = box(1.0)
+        b2 = box(1.0)
+        p2 = b2.positions + np.array([0.9, 0.9, 0.0], np.float32)
+        pos = np.concatenate([b1.positions, p2])
+        idx = np.concatenate([b1.indices, b2.indices + b1.positions.shape[0]])
+        assert not _is_convex(pos, idx)
+
+    def _scene(self, offsets):
+        import awsm_renderer_tpu.renderer as rmod
+        from awsm_renderer_tpu import (
+            AwsmRendererTpu, Light, PbrMaterial, PostProcessing,
+            RendererConfig, Transform,
+        )
+        from awsm_renderer_tpu.config import ToneMapping
+        from awsm_renderer_tpu.core.materials import AlphaMode
+        from awsm_renderer_tpu.geometry import box
+        from awsm_renderer_tpu.utils import math3d as m3
+
+        r = AwsmRendererTpu(RendererConfig(
+            width=128, height=64,
+            post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+        opaque = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.6, 0.5, 0.4, 1], np.float32)))
+        glass = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.3, 0.5, 0.9, 0.4], np.float32),
+            alpha_mode=AlphaMode.BLEND, roughness_factor=0.2))
+        r.add_mesh(box(0.5), opaque, Transform(
+            translation=np.array([0, 0, -1.0], np.float32)))
+        for off in offsets:
+            r.add_mesh(box(0.4), glass, Transform(
+                translation=np.asarray(off, np.float32)))
+        r.lights.insert(Light.directional([-0.5, -1, -0.3], intensity=2.0))
+        view = m3.look_at([0, 0.4, 3.0], [0, 0, 0], [0, 1, 0])
+        r.camera.update(view, m3.perspective(np.pi / 3, 2.0, 0.1, 50.0))
+        return r
+
+    def test_bound_separated_vs_stacked(self):
+        r = self._scene([(-0.9, 0, 0), (0.9, 0, 0)])
+        masks = r._mesh_masks()
+        assert r._transparent_layer_bound(masks) == 1
+        r2 = self._scene([(0, 0, 0.3), (0.05, 0.02, 0.9), (0.03, 0, 1.4)])
+        masks2 = r2._mesh_masks()
+        assert r2._transparent_layer_bound(masks2) == 3
+
+    def test_clamped_equals_full_k(self):
+        img_clamped = self._scene([(-0.9, 0, 0), (0.9, 0, 0)])
+        rc = img_clamped
+        img_c = rc.render()
+        assert rc._prep_cache[1]["n_layers"] == 1   # clamp engaged
+        rf = self._scene([(-0.9, 0, 0), (0.9, 0, 0)])
+        rf._transparent_layer_bound = lambda masks: None   # force full K
+        img_f = rf.render()
+        assert rf._prep_cache[1]["n_layers"] == \
+            rf.config.max_transparent_layers
+        np.testing.assert_allclose(img_c, img_f, atol=1e-6)
+
+    def test_nonconvex_or_morphed_disables_clamp(self):
+        from awsm_renderer_tpu.core.meshes import MeshGeometry
+        from awsm_renderer_tpu import PbrMaterial, Transform
+        from awsm_renderer_tpu.core.materials import AlphaMode
+        from awsm_renderer_tpu.geometry import box
+
+        r = self._scene([(-0.9, 0, 0)])
+        # a transparent mesh with a morph target: proof must decline
+        g = box(0.3)
+        V = g.positions.shape[0]
+        glass2 = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.9, 0.4, 0.4, 0.5], np.float32),
+            alpha_mode=AlphaMode.BLEND))
+        geo = MeshGeometry(
+            positions=g.positions, indices=g.indices, normals=g.normals,
+            morph_positions=(g.positions * 0.2).reshape(1, V, 3),
+            morph_normals=np.zeros((1, V, 3), np.float32))
+        r.add_mesh(geo, glass2, Transform(
+            translation=np.array([0.9, 0, 0], np.float32)))
+        masks = r._mesh_masks()
+        assert r._transparent_layer_bound(masks) is None
