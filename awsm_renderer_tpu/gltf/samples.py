@@ -1349,8 +1349,39 @@ def glb_morph_stress():
     }), ((0.0, 0.7, 2.6), (0.0, 0.0, 0.0))
 
 
+def glb_non_indexed():
+    """TriangleWithoutIndices/VertexColorTest-class: a NON-INDEXED
+    primitive (no `indices` accessor — glTF 2.0 §3.7.2.1 independent
+    triangles) carrying a normalized-u8 COLOR_0 attribute. Probes the
+    loader's implicit-index triangulation and vertex-color modulation
+    in one asset."""
+    b = _GlbBuilder()
+    # two triangles forming a quad, written OUT-OF-ORDER as raw corners
+    pos = np.array([
+        [-0.6, -0.4, 0], [0.6, -0.4, 0], [0.6, 0.4, 0],      # tri 0
+        [-0.6, -0.4, 0], [0.6, 0.4, 0], [-0.6, 0.4, 0],      # tri 1
+    ], F)
+    col = np.array([
+        [255, 40, 40, 255], [40, 255, 40, 255], [40, 40, 255, 255],
+        [255, 40, 40, 255], [40, 40, 255, 255], [255, 255, 40, 255],
+    ], np.uint8)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {
+                "POSITION": b.acc(pos, minmax=True),
+                "COLOR_0": b.acc(col, normalized=True)},
+            "material": 0}]}],   # NO indices key
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+            "roughnessFactor": 0.9}}],
+    }), ((0.0, 0.15, 1.7), (0.0, 0.0, 0.0))
+
+
 SAMPLES = {
     "glb-fox": glb_fox,
+    "glb-non-indexed": glb_non_indexed,
     "glb-recursive-skeletons": glb_recursive_skeletons,
     "glb-orientation": glb_orientation,
     "glb-texture-settings": glb_texture_settings,

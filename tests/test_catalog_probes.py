@@ -197,3 +197,20 @@ class TestMorphStress:
         img1 = r.render()
         assert np.isfinite(img1).all()
         assert np.abs(img1 - img0).max() > 0.05         # visibly morphs
+
+
+class TestNonIndexed:
+    def test_non_indexed_primitive_loads_with_vertex_colors(self, tmp_path):
+        r, lookups = _load("glb-non-indexed", tmp_path)
+        mk = lookups.node_meshes[0][0]
+        assert r.meshes.get(mk).t_count == 2      # V/3 implicit triangles
+        img = r.render()
+        assert np.isfinite(img).all()
+        H2, W2 = img.shape[0] // 2, img.shape[1] // 2
+        # vertex colors tint the quad horizontally: left edge blends
+        # red+yellow (r dominant), right edge green+blue (r weakest)
+        left = img[H2, int(W2 * 0.75), :3]
+        right = img[H2, int(W2 * 1.25), :3]
+        assert left[0] > left[2] + 0.05, f"left should lean red: {left}"
+        assert right[0] + 0.05 < max(right[1], right[2]), (
+            f"right should lean green/blue: {right}")
