@@ -135,7 +135,7 @@ def _one_light(row, active, n_pos, n, v, base_diffuse, f0, alpha_rough,
 
 
 def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
-                     light_tiles: bool = False):
+                     light_tiles: bool = False, valid=None):
     """Accumulate punctual lighting (reference: lighting/lights.wgsl loop).
 
     Channel-column form: n_pos/n/v/base_diffuse/f0 are channel lists.
@@ -144,7 +144,7 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
     (passes/light_culling.py design — the pass the reference stubbed)."""
     if light_tiles:
         return _punctual_lights_tiled(
-            ds, n_pos, n, v, base_diffuse, f0, alpha_rough)
+            ds, n_pos, n, v, base_diffuse, f0, alpha_rough, valid=valid)
     lights = ds["lights"]
     n_lights = ds["n_lights"]
     n_dot_v = jnp.maximum(dot3(n, v), _EPS)
@@ -156,7 +156,8 @@ def _punctual_lights(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
     return total
 
 
-def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
+def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
+                           valid=None):
     """Tiled-light-list punctual accumulation — the real implementation
     of the pass the reference left as a stub (light_culling/
     render_pass.rs:30-34 `// TODO!`; docs/ROADMAP.md:24-33 sketches
@@ -192,8 +193,19 @@ def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough):
     n_units = P // U
 
     pos_u = [p.reshape(n_units, U) for p in n_pos]
-    mn = [jnp.min(p, axis=1) for p in pos_u]          # (n_units,)
-    mx = [jnp.max(p, axis=1) for p in pos_u]
+    if valid is not None:
+        # miss pixels carry far-plane/zero positions that inflate the
+        # unit AABB to the whole frustum depth — with them included the
+        # 64-light probe listed nearly every light per unit (r4 measured
+        # only a 1.11x win over the dense loop). Covered-only bounds
+        # stay exact: every shaded pixel is still inside its unit's box.
+        v_u = valid.reshape(n_units, U)
+        big = jnp.float32(3e38)
+        mn = [jnp.min(jnp.where(v_u, p, big), axis=1) for p in pos_u]
+        mx = [jnp.max(jnp.where(v_u, p, -big), axis=1) for p in pos_u]
+    else:
+        mn = [jnp.min(p, axis=1) for p in pos_u]      # (n_units,)
+        mx = [jnp.max(p, axis=1) for p in pos_u]
 
     kind = lights[:, L_KIND]                          # (L,)
     lrange = lights[:, L_RANGE]
@@ -774,7 +786,8 @@ def shade_surface(
 
     # ---- punctual + IBL -------------------------------------------------------
     direct = _punctual_lights(ds, world_pos, n_final, v, c_diff, f0,
-                              alpha_rough, light_tiles=light_tiles)
+                              alpha_rough, light_tiles=light_tiles,
+                              valid=~miss)
 
     n_dot_v = jnp.maximum(dot3(n_final, v), _EPS)
 
