@@ -319,6 +319,13 @@ class Animations:
                 if src is not None:
                     src.playing = False
                     src.weight = 1.0
+                    # rewind: a stopped player with time != 0 stays in
+                    # the active set (holding a finished ONCE pose) and
+                    # would keep contributing at full weight — after a
+                    # fade INTO an earlier-inserted clip the last-writer
+                    # tie-break would then snap back to the faded-OUT
+                    # pose (r4 review finding)
+                    src.time = 0.0
                 if dst is not None:
                     dst.weight = 1.0
                 self._fades.remove(fade)

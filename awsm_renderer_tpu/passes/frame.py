@@ -255,13 +255,19 @@ def _run_vertex(ds, mask, *, rw, rh_full, row_offset, shift_rows,
             skin_sets=skin_sets, needs_clip=needs_clip,
         )
         Nc = anim_idx.shape[0]
+        # pad sentinel must be OUT-OF-RANGE POSITIVE: JAX wraps negative
+        # scatter indices BEFORE the drop-mode bounds check (verified:
+        # .at[[-1]].set(..., mode="drop") writes the LAST element), so a
+        # -1 pad would clobber the last pool row. 2*T is OOB for both
+        # the T-row (no-clip) and 2*T-row (clip-doubled) layouts.
+        oob = jnp.int32(2 * T)
         if needs_clip:
             # clip doubling: row t is the primary, row T+t the secondary
             tgt = jnp.concatenate([
-                anim_idx,
-                jnp.where(anim_idx >= 0, T + anim_idx, jnp.int32(-1))])
+                jnp.where(anim_idx >= 0, anim_idx, oob),
+                jnp.where(anim_idx >= 0, T + anim_idx, oob)])
         else:
-            tgt = anim_idx
+            tgt = jnp.where(anim_idx >= 0, anim_idx, oob)
             rows_a = rows_a[:Nc]
         rows = rows.at[tgt].set(rows_a, mode="drop")
     else:
@@ -628,7 +634,7 @@ def _frame_band(
         skin_sets=skin_sets, slot_mask=slot_mask, solid_env=solid_env,
         debug_mode=debug_mode, interpret=interpret, hooks=hooks,
         has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
-        has_uv1=has_uv1, has_color=has_color,
+        has_uv1=has_uv1, has_color=has_color, light_tiles=light_tiles,
     )
     hdr_ch, tri_id = _overlay_band(
         hdr_ch, tri_id, depth, ds, transparent_mask, hud_mask,
@@ -641,6 +647,7 @@ def _frame_band(
         slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
         hooks=hooks, has_nearest=has_nearest, needs_clip=needs_clip,
         ext=ext, has_uv1=has_uv1, has_color=has_color,
+        light_tiles=light_tiles,
         overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
     )
     return hdr_ch, tri_id, depth
@@ -985,7 +992,7 @@ def render_frame(
         n_transparent_layers=n_transparent_layers, slot_mask=slot_mask,
         solid_env=solid_env, interpret=interpret, hooks=hooks,
         has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
-        has_uv1=has_uv1, has_color=has_color,
+        has_uv1=has_uv1, has_color=has_color, light_tiles=light_tiles,
         overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
         crop_y0=overlay_crop_y0, crop_h=overlay_crop_h,
         ov_tri_idx=overlay_tri_idx, tile_cap=overlay_tile_cap,

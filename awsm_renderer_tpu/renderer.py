@@ -494,17 +494,19 @@ class AwsmRendererTpu:
         layout yet, or an animated mesh lives in an instanced group
         (whose corners aren't pool-indexable). Cached per mesh-layout
         generation — weight/pose changes don't alter the SET."""
+        cached = self._mask_cache.get("anim_tri_idx")
+        if cached is not None and cached[0] == self._mesh_flush_gen:
+            return cached[1]
         info = self.meshes.mesh_info
         anim_rows = np.where((info[:, 3] > 0) | (info[:, 5] > 0))[0]
         tm = self._tri_mesh_device_order
         if anim_rows.size == 0 or tm is None:
+            self._mask_cache["anim_tri_idx"] = (self._mesh_flush_gen, None)
             return None
         if self._inst_tri_mesh and any(
                 np.isin(g, anim_rows).any() for g in self._inst_tri_mesh):
+            self._mask_cache["anim_tri_idx"] = (self._mesh_flush_gen, None)
             return None
-        cached = self._mask_cache.get("anim_tri_idx")
-        if cached is not None and cached[0] == self._mesh_flush_gen:
-            return cached[1]
         sel = np.where(np.isin(tm, anim_rows))[0].astype(np.int32)
         if sel.size == 0:
             dev = None
@@ -799,8 +801,7 @@ class AwsmRendererTpu:
         mins, maxs, keys = self.meshes.world_bounds()
         if masks is not None and len(mins):
             vis = masks["opaque"] | masks["transparent"] | masks["hud"]
-            sel = [i for i, k in enumerate(keys)
-                   if vis[self.meshes.row_of(k)]]
+            sel = np.nonzero(vis[self.meshes.world_rows()])[0]
             mins, maxs = mins[sel], maxs[sel]
         if len(mins):
             # exact min VIEW depth (what linearize_depth returns), not the
@@ -1099,6 +1100,10 @@ class AwsmRendererTpu:
         self.timings.end_frame()
         self._last_tri_id = tri_id
         self._rendered_sig = prep_key   # pick-staleness epoch
+        # pick()'s staleness re-render must reproduce THIS frame's
+        # configuration — a hookless re-render would pick against a
+        # frame the app never displayed (r4 review finding)
+        self._last_render_call = (debug_mode, hooks)
         if hooks is not None and getattr(hooks, "post_render", None):
             hooks.post_render(self)  # host hook, after the dispatch
         return ldr
@@ -1132,7 +1137,8 @@ class AwsmRendererTpu:
                 != self._scene_signature()):
             if self.meshes.count == 0:
                 return None
-            self.render_device()
+            dm, hk = getattr(self, "_last_render_call", ("none", None))
+            self.render_device(debug_mode=dm, hooks=hk)
         h, w = self._last_tri_id.shape
         if not (0 <= x < w and 0 <= y < h):
             return None

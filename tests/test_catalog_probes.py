@@ -91,6 +91,29 @@ class TestFox:
         assert lo < abs(x_half) < hi     # midpoint strictly between
         assert abs(x_run) > abs(x_survey) * 2
 
+    def test_crossfade_back_to_earlier_clip(self, tmp_path):
+        """Regression (r4 review): fading INTO an earlier-inserted clip
+        must end on the DESTINATION pose — the stopped source used to
+        stay in the active set at weight 1 and win the full-weight
+        last-writer tie-break, snapping back to its frozen pose."""
+        r, lookups = _load("glb-fox", tmp_path)
+        keys = lookups.animation_players
+        players = [r.animations.get(k) for k in keys]
+        for i, p in enumerate(players):
+            p.playing = i == 2           # start on Run (inserted LAST)
+        r.update_all(1.0)                # Run at its bend peak
+        for p in players:
+            p.speed = 0.0                # freeze clip time
+        x_run = self._tip_x(r, lookups)
+        r.animations.crossfade(keys[2], keys[0], duration=0.5)  # -> Survey
+        players[0].time = 1.0            # Survey at its (smaller) peak
+        r.update_all(0.6)                # fade complete
+        r.update_all(0.1)                # one more frame: must HOLD Survey
+        x_end = self._tip_x(r, lookups)
+        assert not players[2].playing
+        assert abs(x_end) < abs(x_run) * 0.5, (
+            f"ended on the faded-out Run pose: {x_end} vs run {x_run}")
+
 
 class TestRecursiveSkeletons:
     def test_deep_chain_propagates_to_tip(self, tmp_path):

@@ -244,3 +244,70 @@ def test_animated_subset_vertex_split_is_exact():
         list(r3.meshes._meshes)[1], np.array([0.0], np.float32))
     img_zero = r3.render()
     assert np.abs(img_split - img_zero).max() > 0.05
+
+
+def test_animated_split_pads_do_not_clobber_last_pool_row():
+    """Regression (r4 review): JAX wraps negative scatter indices BEFORE
+    the drop-mode bounds check, so the animated-subset overwrite's -1
+    pads would silently clobber the LAST pool setup row whenever the
+    device pool has no dead tail. Build exactly that pool shape — every
+    mesh 16 triangles (the raster group size) filling the pool bucket —
+    and assert the last mesh still renders identically to the
+    global-path frame."""
+    from awsm_renderer_tpu.core.meshes import MeshGeometry
+
+    def strip16(z=0.0):
+        # 8-quad strip = 16 triangles, spanning x in [-1, 1]
+        xs = np.linspace(-1.0, 1.0, 9, dtype=np.float32)
+        pos = np.array([[x, y, z] for x in xs for y in (-0.12, 0.12)],
+                       np.float32)
+        idx = []
+        for i in range(8):
+            v = i * 2
+            idx += [v, v + 2, v + 3, v, v + 3, v + 1]
+        return pos, np.asarray(idx, np.int32)
+
+    def build():
+        import functools
+
+        from awsm_renderer_tpu.core.meshes import Meshes
+
+        r = make_renderer()
+        # 16-row upload bucket: the device pool then holds EXACTLY the
+        # live grouped rows with no dead tail (the default 32k bucket
+        # pads small scenes with dead rows that masked the wrap)
+        r.meshes.device_updates = functools.partial(
+            Meshes.device_updates, r.meshes, bucket=16)
+        mat = r.materials.insert(PbrMaterial(
+            base_color_factor=np.array([0.8, 0.3, 0.2, 1], np.float32)))
+        # animated (morphing) strip FIRST, then static strips; the LAST
+        # mesh occupies the final pool rows that a wrapped -1 would hit
+        pos, idx = strip16()
+        V = pos.shape[0]
+        geo = MeshGeometry(
+            positions=pos, indices=idx,
+            morph_positions=np.tile(np.array([0, 0.1, 0], np.float32),
+                                    (1, V, 1)),
+            morph_normals=np.zeros((1, V, 3), np.float32))
+        r.add_mesh(geo, mat, Transform(
+            translation=np.array([0, 0.45, 0], np.float32)),
+            initial_morph_weights=np.array([1.0], np.float32))
+        for y in (0.15, -0.15, -0.45):
+            p2, i2 = strip16()
+            r.add_mesh(MeshGeometry(positions=p2, indices=i2), mat,
+                       Transform(translation=np.array([0, y, 0],
+                                                      np.float32)))
+        r.lights.insert(Light.directional([-0.3, -1, -0.4], intensity=2.0))
+        return r
+
+    r1 = build()
+    img_split = r1.render()
+    assert "anim_tri_idx" in r1._device
+    # the pool really has no dead tail: every row is live
+    import numpy as _np
+    assert (_np.asarray(r1._tri_mesh_device_order) >= 0).all(), \
+        "scene must fill the pool bucket exactly to exercise the bug"
+    r2 = build()
+    r2._anim_tri_idx = lambda: None
+    img_global = r2.render()
+    np.testing.assert_allclose(img_split, img_global, atol=1e-6)
