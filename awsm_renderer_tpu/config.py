@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class ToneMapping(enum.Enum):
@@ -60,6 +60,9 @@ class RendererConfig:
     # capacity knobs (recompile triggers when stores outgrow them; the
     # scene rounds these up in powers of two, mirroring buffer doubling)
     max_transparent_layers: int = 4  # K-buffer depth for the forward pass
+    # tiled light lists (passes/light_culling.py): None = auto-engage
+    # when lights.count > 8; True/False force the tiled/dense loop
+    light_tiles: Optional[bool] = None
     # internal compute dtype for shading; textures/geometry stay f32
     dtype: str = "float32"
 

@@ -341,15 +341,27 @@ class Animations:
             self._build_native_tables()
         nt = self._native_tables
         used_native = False
-        # sampled contributions keyed by target: blended before applying
+        # sampled contributions keyed by target: blended before applying.
+        # Each entry carries its (player insertion index, channel index)
+        # so the full-weight "last writer wins" tie-break follows player
+        # insertion order — matching the reference's in-order channel
+        # application (animations.rs update_animations) — regardless of
+        # whether the entry arrived via the native table or the python
+        # (cubic-spline) sampling path (r4 advisor finding: stash order
+        # was native-first, so a cubic clip always won the tie).
         contrib: Dict[tuple, list] = {}
+        _order = {}
+        for pi, p in enumerate(self._players.values()):
+            for ci, c in enumerate(p.clip.channels):
+                _order[(id(p), id(c))] = (pi, ci)
 
         def _stash(player, ch, v):
             if ch.path == TargetPath.WEIGHTS:
                 key = ("w", ch.mesh_key, ch.path)
             else:
                 key = ("t", ch.transform_key, ch.path)
-            contrib.setdefault(key, []).append((ch, v, player.weight))
+            contrib.setdefault(key, []).append(
+                (ch, v, player.weight, _order[(id(player), id(ch))]))
 
         if nt["entries"]:
             t = np.asarray([p.time for p, _, _ in nt["entries"]], np.float32)
@@ -378,14 +390,15 @@ class Animations:
             ch = entries[0][0]
             if len(entries) == 1:
                 self._apply(ch, entries[0][1], transforms, meshes)
-            elif all(w == 1.0 for _, _, w in entries):
+            elif all(w == 1.0 for _, _, w, _ in entries):
                 # several full-weight clips on one target: sequential
-                # overwrite, last writer wins — the reference applies
-                # channels in order (animations.rs update_animations),
-                # so this is exact parity outside a crossfade
-                self._apply(entries[-1][0], entries[-1][1],
-                            transforms, meshes)
+                # overwrite, last writer wins BY PLAYER/CHANNEL
+                # INSERTION ORDER — the reference applies channels in
+                # order (animations.rs update_animations), so this is
+                # exact parity outside a crossfade
+                last = max(entries, key=lambda e: e[3])
+                self._apply(last[0], last[1], transforms, meshes)
             else:
-                v = self._blend([(v, w) for _, v, w in entries],
+                v = self._blend([(v, w) for _, v, w, _ in entries],
                                 is_rotation=(ch.path == TargetPath.ROTATION))
                 self._apply(ch, v, transforms, meshes)

@@ -35,6 +35,14 @@ from .bounds import Aabb
 F = np.float32
 I = np.int32
 
+
+def _ro_view(a: np.ndarray) -> np.ndarray:
+    """Read-only view: callers of world_bounds() must not (and now
+    cannot) mutate the live cache that update_world patches in place."""
+    v = a.view()
+    v.flags.writeable = False
+    return v
+
 # mesh_info i32 columns (device-side per-mesh meta, analog of MeshMeta:
 # reference meshes/meta.rs GeometryMeshMeta + MaterialMeshMeta)
 MI_TRANSFORM_ROW = 0
@@ -679,10 +687,15 @@ class Meshes:
     def world_bounds(self) -> Tuple[np.ndarray, np.ndarray, List[int]]:
         """(mins, maxs, keys) for vectorized frustum culling. Cached;
         update_world patches moved rows in place, inserts/removes
-        invalidate (insert_geometry/remove set _wb_cache = None)."""
+        invalidate (insert_geometry/remove set _wb_cache = None).
+
+        The returned arrays are READ-ONLY VIEWS of the live cache:
+        update_world mutates the backing store in place each frame, so a
+        caller that needs a stable snapshot across frames must .copy().
+        """
         wb = self._wb_cache
         if wb is not None:
-            return wb[0], wb[1], wb[2]
+            return _ro_view(wb[0]), _ro_view(wb[1]), wb[2]
         keys = list(self._meshes.keys())
         if not keys:
             return np.zeros((0, 3), F), np.zeros((0, 3), F), keys
@@ -690,7 +703,7 @@ class Meshes:
         maxs = np.stack([self._meshes[k].world_aabb.max for k in keys])
         self._wb_cache = (mins, maxs, keys,
                           {k: i for i, k in enumerate(keys)})
-        return mins, maxs, keys
+        return _ro_view(mins), _ro_view(maxs), keys
 
     def world_rows(self) -> np.ndarray:
         """(N,) mesh-info rows aligned with world_bounds()' keys —

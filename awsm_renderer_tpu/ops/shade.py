@@ -168,21 +168,24 @@ def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
       space AND in the strip/tile-compacted space
     - per unit: world AABB of its pixels' positions (two reduces per
       axis; miss pixels only inflate the box — conservative)
-    - overlap matrix (n_units, L): sphere-vs-AABB per light; directional
-      / infinite-range lights always overlap; spot cones conservatively
-      treated as point spheres (exact — excluded lights contribute 0 by
-      the range window, lights.wgsl)
-    - top_k by (overlap * priority) -> per-unit list of
-      MAX_LIGHTS_PER_TILE light rows (build_bins pattern)
+    - overlap + priority via passes/light_culling.py
+      `light_lists_from_bounds` (shared with the standalone pass
+      interface): sphere-vs-AABB geometric test; priority = estimated
+      contribution (intensity / (1 + d²) for positional lights), so
+      overflow drops the FAINTEST lights per unit, not the
+      latest-inserted
     - the shading loop runs the LIST length with per-unit (n_units, 1)
       light params broadcasting against (n_units, 128) pixels —
       O(pixels x K) ALU instead of O(pixels x light capacity).
 
     Exact vs the dense loop whenever <= MAX_LIGHTS_PER_TILE lights
     genuinely reach any one unit (tests/test_hooks_lightcull.py);
-    beyond that the dimmest-priority lights drop per unit, the standard
-    tiled-deferred contract."""
-    from ..passes.light_culling import MAX_LIGHTS_PER_TILE
+    beyond that the estimated-faintest lights drop per unit, the
+    standard tiled-deferred contract. Force the dense loop with
+    RendererConfig.light_tiles = False."""
+    from ..passes.light_culling import (
+        MAX_LIGHTS_PER_TILE, light_lists_from_bounds,
+    )
 
     lights = ds["lights"]           # (L, 16)
     n_lights = ds["n_lights"]
@@ -207,22 +210,7 @@ def _punctual_lights_tiled(ds, n_pos, n, v, base_diffuse, f0, alpha_rough,
         mn = [jnp.min(p, axis=1) for p in pos_u]      # (n_units,)
         mx = [jnp.max(p, axis=1) for p in pos_u]
 
-    kind = lights[:, L_KIND]                          # (L,)
-    lrange = lights[:, L_RANGE]
-    always = (kind == 0.0) | (lrange <= 0.0)
-    # squared distance from each light center to each unit AABB
-    d2 = jnp.zeros((n_units, L), jnp.float32)
-    for a in range(3):
-        c = lights[None, :, L_POSITION + a]           # (1, L)
-        dd = jnp.maximum(mn[a][:, None] - c, 0.0) + jnp.maximum(
-            c - mx[a][:, None], 0.0)
-        d2 = d2 + dd * dd
-    li = jnp.arange(L, dtype=jnp.int32)
-    live = li[None, :] < n_lights
-    overlap = (always[None, :] | (d2 <= (lrange * lrange)[None, :])) & live
-    score = jnp.where(overlap, L - li[None, :], 0)    # stable priority
-    _vals, lidx = jax.lax.top_k(score, K)             # (n_units, K)
-    valid = _vals > 0
+    lidx, valid = light_lists_from_bounds(mn, mx, lights, n_lights, K)
 
     n_dot_v = jnp.maximum(dot3(n, v), _EPS)
     shp = [x.reshape(n_units, U) for x in (n_dot_v, alpha_rough)]

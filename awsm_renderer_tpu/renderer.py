@@ -385,7 +385,9 @@ class AwsmRendererTpu:
             self.skins.gpu_dirty = False
 
         if self.camera.gpu_dirty or "camera" not in d:
-            d["camera"] = {k: jnp.asarray(v) for k, v in self.camera.packed().items()}
+            d["camera"] = {
+                k: jnp.asarray(v) for k, v in self.camera.packed(
+                    viewport=(self.config.width, self.config.height)).items()}
             self.camera.gpu_dirty = False
         return d
 
@@ -1053,9 +1055,12 @@ class AwsmRendererTpu:
             # tiled light lists (the pass the reference stubbed) engage
             # once the dense capacity loop would dominate: per-128-px
             # units shade only the lights whose sphere reaches them.
-            # _force_dense_lights is a bench/test escape hatch.
-            light_tiles=(self.lights.count > 8
-                         and not getattr(self, "_force_dense_lights", False)),
+            # cfg.light_tiles overrides the auto rule (None = auto);
+            # _force_dense_lights is a legacy bench/test escape hatch.
+            light_tiles=(cfg.light_tiles if cfg.light_tiles is not None
+                         else (self.lights.count > 8
+                               and not getattr(self, "_force_dense_lights",
+                                               False))),
             debug_mode=debug_mode,
             bloom=cfg.post_processing.bloom,
             dof=cfg.post_processing.dof,
@@ -1131,13 +1136,24 @@ class AwsmRendererTpu:
         camera or config changed since (tracked by _scene_signature),
         the plane is STALE — re-render device-side first instead of
         returning a stale (or missing) result. Cost on a clean scene is
-        unchanged: one signature compare."""
+        unchanged: one signature compare.
+
+        The refresh replays the last render's JIT-VISIBLE hooks (they
+        are frame content — a hookless re-render would pick against a
+        frame the app never displayed) but strips the host-side
+        pre/post_render callbacks: a nominally read-only pick must not
+        fire user host side effects (r4 advisor finding)."""
         if (self._last_tri_id is None
                 or getattr(self, "_rendered_sig", None)
                 != self._scene_signature()):
             if self.meshes.count == 0:
                 return None
             dm, hk = getattr(self, "_last_render_call", ("none", None))
+            if hk is not None and (getattr(hk, "pre_render", None)
+                                   or getattr(hk, "post_render", None)):
+                import dataclasses as _dc
+
+                hk = _dc.replace(hk, pre_render=None, post_render=None)
             self.render_device(debug_mode=dm, hooks=hk)
         h, w = self._last_tri_id.shape
         if not (0 <= x < w and 0 <= y < h):

@@ -38,13 +38,74 @@ def test_hooks_fire_in_order():
     assert img2[H // 2, W // 2, 1] < 0.1
 
 
-def test_light_culling_stub_interface():
-    lights = jnp.zeros((8, 16), jnp.float32)
-    depth = jnp.ones((H, W), jnp.float32)
-    lists, counts = cull_lights(lights, jnp.int32(3), depth, width=W, height=H)
-    n_tiles = (H // 8) * (W // 128)
-    assert lists.shape == (n_tiles, min(MAX_LIGHTS_PER_TILE, 8))
-    assert int(counts[0]) == 3
+class TestStandaloneCull:
+    """Standalone `cull_lights` computes REAL per-tile lists from the
+    depth plane (r4 shipped a broadcast stub here; the geometric test
+    lived only inside shading). Shares `light_lists_from_bounds` with
+    the in-shade path, so the sphere-vs-AABB test and the contribution
+    priority are the production ones by construction."""
+
+    def _camera(self):
+        view = m3.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0])
+        proj = m3.perspective(np.pi / 3, W / H, 0.1, 100.0)
+        vp = (proj @ view).astype(np.float32)
+        return {"inv_view_proj": jnp.asarray(np.linalg.inv(vp))}
+
+    def _depth_for_point(self, cam, p):
+        """NDC depth plane putting every pixel on the z = p[2] plane."""
+        # project the plane point to get its ndc z
+        view = m3.look_at([0, 0, 5], [0, 0, 0], [0, 1, 0])
+        proj = m3.perspective(np.pi / 3, W / H, 0.1, 100.0)
+        clip = (proj @ view) @ np.array([p[0], p[1], p[2], 1.0], np.float32)
+        z = clip[2] / clip[3]
+        return jnp.full((H, W), np.float32(z))
+
+    def test_geometric_lists(self):
+        from awsm_renderer_tpu.core.lights import Light
+
+        cam = self._camera()
+        depth = self._depth_for_point(cam, [0.0, 0.0, 0.0])  # z=0 plane
+        rows = np.stack([
+            Light.directional([0, -1, 0], intensity=1.0).pack(),
+            # near light: reaches the z=0 plane (range 3 > distance 1)
+            Light.point([0.0, 0.0, 1.0], intensity=5.0, range=3.0).pack(),
+            # far light: range 1 cannot reach any reconstructed pixel
+            Light.point([50.0, 50.0, 50.0], intensity=5.0, range=1.0).pack(),
+        ]).astype(np.float32)
+        lists, counts = cull_lights(
+            jnp.asarray(rows), jnp.int32(3), depth, cam, width=W, height=H)
+        lists, counts = np.asarray(lists), np.asarray(counts)
+        n_tiles = (H // 8) * (W // 128)
+        assert lists.shape == (n_tiles, 3)
+        # every tile: directional (always) + near light; never the far one
+        assert (counts == 2).all(), counts
+        for t in range(n_tiles):
+            kept = set(lists[t, :counts[t]])
+            assert kept == {0, 1}, (t, kept)
+
+    def test_overflow_drops_faintest(self):
+        """More overlapping lights than K = MAX_LIGHTS_PER_TILE: the
+        kept set is the K largest estimated contributions, not the K
+        earliest insertions (r4 advisor finding)."""
+        from awsm_renderer_tpu.core.lights import Light
+
+        cam = self._camera()
+        depth = self._depth_for_point(cam, [0.0, 0.0, 0.0])
+        n = MAX_LIGHTS_PER_TILE + 4
+        # same position/range; intensities INCREASE with insertion index,
+        # so insertion-order priority would keep exactly the wrong set
+        rows = np.stack([
+            Light.point([0.0, 0.0, 1.0], intensity=1.0 + i, range=5.0).pack()
+            for i in range(n)
+        ]).astype(np.float32)
+        lists, counts = cull_lights(
+            jnp.asarray(rows), jnp.int32(n), depth, cam, width=W, height=H)
+        lists, counts = np.asarray(lists), np.asarray(counts)
+        K = MAX_LIGHTS_PER_TILE
+        assert (counts == K).all()
+        expect = set(range(n - K, n))      # brightest K
+        for t in range(lists.shape[0]):
+            assert set(lists[t, :K]) == expect
 
 
 class TestExtraPass:
