@@ -48,6 +48,29 @@ class AntiAliasing:
     msaa: bool = False
     smaa: bool = False
     mipmap: bool = True
+    # Temporal AA + reuse (TAA): Halton-jittered camera, history
+    # reprojection, invalid-unit-only shading (passes/frame.py
+    # render_frame_temporal). The reference ships this path disabled
+    # (camera.rs:13 APPLY_JITTER=false, get_halton_jitter:257); here it
+    # is the production route past the measured non-temporal shading
+    # floor (BASELINE.md). Mutually exclusive with msaa/supersample —
+    # jitter accumulation IS the anti-aliasing.
+    temporal: bool = False
+
+
+@dataclass(frozen=True)
+class Temporal:
+    """Tuning for the temporal-reuse path (AntiAliasing.temporal)."""
+
+    # shade budget per frame as a fraction of the frame's (8, 128) units;
+    # a STATIC cost — invalid (disoccluded) units take it first, refresh
+    # units the remainder
+    cap_frac: float = 0.2
+    # (no refresh-period knob: the budget is a STATIC cost, so spare
+    # budget always reshades the oldest units — every unit refreshes at
+    # least once per ~n_units/cap frames with no tuning)
+    # exponential-accumulation weight of the new sample at refresh
+    alpha: float = 0.12
 
 
 @dataclass(frozen=True)
@@ -63,6 +86,7 @@ class RendererConfig:
     # tiled light lists (passes/light_culling.py): None = auto-engage
     # when lights.count > 8; True/False force the tiled/dense loop
     light_tiles: Optional[bool] = None
+    temporal: Temporal = field(default_factory=Temporal)
     # internal compute dtype for shading; textures/geometry stay f32
     dtype: str = "float32"
 

@@ -1099,6 +1099,67 @@ def _tile_unswizzle(t: jnp.ndarray, H: int, W: int, th: int = 8) -> jnp.ndarray:
             .swapaxes(1, 2).reshape(H * W))
 
 
+def shade_units_c(
+    tid_c, dep_c, idx, setup_rows, ds, *,
+    width: int, height_full: int, row_offset,
+    resolve_row_offset, coord_scale: int, th: int,
+    use_mips: bool, slot_mask, solid_env: bool, has_nearest: bool,
+    ext, debug_mode: str, interpret: bool = False,
+    light_tiles: bool = False,
+):
+    """Shade an explicit set of C compacted (th, 128) units.
+
+    The core of the covered-tile compaction (shade_deferred_compact_c)
+    with the unit CHOICE externalized: `idx` (C,) i32 names the units in
+    the band's (H//th, W//128) grid, `tid_c`/`dep_c` are their gathered
+    (C*U,) tri-id/depth planes. The temporal path (ops/temporal.py,
+    passes/frame.py render_frame_temporal) picks its units by history
+    INVALIDITY + refresh age instead of coverage; both callers share
+    this resolve + shade + sky machinery. Returns
+    ([r, g, b] compact planes, valid) — miss pixels carry the sky."""
+    W = width
+    C = idx.shape[0]
+    U = th * 128
+    ntx = W // 128
+    tx = (idx % ntx).astype(jnp.float32)
+    ty = (idx // ntx).astype(jnp.float32)
+    q = jnp.arange(U, dtype=jnp.float32)
+    gx = tx[:, None] * 128.0 + (q % 128)[None, :]        # (C, U) display
+    gy = ty[:, None] * float(th) + (q // 128)[None, :]
+    # raster-space eval coords: what the non-compact resolve derives from
+    # the flat index (px = x*coord_scale + 0.5 at the supersample center)
+    px = (gx * coord_scale + 0.5).reshape(C * U)
+    py = ((gy + jnp.float32(resolve_row_offset))
+          * coord_scale + 0.5).reshape(C * U)
+    vis = resolve_planes_fused(tid_c, setup_rows, width=W,
+                               height_full=height_full,
+                               px=px, py=py, interpret=interpret)
+    planes = {k: vis[k] for k in RESOLVE_NAMES}
+    planes["depth"] = dep_c
+    planes["ndc_x"] = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * U)
+    planes["ndc_y"] = (1.0 - (gy + jnp.float32(row_offset) + 0.5)
+                       / height_full * 2.0).reshape(C * U)
+
+    color, _alpha, valid, n_final, sky = shade_surface(
+        planes, ds,
+        width=128, height=C * th, height_full=height_full, row_offset=0,
+        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+        has_nearest=has_nearest, ext=ext,
+        debug_mode=(debug_mode
+                    if debug_mode in ("ibl", "punctual", "material")
+                    else "none"),
+        want_sky=True, light_tiles=light_tiles,
+    )
+    if debug_mode == "normals":
+        color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
+    if solid_env:
+        assert sky is None
+        sky = [jnp.broadcast_to(ds["skybox"][0, c], valid.shape)
+               for c in range(4)]
+    out_c = [jnp.where(valid, color[c], sky[c]) for c in range(3)]
+    return out_c, valid
+
+
 def shade_deferred_compact_c(
     tid_flat, setup_rows, depth_flat, ds, *,
     width: int, height: int, height_full: int, row_offset,
@@ -1149,45 +1210,16 @@ def shade_deferred_compact_c(
     tid_c = jnp.take(sw_tid, idx, axis=0).reshape(C * U)
     dep_c = jnp.take(_tile_swizzle(depth_flat, H, W, th), idx,
                      axis=0).reshape(C * U)
+    out_c, valid = shade_units_c(
+        tid_c, dep_c, idx, setup_rows, ds,
+        width=W, height_full=height_full, row_offset=row_offset,
+        resolve_row_offset=resolve_row_offset, coord_scale=coord_scale,
+        th=th, use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
+        has_nearest=has_nearest, ext=ext, debug_mode=debug_mode,
+        interpret=interpret, light_tiles=light_tiles,
+    )
 
     ntx = W // 128
-    tx = (idx % ntx).astype(jnp.float32)
-    ty = (idx // ntx).astype(jnp.float32)
-    q = jnp.arange(U, dtype=jnp.float32)
-    gx = tx[:, None] * 128.0 + (q % 128)[None, :]        # (C, U) display
-    gy = ty[:, None] * float(th) + (q // 128)[None, :]
-    # raster-space eval coords: what the non-compact resolve derives from
-    # the flat index (px = x*coord_scale + 0.5 at the supersample center)
-    px = (gx * coord_scale + 0.5).reshape(C * U)
-    py = ((gy + jnp.float32(resolve_row_offset))
-          * coord_scale + 0.5).reshape(C * U)
-    vis = resolve_planes_fused(tid_c, setup_rows, width=W,
-                               height_full=height_full,
-                               px=px, py=py, interpret=interpret)
-    planes = {k: vis[k] for k in RESOLVE_NAMES}
-    planes["depth"] = dep_c
-    planes["ndc_x"] = ((gx + 0.5) / W * 2.0 - 1.0).reshape(C * U)
-    planes["ndc_y"] = (1.0 - (gy + jnp.float32(row_offset) + 0.5)
-                       / height_full * 2.0).reshape(C * U)
-
-    color, _alpha, valid, n_final, sky = shade_surface(
-        planes, ds,
-        width=128, height=C * th, height_full=height_full, row_offset=0,
-        use_mips=use_mips, slot_mask=slot_mask, solid_env=solid_env,
-        has_nearest=has_nearest, ext=ext,
-        debug_mode=(debug_mode
-                    if debug_mode in ("ibl", "punctual", "material")
-                    else "none"),
-        want_sky=True, light_tiles=light_tiles,
-    )
-    if debug_mode == "normals":
-        color = [n_final[c] * 0.5 + 0.5 for c in range(3)]
-    if solid_env:
-        assert sky is None
-        sky = [jnp.broadcast_to(ds["skybox"][0, c], valid.shape)
-               for c in range(4)]
-    out_c = [jnp.where(valid, color[c], sky[c]) for c in range(3)]
-
     R = n_tiles - C
     if solid_env or R == 0:
         rest_sky = None

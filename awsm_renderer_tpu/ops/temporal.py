@@ -28,16 +28,20 @@ TPU-native design notes (the reprojection kernel):
   [r, g, b, tri_id(bitcast), depth] — never as (P, C) rows. A per-pixel
   gather of a 2M-row history table would cost ~4-6 ms at the measured
   promoted-gather floor and compete with the texel pool for the
-  alternate-memory budget (BASELINE.md); instead the kernel DMAs one
-  (5, 24, 384) WINDOW of the history per (8, 128) unit — the window
-  location comes from the unit's mean reprojection offset (scalar
-  prefetch), and per-pixel residuals are resolved with a small
-  (±2 px) select fan. Window DMA traffic is ~370 MB/frame ≈ 0.5 ms of
-  HBM bandwidth, with a two-slot ring overlapping DMA and compute.
-- Pixels whose residual falls outside the ±2 window, whose source falls
-  off-screen, or whose unit mean is degenerate (clamped window) are
-  simply INVALID — correctness never depends on the window being big
-  enough; coverage does.
+  alternate-memory budget (BASELINE.md); instead each (8, 128) unit
+  DMAs a (5, 24, 384) TILE-ALIGNED window of the history around its
+  mean reprojection target (scalar prefetch picks the block origin).
+  Mosaic only slices memrefs at tile granularity — (8, 128) for f32 —
+  in every memory space, so the sub-tile part of the unit's offset is
+  cancelled IN-KERNEL with one dynamic rotate (pltpu.roll, which takes
+  traced shift amounts), after which the per-pixel ±RESID residual fan
+  is all STATIC slices. A two-slot ring overlaps DMA with compute;
+  traffic ~184 kB/unit ≈ 375 MB/frame at 1080p ≈ 0.5 ms of HBM
+  bandwidth. Any offset MAGNITUDE works (the window lands anywhere in
+  the image); only the ±RESID within-unit spread is bounded.
+- Pixels whose residual falls outside the ±RESID fan, whose source
+  falls off-screen, or whose unit mean is degenerate are simply
+  INVALID — correctness never depends on the window; coverage does.
 """
 
 from __future__ import annotations
@@ -53,7 +57,10 @@ _EPS = 1e-6
 
 # residual select fan half-width (pixels): candidates dy, dx ∈ [-R, R]
 RESID = 2
-# window geometry: 3 row-blocks x 3 col-blocks of the (8, 128) unit grid
+# per-unit history window: 3x3 TILE-ALIGNED blocks of the (8, 128) unit
+# grid — Mosaic only slices memrefs at tile granularity (8 rows / 128
+# lanes), so the DMA fetches aligned blocks and a dynamic rotate
+# (tpu.dynamic_rotate) cancels the sub-tile residue in-kernel
 WIN_H = 24
 WIN_W = 384
 N_HIST = 5     # r, g, b, tid (bitcast f32), depth
@@ -120,12 +127,19 @@ def temporal_offsets(cam, depth, *, width: int, height: int):
     return off_x, off_y, exp_z
 
 
-def _unit_scalars(off_x, off_y, *, width: int, height: int):
+def _unit_scalars(off_x, off_y, *, width: int, height: int,
+                  win_h: int = WIN_H, win_w: int = WIN_W):
     """Per-unit window placement from the unit-mean offsets. Returns
-    (n_units, 8) i32: [R0, C0, sy0, sx0, ok, 0, 0, 0] where (R0, C0) is
-    the 8/128-aligned window origin, (sy0, sx0) the anchor slack inside
-    the window, ok=0 marks units whose window had to be clamped away
-    from their anchor (the kernel then reports every pixel invalid)."""
+    (n_units, 8) i32: [R0, C0, sy0, sx0, ok, 0, 0, 0]: (R0, C0) is the
+    TILE-ALIGNED window origin (8-row / 128-lane multiples — the only
+    offsets a memref slice may take), (sy0, sx0) the sub-window anchor
+    residue the kernel cancels with a dynamic rotate. The desired
+    anchor is (unit origin + rounded mean offset - RESID); interior
+    units always fit, units clamped at an image border may carry an
+    anchor mismatch which the per-pixel residual check absorbs up to
+    ±RESID and invalidates beyond (border units reshade under outward
+    motion — a cost, never a correctness loss). ok=0 marks degenerate
+    means."""
     H, W = height, width
     n_ty, n_tx = H // 8, W // 128
 
@@ -141,14 +155,10 @@ def _unit_scalars(off_x, off_y, *, width: int, height: int):
     ubx = jnp.arange(n_tx, dtype=jnp.int32)[None, :]
     s_y = uby * 8 + ay - RESID          # desired subwindow start (rows)
     s_x = ubx * 128 + ax - RESID
-    # window origin: block-aligned, clamped into the image. A clamped
-    # window still serves every pixel it covers — the kernel's exact
-    # per-pixel coverage checks invalidate the rest (no whole-unit
-    # conservatism at the image borders).
-    R0 = jnp.clip((s_y // 8) * 8, 0, H - WIN_H)
-    C0 = jnp.clip((s_x // 128) * 128, 0, W - WIN_W)
-    sy0 = jnp.clip(s_y - R0, 0, WIN_H - 8 - 2 * RESID)
-    sx0 = jnp.clip(s_x - C0, 0, WIN_W - 128 - 2 * RESID)
+    R0 = jnp.clip((s_y // 8) * 8, 0, H - win_h)
+    C0 = jnp.clip((s_x // 128) * 128, 0, W - win_w)
+    sy0 = jnp.clip(s_y - R0, 0, max(0, win_h - 8 - 2 * RESID))
+    sx0 = jnp.clip(s_x - C0, 0, max(0, win_w - 128 - 2 * RESID))
     ok = jnp.isfinite(my) & jnp.isfinite(mx) & (jnp.abs(my) < 1e5) \
         & (jnp.abs(mx) < 1e5)
     zeros = jnp.zeros_like(R0)
@@ -158,7 +168,7 @@ def _unit_scalars(off_x, off_y, *, width: int, height: int):
     return scal.reshape(n_ty * n_tx, 8)
 
 
-def _reproject_kernel(n_tx: int):
+def _reproject_kernel(n_tx: int, win_h: int = WIN_H, win_w: int = WIN_W):
     R = RESID
 
     def kernel(scal_ref, hist_ref, offx_ref, offy_ref, expz_ref, ctid_ref,
@@ -167,9 +177,12 @@ def _reproject_kernel(n_tx: int):
         n_units = pl.num_programs(0)
 
         def dma(i, slot):
+            # multiple_of: _unit_scalars constructs R0/C0 tile-aligned;
+            # Mosaic needs the proof to slice a tiled memref
+            r0 = pl.multiple_of(scal_ref[i, 0], 8)
+            c0 = pl.multiple_of(scal_ref[i, 1], 128)
             return pltpu.make_async_copy(
-                hist_ref.at[:, pl.ds(scal_ref[i, 0], WIN_H),
-                            pl.ds(scal_ref[i, 1], WIN_W)],
+                hist_ref.at[:, pl.ds(r0, win_h), pl.ds(c0, win_w)],
                 scratch.at[slot], sems.at[slot])
 
         @pl.when(u == 0)
@@ -181,13 +194,22 @@ def _reproject_kernel(n_tx: int):
             dma(u + 1, (u + 1) % 2).start()
 
         dma(u, u % 2).wait()
-        win = scratch[u % 2]                       # (5, WIN_H, WIN_W)
+        win = scratch[u % 2]                       # (5, win_h, win_w)
 
         R0 = scal_ref[u, 0]
         C0 = scal_ref[u, 1]
         sy0 = scal_ref[u, 2]
         sx0 = scal_ref[u, 3]
         ok = scal_ref[u, 4]
+
+        # cancel the sub-tile anchor residue with dynamic rotates
+        # (tpu.dynamic_rotate takes traced amounts; memref slicing does
+        # not). After rotation the anchor sits at window origin, so the
+        # ±R fan below is all static slices. Valid candidates never
+        # touch wrapped entries: sy0 + R+dy+ly <= (win_h-12) + 11 <
+        # win_h, and the x analog.
+        win = pltpu.roll(win, (win_h - sy0) % win_h, axis=1)
+        win = pltpu.roll(win, (win_w - sx0) % win_w, axis=2)
 
         oy = offy_ref[:]                            # (8, 128)
         ox = offx_ref[:]
@@ -197,9 +219,8 @@ def _reproject_kernel(n_tx: int):
         ubx = u % n_tx
         gy = uby * 8 + ly
         gx = ubx * 128 + lx
-        # nearest source pixel and residual vs the unit anchor. The
-        # anchor satisfies uby*8 + ay = R0 + sy0 + R (construction in
-        # _unit_scalars), so dy = round(gy+oy) - (R0+sy0+R) - ly.
+        # nearest source pixel; residual vs the unit anchor
+        # (R0 + sy0 + R, C0 + sx0 + R)
         ry = jnp.floor(gy.astype(jnp.float32) + oy + 0.5).astype(jnp.int32)
         rx = jnp.floor(gx.astype(jnp.float32) + ox + 0.5).astype(jnp.int32)
         rdy = ry - (R0 + sy0 + R) - ly
@@ -210,15 +231,28 @@ def _reproject_kernel(n_tx: int):
                & (ry >= 0) & (ry < H_img) & (rx >= 0) & (rx < W_img)
                & (ok > 0))
 
+        # small images collapse the window to the whole image (residues
+        # pinned 0, the rotates above are identities); a static roll
+        # then indexes the same candidates, and wrapped entries only
+        # reach pixels whose source is off-image, which the bounds
+        # check invalidates
+        roll_x = win_w < 128 + 2 * R
+        roll_y = win_h < 8 + 2 * R
         acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(N_HIST)]
-        for dx in range(-R, R + 1):
-            mx = rdx == dx
-            xs = jax.lax.dynamic_slice(                 # (5, WIN_H, 128)
-                win, (0, 0, sx0 + R + dx), (N_HIST, WIN_H, 128))
-            for dy in range(-R, R + 1):
-                m = mx & (rdy == dy)
-                cand = jax.lax.dynamic_slice(           # (5, 8, 128)
-                    xs, (0, sy0 + R + dy, 0), (N_HIST, 8, 128))
+        for dy in range(-R, R + 1):
+            if roll_y:
+                rows = jnp.roll(win, -(R + dy), axis=1)[:, :8, :]
+            else:
+                rows = jax.lax.slice_in_dim(win, R + dy, R + dy + 8,
+                                            axis=1)
+            my_ = rdy == dy
+            for dx in range(-R, R + 1):
+                m = my_ & (rdx == dx)
+                if roll_x:
+                    cand = jnp.roll(rows, -(R + dx), axis=2)[:, :, :128]
+                else:
+                    cand = jax.lax.slice_in_dim(rows, R + dx,
+                                                R + dx + 128, axis=2)
                 acc = [jnp.where(m, cand[c], acc[c])
                        for c in range(N_HIST)]
 
@@ -230,13 +264,115 @@ def _reproject_kernel(n_tx: int):
         # the far plane small world motion moves z very little)
         tol = jnp.maximum(jnp.float32(2e-4),
                           0.05 * (1.0 - jnp.abs(expz)))
-        valid = inr & (cand_tid == ctid) & (jnp.abs(acc[4] - expz) <= tol)
-        out_r[:] = jnp.where(valid, acc[0], 0.0)
-        out_g[:] = jnp.where(valid, acc[1], 0.0)
-        out_b[:] = jnp.where(valid, acc[2], 0.0)
-        out_v[:] = valid.astype(jnp.int32)
+        # strict (bit 0): same winner id + consistent depth — REUSE the
+        # history without reshading. blendable (bit 1): the reprojection
+        # landed on a live history pixel at all — a freshly SHADED pixel
+        # may still accumulate against it under the neighborhood clamp
+        # (without this, jitter flips the winner at silhouette pixels
+        # every frame, the id test never passes there, and edges would
+        # neither converge their AA nor ever leave the invalid set)
+        hist_live = cand_tid >= -1            # -2 = reset/ghost sentinel
+        blendable = inr & hist_live
+        valid = blendable & (cand_tid == ctid) \
+            & (jnp.abs(acc[4] - expz) <= tol)
+        out_r[:] = jnp.where(blendable, acc[0], 0.0)
+        out_g[:] = jnp.where(blendable, acc[1], 0.0)
+        out_b[:] = jnp.where(blendable, acc[2], 0.0)
+        out_v[:] = valid.astype(jnp.int32) + 2 * blendable.astype(jnp.int32)
 
     return kernel
+
+
+def select_units(valid, age, *, width: int, height: int, shade_cap: int):
+    """Pick the C units to re-shade this frame.
+
+    valid: (H*W,) bool — history reuse is allowed at this pixel.
+    age:   (n_units,) i32 — frames since each (8, 128) unit last shaded.
+    Priority: units containing ANY invalid pixel first (disocclusions,
+    screen entrants, first frames), then age-due refresh units oldest-
+    first (view-dependent shading must not go stale), then everything
+    else oldest-first (spare budget always refreshes SOMETHING, so a
+    static camera still converges its jittered AA). Returns
+    (idx (C,) i32 unit ids, shaded_unit (n_units,) bool)."""
+    from ..ops.shade import _tile_swizzle
+
+    H, W = height, width
+    n_units = (H // 8) * (W // 128)
+    C = min(shade_cap, n_units)
+    inval = jnp.any(~_tile_swizzle(valid, H, W, 8), axis=-1)
+    a = jnp.clip(age, 0, 1 << 20)
+    # silhouette units are PERPETUALLY strict-invalid under jitter (the
+    # winner id flips); gating urgency on age > 0 stops them from
+    # monopolizing the budget every single frame while still repairing
+    # any unit within a frame of going stale
+    urgent = inval & (a > 0)
+    key = jnp.where(urgent, (1 << 22) + a, a)
+    idx = jnp.argsort(-key)[:C]
+    shaded_unit = jnp.zeros((n_units,), bool).at[idx].set(True)
+    return idx, shaded_unit
+
+
+def temporal_merge(new_c, shaded_px, rep_c, valid, blendable, hist,
+                   cur_tid, depth, *, width: int, height: int,
+                   alpha: float):
+    """Image-space temporal resolve: combine this frame's freshly shaded
+    pixels with the reprojected history.
+
+    new_c: 3 (H*W,) planes — shaded color, defined ONLY where shaded_px.
+    rep_c: 3 (H*W,) planes — reprojected history color where `blendable`.
+    Per pixel:
+      shaded & blendable  → exponential blend: the history is CLAMPED to
+                         the 3x3 min/max of this frame's shaded
+                         neighborhood (classic TAA anti-ghosting; the
+                         window ignores unshaded neighbors — the center
+                         is always shaded so the range is never empty),
+                         then lerped toward the new sample by `alpha`.
+                         Jittered samples of a static scene converge to
+                         the pixel-footprint average = the AA — including
+                         at silhouettes, where the id test can never pass
+                         but the clamp keeps the accumulation honest.
+      shaded & ~blendable → the new sample (disocclusion: no history).
+      ~shaded & valid  → the reprojected history (the reuse win; strict
+                         id + depth validity — no clamp is available
+                         without a fresh sample, so reuse stays strict).
+      ~shaded & ~valid → the UNPROJECTED history at this pixel (best
+                         available stand-in when the shade budget
+                         overflowed); the pixel stays invalid in the new
+                         history so next frame repairs it.
+    Returns (out_c 3 planes, new_hist (5, H, W), cov (H*W,) f32)."""
+    H, W = height, width
+    big = jnp.float32(1e30)
+    sm = shaded_px.reshape(H, W)
+    hist_px = [hist[c].reshape(H * W) for c in range(3)]
+
+    out_c = []
+    for c in range(3):
+        img = new_c[c].reshape(H, W)
+        lo = jax.lax.reduce_window(
+            jnp.where(sm, img, big), big, jax.lax.min,
+            (3, 3), (1, 1), "SAME")
+        hi = jax.lax.reduce_window(
+            jnp.where(sm, img, -big), -big, jax.lax.max,
+            (3, 3), (1, 1), "SAME")
+        clamped = jnp.clip(rep_c[c].reshape(H, W), lo, hi)
+        blended = img * jnp.float32(alpha) \
+            + clamped * jnp.float32(1.0 - alpha)
+        v = valid.reshape(H, W)
+        b = blendable.reshape(H, W)
+        out = jnp.where(
+            sm, jnp.where(b, blended, img),
+            jnp.where(v, rep_c[c].reshape(H, W),
+                      hist_px[c].reshape(H, W)))
+        out_c.append(out.reshape(H * W))
+
+    keep = shaded_px | valid
+    # pixels we could neither shade nor validate store the -2 sentinel so
+    # they can never pass next frame's id test
+    tid_store = jnp.where(keep, cur_tid, jnp.int32(-2))
+    new_hist = pack_history(out_c[0], out_c[1], out_c[2], tid_store,
+                            depth, H, W)
+    cov = (cur_tid >= 0).astype(jnp.float32)
+    return out_c, new_hist, cov
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -244,14 +380,20 @@ def reproject_history(hist, off_x, off_y, exp_z, cur_tid, *, width: int,
                       height: int, interpret: bool = False):
     """Reproject the (5, H, W) history through per-pixel offsets.
 
-    Returns (rep_r, rep_g, rep_b, valid): flat (H*W,) planes — the
-    history color each pixel would reuse, and whether it may (same
-    winner id + consistent depth at the reprojected location)."""
+    Returns (rep_r, rep_g, rep_b, valid, blendable): flat (H*W,) planes —
+    the history color each pixel would use, `valid` = reuse allowed
+    without reshading (same winner id + consistent depth at the
+    reprojected location), `blendable` = the reprojection landed on a
+    live history pixel (a freshly shaded sample may accumulate against
+    it under the neighborhood clamp even when ids differ)."""
     H, W = height, width
-    assert H % 8 == 0 and W % 128 == 0 and W >= WIN_W and H >= WIN_H
+    assert H % 8 == 0 and W % 128 == 0
+    win_h = min(WIN_H, H)
+    win_w = min(WIN_W, W)
     n_ty, n_tx = H // 8, W // 128
     n_units = n_ty * n_tx
-    scal = _unit_scalars(off_x, off_y, width=W, height=H)
+    scal = _unit_scalars(off_x, off_y, width=W, height=H,
+                         win_h=win_h, win_w=win_w)
 
     def blk(u, *_refs):
         return (u // n_tx, u % n_tx)
@@ -260,7 +402,11 @@ def reproject_history(hist, off_x, off_y, exp_z, cur_tid, *, width: int,
         num_scalar_prefetch=1,
         grid=(n_units,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # history planes
+            # HBM, not ANY: the per-unit DMA takes arbitrary unaligned
+            # slices of the history, which is legal from (untiled) HBM
+            # but not from a VMEM-resident memref (8-row tiling rule) —
+            # small histories otherwise get promoted and fail to compile
+            pl.BlockSpec(memory_space=pltpu.HBM),        # history planes
             pl.BlockSpec((8, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), blk, memory_space=pltpu.VMEM),
@@ -270,7 +416,7 @@ def reproject_history(hist, off_x, off_y, exp_z, cur_tid, *, width: int,
             pl.BlockSpec((8, 128), blk, memory_space=pltpu.VMEM)
             for _ in range(4)),
         scratch_shapes=[
-            pltpu.VMEM((2, N_HIST, WIN_H, WIN_W), jnp.float32),
+            pltpu.VMEM((2, N_HIST, win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -278,11 +424,12 @@ def reproject_history(hist, off_x, off_y, exp_z, cur_tid, *, width: int,
         [jax.ShapeDtypeStruct((H, W), jnp.float32) for _ in range(3)]
         + [jax.ShapeDtypeStruct((H, W), jnp.int32)])
     r, g, b, v = pl.pallas_call(
-        _reproject_kernel(n_tx),
+        _reproject_kernel(n_tx, win_h, win_w),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(scal, hist, off_x.reshape(H, W), off_y.reshape(H, W),
       exp_z.reshape(H, W), cur_tid.reshape(H, W))
+    vf = v.reshape(H * W)
     return (r.reshape(H * W), g.reshape(H * W), b.reshape(H * W),
-            v.reshape(H * W) > 0)
+            (vf & 1) > 0, (vf & 2) > 0)

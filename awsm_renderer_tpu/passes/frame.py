@@ -1008,3 +1008,179 @@ def render_frame(
     T_pool = _total_triangles(ds)
     tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
     return ldr, tri_id, depth
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tonemap", "use_mips",
+        "has_morphs", "skin_sets", "has_transparent", "has_hud",
+        "n_transparent_layers", "slot_mask", "solid_env",
+        "interpret", "bloom", "dof", "smaa", "hooks", "has_nearest",
+        "needs_clip", "ext", "has_uv1", "has_color",
+        "overlay_slot_mask", "overlay_ext", "overlay_crop_h",
+        "overlay_tile_cap", "dof_rings", "light_tiles",
+        "shade_cap", "alpha",
+    ),
+)
+def render_frame_temporal(
+    ds,
+    opaque_mask,
+    transparent_mask=None,
+    hud_mask=None,
+    hist=None,          # (5, rh1, rw1) f32 history [r,g,b,tid,depth]
+    age=None,           # (n_units,) i32 frames since each unit shaded
+    *,
+    width: int,
+    height: int,
+    tonemap: ToneMapping,
+    use_mips: bool,
+    has_morphs: bool,
+    skin_sets: int,
+    has_transparent: bool = False,
+    has_hud: bool = False,
+    n_transparent_layers: int = 4,
+    slot_mask: Tuple[bool, ...] = ALL_SLOTS,
+    solid_env: bool = False,
+    interpret: bool | None = None,
+    bloom: bool = False,
+    dof: bool = False,
+    smaa: bool = False,
+    hooks: Optional[RenderHooks] = None,
+    has_nearest: bool = True,
+    needs_clip: bool = True,
+    ext=None,
+    has_uv1: bool = True,
+    has_color: bool = True,
+    overlay_slot_mask: Optional[Tuple[bool, ...]] = None,
+    overlay_ext: Optional[Tuple[bool, ...]] = None,
+    overlay_crop_y0=None,
+    overlay_crop_h: Optional[int] = None,
+    overlay_tri_idx=None,
+    overlay_tile_cap: Optional[int] = None,
+    dof_rings=None,
+    light_tiles: bool = False,
+    shade_cap: int = 512,
+    alpha: float = 0.12,
+):
+    """Temporal-reuse frame (TAA): the different COST MODEL the measured
+    ~29 ms floor analysis calls for (BASELINE.md) — shade only what the
+    previous frame cannot answer for.
+
+    The reference carries this path's scaffolding unused (camera.rs:13
+    APPLY_JITTER=false, get_halton_jitter :257, frame_count uniform);
+    here it is live. Per frame:
+
+      1. slim geometry at 1x display resolution with the JITTERED camera
+         (ids + depth only — replaces the MSAA sample raster; the AA now
+         comes from jitter accumulation, not coverage samples),
+      2. reproject the (5, rh1, rw1) history through the UNJITTERED
+         current + previous matrices (ops/temporal.py), validating per
+         pixel by winner-id + depth agreement,
+      3. shade a fixed budget of `shade_cap` (8, 128) units — invalid
+         units first, then age-due refresh (shade_units_c, the compact
+         shade machinery with the unit choice externalized),
+      4. temporal resolve with 3x3 neighborhood clamp (temporal_merge);
+         the merged pre-overlay opaque HDR becomes the new history,
+      5. transparent/HUD overlay + effects + display run per frame as in
+         render_frame (they already pay O(their coverage), not O(frame)).
+
+    The shade budget is a STATIC cost: a mostly-valid frame (slow orbit)
+    pays O(shade_cap) shading instead of O(covered units). Overflow
+    (invalid units beyond the cap) displays the best stand-in and stays
+    invalid, so the next frames repair it — correctness is eventual
+    (bounded by n_units/shade_cap frames), display is never undefined.
+
+    Returns (ldr, tri_id, depth, new_hist, new_age). In-jit hooks that
+    reshape the opaque stage (first_pass / after_geometry) are not
+    supported here — the renderer falls back to render_frame."""
+    from ..ops.raster import rasterize16_slim, _interpret_default
+    from ..ops.shade import ALL_EXT, _tile_swizzle, shade_units_c
+    from ..ops.temporal import (
+        reproject_history, select_units, temporal_merge, temporal_offsets,
+    )
+
+    if ext is None:
+        ext = ALL_EXT
+    assert hist is not None and age is not None
+    assert not (hooks and (hooks.first_pass or hooks.after_geometry)), \
+        "temporal frame does not support opaque-stage hooks"
+    if interpret is None:
+        interpret = _interpret_default()
+    rw1 = _pad_to(width, TILE_W)
+    rh1 = _pad_to(height, TILE_H)
+    P = rh1 * rw1
+    th = 8
+    U = th * 128
+
+    # ---- 1. slim geometry (jittered camera) -----------------------------
+    srows = prep_setup_rows(*_run_vertex(
+        ds, opaque_mask, rw=rw1, rh_full=rh1, row_offset=0,
+        shift_rows=False, has_morphs=has_morphs, skin_sets=skin_sets,
+        needs_clip=needs_clip))
+    col, depth = rasterize16_slim(srows, width=rw1, height=rh1,
+                                  interpret=interpret)
+
+    # ---- 2. reproject + validate (unjittered matrices) -------------------
+    off_x, off_y, exp_z = temporal_offsets(
+        ds["camera"], depth, width=rw1, height=rh1)
+    rep_r, rep_g, rep_b, valid, blendable = reproject_history(
+        hist, off_x, off_y, exp_z, col, width=rw1, height=rh1,
+        interpret=interpret)
+
+    # ---- 3. shade the budgeted unit set ----------------------------------
+    idx, shaded_unit = select_units(
+        valid, age, width=rw1, height=rh1, shade_cap=shade_cap)
+    C = idx.shape[0]
+    tid_c = jnp.take(_tile_swizzle(col, rh1, rw1, th), idx,
+                     axis=0).reshape(C * U)
+    dep_c = jnp.take(_tile_swizzle(depth, rh1, rw1, th), idx,
+                     axis=0).reshape(C * U)
+    out_c, _valid_c = shade_units_c(
+        tid_c, dep_c, idx, srows, ds,
+        width=rw1, height_full=rh1, row_offset=0, resolve_row_offset=0,
+        coord_scale=1, th=th, use_mips=use_mips, slot_mask=slot_mask,
+        solid_env=solid_env, has_nearest=has_nearest, ext=ext,
+        debug_mode="none", interpret=interpret, light_tiles=light_tiles,
+    )
+    n_units = (rh1 // th) * (rw1 // 128)
+    from ..ops.shade import _tile_unswizzle
+
+    new_ch = [_tile_unswizzle(
+        jnp.zeros((n_units, U), jnp.float32).at[idx]
+        .set(out_c[c].reshape(C, U)), rh1, rw1, th) for c in range(3)]
+    shaded_px = _tile_unswizzle(
+        jnp.zeros((n_units, U), bool).at[idx].set(True), rh1, rw1, th)
+
+    # ---- 4. temporal resolve + new history -------------------------------
+    merged, new_hist, cov = temporal_merge(
+        new_ch, shaded_px, [rep_r, rep_g, rep_b], valid, blendable,
+        hist, col, depth, width=rw1, height=rh1, alpha=alpha)
+    new_age = jnp.where(shaded_unit, 0, age + 1)
+    hdr_ch = merged + [cov]
+
+    # ---- 5. overlay + effects + display (as render_frame) ----------------
+    tri_id = col.reshape(rh1, rw1)
+    depth2 = depth.reshape(rh1, rw1)
+    hdr_ch, tri_id = _overlay_band(
+        hdr_ch, tri_id, depth2, ds, transparent_mask, hud_mask,
+        rw=rw1, band_h=rh1, rh_full=rh1, row_offset=0, shift_rows=False,
+        use_mips=use_mips, has_morphs=has_morphs, skin_sets=skin_sets,
+        has_transparent=has_transparent, has_hud=has_hud,
+        n_transparent_layers=n_transparent_layers, slot_mask=slot_mask,
+        solid_env=solid_env, interpret=interpret, hooks=hooks,
+        has_nearest=has_nearest, needs_clip=needs_clip, ext=ext,
+        has_uv1=has_uv1, has_color=has_color, light_tiles=light_tiles,
+        overlay_slot_mask=overlay_slot_mask, overlay_ext=overlay_ext,
+        crop_y0=overlay_crop_y0, crop_h=overlay_crop_h,
+        ov_tri_idx=overlay_tri_idx, tile_cap=overlay_tile_cap,
+    )
+    ldr, tri_id, depth2 = _finish_frame(
+        hdr_ch, tri_id, depth2, ds,
+        rw=rw1, rh=rh1, width=width, height=height,
+        tonemap=tonemap, bloom=bloom, dof=dof, smaa=smaa, hooks=hooks,
+        dof_rings=dof_rings,
+    )
+    T_pool = _total_triangles(ds)
+    tri_id = jnp.where(tri_id >= 0, tri_id % T_pool, -1)
+    return ldr, tri_id, depth2, new_hist, new_age

@@ -67,6 +67,8 @@ class AwsmRendererTpu:
         self._mega = None                   # lazy MegaTexture atlas collection
         self._skipped_renderables = set()   # §5.3 skip-and-warn bookkeeping
         self._mesh_flush_gen = 0            # bumps on every mesh flush
+        self._content_epoch = 0             # non-camera store flush counter
+        self._temporal = None               # TAA state: hist/age/prev_vp/epoch
         # per-pass spans gated like the reference's AwsmRendererLogging
         # { render_timings } (debug.rs:9-12; spans in render.rs:56-356)
         self.timings = RenderTimings(enabled=False)
@@ -194,8 +196,18 @@ class AwsmRendererTpu:
 
     # ---- device flush (reference: render.rs:73-97 write_gpu block) ----------
 
-    def _flush(self) -> Dict[str, object]:
+    def _flush(self, jitter_px=None, prev_view_proj=None) -> Dict[str, object]:
         d = self._device
+        # content epoch: bumped whenever any non-camera store reaches the
+        # device this flush — the temporal history (render_frame_temporal)
+        # is valid only while scene CONTENT is unchanged; camera motion is
+        # what reprojection exists for and must NOT reset it
+        self.skins.flush_pending(self.transforms)
+        if (self.transforms.gpu_dirty or self.meshes.gpu_dirty
+                or self.materials.gpu_dirty or self.lights.gpu_dirty
+                or self.textures.gpu_dirty or self.environment.gpu_dirty
+                or self.skins.gpu_dirty):
+            self._content_epoch += 1
         if self._brdf_lut is None:
             self._brdf_lut = generate_brdf_lut(
                 size=64 if jax.default_backend() == "cpu" else 256,
@@ -379,15 +391,23 @@ class AwsmRendererTpu:
                 d["texels"] = jnp.asarray(np.concatenate(
                     [tx.texels_packed, self._env_rows64], axis=0))
 
-        self.skins.flush_pending(self.transforms)
         if self.skins.gpu_dirty or "joint_matrices" not in d:
             d["joint_matrices"] = jnp.asarray(self.skins.joint_matrices)
             self.skins.gpu_dirty = False
 
-        if self.camera.gpu_dirty or "camera" not in d:
-            d["camera"] = {
-                k: jnp.asarray(v) for k, v in self.camera.packed(
-                    viewport=(self.config.width, self.config.height)).items()}
+        # temporal mode repacks every frame (the jitter and prev matrices
+        # change per frame); toggling it also forces a repack so the
+        # camera pytree structure tracks the mode
+        want_nj = jitter_px is not None
+        have_nj = "view_proj_nj" in d.get("camera", {})
+        if (self.camera.gpu_dirty or "camera" not in d or want_nj
+                or have_nj != want_nj):
+            cam = self.camera.packed(
+                viewport=(self.config.width, self.config.height),
+                jitter_px=jitter_px)
+            if prev_view_proj is not None:
+                cam["prev_view_proj"] = prev_view_proj
+            d["camera"] = {k: jnp.asarray(v) for k, v in cam.items()}
             self.camera.gpu_dirty = False
         return d
 
@@ -939,12 +959,32 @@ class AwsmRendererTpu:
 
             if (self.materials.flags[:, _M.MI_DEBUG_MASK] != 0).any():
                 debug_mode = "material"
+        # temporal reuse engages when configured and nothing reshapes the
+        # opaque stage (debug views and opaque-stage hooks fall back to
+        # the full frame; AA modes are mutually exclusive by config)
+        aa = cfg.anti_aliasing
+        use_temporal = (
+            aa.temporal and debug_mode == "none"
+            and not aa.supersample and not aa.msaa
+            and not (hooks is not None
+                     and (getattr(hooks, "first_pass", None)
+                          or getattr(hooks, "after_geometry", None))))
         # spans mirror the reference's render() tracing (render.rs:56-69:
         # one span per write_gpu + per pass); the jitted frame is a single
         # dispatch here, so in-frame pass splits live in the XLA profile
         # (jax.profiler.trace + the TraceAnnotation these spans emit)
         with self.timings.span("write_gpu"):
-            ds = self._flush()
+            if use_temporal:
+                from .core.camera import get_halton_jitter
+
+                jit_px = get_halton_jitter((self.camera.frame_count % 8) + 1)
+                prev_vp = (self._temporal["prev_vp"]
+                           if self._temporal is not None
+                           else self.camera.view_projection)
+                ds = self._flush(jitter_px=jit_px, prev_view_proj=prev_vp)
+            else:
+                self._temporal = None
+                ds = self._flush()
         # per-frame derived state (cull masks, pass specializations, tile
         # caps, crops, DoF rings): ~9 ms of host numpy per frame on a
         # small host, re-derivable only from (meshes, materials, camera,
@@ -1086,22 +1126,72 @@ class AwsmRendererTpu:
             if all(getattr(jit_hooks, f.name) is None
                    for f in _dc.fields(jit_hooks)):
                 jit_hooks = None
-        # record the STRIPPED hooks (the actual jit static arg): swapping
-        # only host-side pre/post hooks must not log a spurious retrace
-        self._log_retrace(static_kwargs, ds, ov_idx, jit_hooks)
-        frame_span = self.timings.span("render_frame/dispatch")
-        frame_span.__enter__()
-        ldr, tri_id, depth = render_frame(
-            ds,
-            self._device_mask("opaque", masks["opaque"]),
-            self._device_mask("transparent", masks["transparent"]) if has_transparent else None,
-            self._device_mask("hud", masks["hud"]) if has_hud else None,
-            overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
-            overlay_tri_idx=ov_idx,
-            hooks=jit_hooks,
-            **static_kwargs,
-        )
-        frame_span.__exit__(None, None, None)
+        if use_temporal:
+            from .ops.raster import TILE_H, TILE_W
+            from .ops.temporal import reset_history
+            from .passes.frame import _pad_to, render_frame_temporal
+
+            rw1 = _pad_to(cfg.width, TILE_W)
+            rh1 = _pad_to(cfg.height, TILE_H)
+            n_units = (rh1 // 8) * (rw1 // 128)
+            tp = cfg.temporal
+            st = self._temporal
+            # history survives camera motion (that is the point); any
+            # content flush or resize resets it. The reset frame shades
+            # EVERY unit (full cap) so the next frame starts converged.
+            reset = (st is None or st["epoch"] != self._content_epoch
+                     or st["shape"] != (rh1, rw1))
+            if reset:
+                hist = reset_history(rh1, rw1)
+                age = jnp.full((n_units,), 1 << 20, jnp.int32)
+                cap = n_units
+            else:
+                hist, age = st["hist"], st["age"]
+                cap = max(1, min(n_units,
+                                 int(round(tp.cap_frac * n_units))))
+            for k in ("supersample", "msaa", "opaque_tile_cap",
+                      "opaque_tile_rows", "debug_mode"):
+                static_kwargs.pop(k)
+            static_kwargs["shade_cap"] = cap
+            static_kwargs["alpha"] = tp.alpha
+            self._log_retrace(static_kwargs, ds, ov_idx, jit_hooks)
+            frame_span = self.timings.span("render_frame/dispatch")
+            frame_span.__enter__()
+            ldr, tri_id, depth, hist, age = render_frame_temporal(
+                ds,
+                self._device_mask("opaque", masks["opaque"]),
+                self._device_mask("transparent", masks["transparent"])
+                if has_transparent else None,
+                self._device_mask("hud", masks["hud"]) if has_hud else None,
+                hist, age,
+                overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
+                overlay_tri_idx=ov_idx,
+                hooks=jit_hooks,
+                **static_kwargs,
+            )
+            frame_span.__exit__(None, None, None)
+            self._temporal = dict(
+                hist=hist, age=age,
+                prev_vp=self.camera.view_projection.copy(),
+                epoch=self._content_epoch, shape=(rh1, rw1))
+        else:
+            # record the STRIPPED hooks (the actual jit static arg):
+            # swapping only host-side pre/post hooks must not log a
+            # spurious retrace
+            self._log_retrace(static_kwargs, ds, ov_idx, jit_hooks)
+            frame_span = self.timings.span("render_frame/dispatch")
+            frame_span.__enter__()
+            ldr, tri_id, depth = render_frame(
+                ds,
+                self._device_mask("opaque", masks["opaque"]),
+                self._device_mask("transparent", masks["transparent"]) if has_transparent else None,
+                self._device_mask("hud", masks["hud"]) if has_hud else None,
+                overlay_crop_y0=(jnp.int32(ov_crop[0]) if ov_crop else None),
+                overlay_tri_idx=ov_idx,
+                hooks=jit_hooks,
+                **static_kwargs,
+            )
+            frame_span.__exit__(None, None, None)
         self.timings.end_frame()
         self._last_tri_id = tri_id
         self._rendered_sig = prep_key   # pick-staleness epoch
