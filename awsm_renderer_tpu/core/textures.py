@@ -286,26 +286,46 @@ class Textures:
         if img.ndim == 3 and img.shape[2] not in (1, 3, 4):
             raise TextureError(
                 f"image must have 1, 3 or 4 channels, got {img.shape[2]}")
+        native_rgba = None
         if img.dtype == np.uint8:
-            img = img.astype(F) / 255.0
-        img = img.astype(F)
-        if img.ndim == 2:
-            img = img[..., None]
-        if img.shape[2] == 1:
-            img = np.repeat(img, 3, axis=2)
-        if img.shape[2] == 3:
-            img = np.concatenate([img, np.ones((*img.shape[:2], 1), F)], axis=2)
-        if srgb:
-            img = np.concatenate([srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=2)
+            from ..utils import native as _native
 
-        chain = generate_mip_chain(img, kind) if generate_mips else [img]
-        total = sum(m.shape[0] * m.shape[1] for m in chain)
+            # exact-LUT native conversion (u8 -> f32 RGBA + sRGB EOTF):
+            # the numpy chain costs ~0.25 s per 1024x1024 upload
+            native_rgba = _native.u8_to_f32_rgba(img, srgb)
+        if native_rgba is not None:
+            img = native_rgba
+        else:
+            if img.dtype == np.uint8:
+                img = img.astype(F) / 255.0
+            img = img.astype(F)
+            if img.ndim == 2:
+                img = img[..., None]
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            if img.shape[2] == 3:
+                img = np.concatenate(
+                    [img, np.ones((*img.shape[:2], 1), F)], axis=2)
+            if srgb:
+                img = np.concatenate(
+                    [srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=2)
+
+        levels = calculate_mip_levels(img.shape[1], img.shape[0]) \
+            if generate_mips else 1
+        dims = [(img.shape[0], img.shape[1])]
+        while len(dims) < levels:
+            ph, pw = dims[-1]
+            dims.append((max(1, ph // 2), max(1, pw // 2)))
+        total = sum(h * w for h, w in dims)
         offset = self._texel_alloc.alloc(total)
         if self._texel_alloc.take_needs_resize():
             old = self.texels_packed
             self.texels_packed = np.zeros(
                 (self._texel_alloc.capacity, TEXEL_COLS), dtype=BF)
-            self.texels_packed[: old.shape[0]] = old
+            # uint16 bit-copy: bf16->bf16 numpy assignment is an
+            # element-wise ml_dtypes cast, ~10x slower than memcpy
+            self.texels_packed[: old.shape[0]].view(np.uint16)[:] = \
+                old.view(np.uint16)
 
         key = self._desc_alloc.insert()
         if self._desc_alloc.take_needs_resize():
@@ -318,23 +338,20 @@ class Textures:
         d = np.zeros(DESC_I32, dtype=np.int32)
         d[TD_WIDTH] = img.shape[1]
         d[TD_HEIGHT] = img.shape[0]
-        d[TD_N_MIPS] = len(chain)
+        d[TD_N_MIPS] = levels
         d[TD_WRAP_S] = sampler.wrap_s
         d[TD_WRAP_T] = sampler.wrap_t
         d[TD_FILTER_LINEAR] = int(sampler.filter_linear)
         d[TD_MIP_FILTER_LINEAR] = int(sampler.mip_filter_linear)
         d[TD_MAX_ANISO] = sampler.effective_anisotropy
         off = offset
-        for i, mip in enumerate(chain):
+        for i, (mh, mw) in enumerate(dims):
             d[TD_MIP_OFFSETS + i] = off
-            parent = (chain[i + 1] if i + 1 < len(chain)
-                      else np.zeros((1, 1, 4), F))
-            packed = _pack_rows(mip, parent, sampler.wrap_s, sampler.wrap_t)
-            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed
-            off += mip.shape[0] * mip.shape[1]
+            off += mh * mw
         # clamp remaining mip offsets to the last mip (simplifies device clamping)
-        for i in range(len(chain), MAX_MIPS):
-            d[TD_MIP_OFFSETS + i] = d[TD_MIP_OFFSETS + len(chain) - 1]
+        for i in range(levels, MAX_MIPS):
+            d[TD_MIP_OFFSETS + i] = d[TD_MIP_OFFSETS + levels - 1]
+        self._pack_into(img, kind, sampler, levels, offset, total)
         self.descriptors[row] = d
         self.gpu_dirty = True
         return key
@@ -373,16 +390,47 @@ class Textures:
         if srgb:
             img = np.concatenate([srgb_to_linear(img[..., :3]), img[..., 3:4]], axis=2)
         n_mips = int(d[TD_N_MIPS])
-        chain = generate_mip_chain(img, kind) if n_mips > 1 else [img]
-        wrap_s, wrap_t = int(d[TD_WRAP_S]), int(d[TD_WRAP_T])
+        sampler = Sampler(wrap_s=int(d[TD_WRAP_S]), wrap_t=int(d[TD_WRAP_T]))
         off = self._tex_offset[key]
+        total = sum(
+            max(1, img.shape[0] >> i) * max(1, img.shape[1] >> i)
+            for i in range(n_mips))
+        self._pack_into(img, kind, sampler, n_mips, off, total)
+        self.gpu_dirty = True
+
+    def _pack_into(self, img: np.ndarray, kind: MipmapKind, sampler,
+                   levels: int, offset: int, total: int) -> None:
+        """Generate the mip chain and write its packed 128-B texel rows
+        into texels_packed[offset : offset + total].
+
+        Native single-pass path first (utils/native.py pack_texture_mips
+        — chain + quad/parent packing + f32->bf16 in C++; the numpy
+        packer measured ~60 s for five 1024x1024 maps, ~98% of
+        DamagedHelmet-class glTF ingest). numpy fallback when the .so is
+        missing or a level transition is not an integer area ratio
+        (non-power-of-two tails go through cv2 INTER_AREA)."""
+        from ..utils import native as _native
+
+        kind_c = {MipmapKind.COLOR: 0, MipmapKind.SCALAR: 0,
+                  MipmapKind.NORMAL: 1,
+                  MipmapKind.METALLIC_ROUGHNESS: 2}[kind.filter_class]
+        dest = self.texels_packed[offset : offset + total]
+        if _native.pack_texture_mips(img, kind_c, sampler.wrap_s,
+                                     sampler.wrap_t, levels,
+                                     dest.view(np.uint16)):
+            return
+        chain = generate_mip_chain(img, kind) if levels > 1 else [img]
+        off = offset
         for i, mip in enumerate(chain):
             parent = (chain[i + 1] if i + 1 < len(chain)
                       else np.zeros((1, 1, 4), F))
-            packed = _pack_rows(mip, parent, wrap_s, wrap_t)
-            self.texels_packed[off : off + mip.shape[0] * mip.shape[1]] = packed
-            off += mip.shape[0] * mip.shape[1]
-        self.gpu_dirty = True
+            packed = _pack_rows(mip, parent, sampler.wrap_s, sampler.wrap_t)
+            n = mip.shape[0] * mip.shape[1]
+            # uint16 bit-copy: ml_dtypes bf16->bf16 assignment is an
+            # element-wise cast loop, ~10x slower than this memcpy
+            self.texels_packed[off : off + n].view(np.uint16)[:] = \
+                packed.view(np.uint16)
+            off += n
 
     def remove(self, key: int) -> None:
         if key not in self._tex_offset:

@@ -58,6 +58,16 @@ def _load() -> Optional[ctypes.CDLL]:
             fp, fp, fp, ip, ctypes.c_int64, ctypes.c_int64, fp]
     except AttributeError:
         pass  # stale .so from before the symbol existed; callers fall back
+    try:
+        lib.pack_texture_mips.argtypes = [
+            fp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16)]
+        lib.u8_to_f32_rgba.argtypes = [
+            up, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, fp]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -169,6 +179,53 @@ def mikktspace_tangents(pos: np.ndarray, nrm: np.ndarray, uv: np.ndarray,
     lib.mikktspace_tangents(_fp(pos), _fp(nrm), _fp(uv), _ip(idx),
                             idx.shape[0], n_verts, _fp(out))
     return out
+
+
+def u8_to_f32_rgba(img: np.ndarray, srgb: bool):
+    """uint8 (h, w[, c]) image -> (h, w, 4) f32 RGBA with an exact
+    256-entry sRGB EOTF LUT (bit-identical to srgb_to_linear on byte
+    inputs). Returns None when unavailable (caller runs the numpy
+    chain)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "u8_to_f32_rgba"):
+        return None
+    if img.ndim == 2:
+        img = img[..., None]
+    c = img.shape[2]
+    if c not in (1, 3, 4):
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    out = np.empty((img.shape[0], img.shape[1], 4), dtype=np.float32)
+    lib.u8_to_f32_rgba(_up(img), img.shape[0], img.shape[1], c,
+                       int(srgb), _fp(out))
+    return out
+
+
+def pack_texture_mips(img: np.ndarray, kind: int, wrap_s: int, wrap_t: int,
+                      n_levels: int, out_u16: np.ndarray) -> bool:
+    """Full mip chain + 128-B texel-row packing in one native pass
+    (core/textures.py add_image hot path — the numpy packer measured
+    ~60 s for a DamagedHelmet-class texture set). `out_u16` is the
+    (total_texels, 64) uint16 VIEW of the destination bf16 rows, written
+    in place. Returns False when the native library (or symbol) is
+    unavailable or a level transition is not an integer area ratio
+    (caller falls back to the numpy chain)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_texture_mips"):
+        return False
+    h, w = img.shape[:2]
+    ph, pw = h, w
+    for _ in range(1, n_levels):
+        nh, nw = max(1, ph // 2), max(1, pw // 2)
+        if ph % nh or pw % nw:
+            return False
+        ph, pw = nh, nw
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    assert out_u16.dtype == np.uint16 and out_u16.flags.c_contiguous
+    lib.pack_texture_mips(
+        _fp(img), h, w, kind, wrap_s, wrap_t, n_levels,
+        out_u16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return True
 
 
 def transform_aabbs(rows: np.ndarray, world: np.ndarray,

@@ -362,4 +362,174 @@ void mikktspace_tangents(const float* pos, const float* nrm, const float* uv,
   }
 }
 
+// ---- texture mip-chain generation + texel-row packing ---------------------
+//
+// The reference generates mips on the GPU (renderer-core texture/mipmap.rs
+// compute shader) and uploads plain RGBA layers. The TPU texel pool instead
+// bakes each texel's full trilinear footprint into ONE 128-B bf16 row
+// (core/textures.py header: bilinear quad + parent-mip 3x3). Packing those
+// rows in numpy measured ~60 s for five 1024x1024 maps (DamagedHelmet
+// class) — ml_dtypes bf16 casts and 13-way concatenates over ~900 MB of
+// intermediates. This native path runs the whole chain in one pass:
+// semantic-filtered downsample (normal renormalize / perceptual r^2
+// roughness, mipmap.rs:26-62 semantics), quad + parent packing, and
+// float->bf16 round-to-nearest-even, writing the destination rows directly.
+
+static inline uint16_t f2bf(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t lsb = (x >> 16) & 1u;
+  x += 0x7fffu + lsb;  // round to nearest even (numpy astype semantics)
+  return (uint16_t)(x >> 16);
+}
+
+static inline int64_t wrap_i(int64_t i, int64_t n, int32_t mode) {
+  // REPEAT=0 -> modular; CLAMP/MIRROR -> edge clamp (mirrored sampling
+  // folds the coordinate before lookup, after which neighbors clamp)
+  if (mode == 0) {
+    i %= n;
+    return i < 0 ? i + n : i;
+  }
+  return i < 0 ? 0 : (i >= n ? n - 1 : i);
+}
+
+// uint8 (h, w, c) image -> (h, w, 4) f32, optionally sRGB->linear on RGB.
+// The add_image conversion chain (astype/255 + alpha concat + srgb pow)
+// cost ~0.25 s per 1024x1024 in numpy; u8 inputs take an exact 256-entry
+// LUT (the EOTF of every possible byte, same formula as
+// core/textures.py srgb_to_linear).
+void u8_to_f32_rgba(const uint8_t* img, int64_t h, int64_t w, int32_t c,
+                    int32_t srgb, float* out) {
+  float lut_lin[256], lut_srgb[256];
+  for (int i = 0; i < 256; ++i) {
+    float v = (float)i / 255.0f;
+    lut_lin[i] = v;
+    lut_srgb[i] = v <= 0.04045f ? v / 12.92f
+                                : std::pow((v + 0.055f) / 1.055f, 2.4f);
+  }
+  const float* lut = srgb ? lut_srgb : lut_lin;
+  int64_t n = h * w;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = img + i * c;
+    float* o = out + i * 4;
+    if (c == 1) {
+      float v = lut[p[0]];
+      o[0] = v; o[1] = v; o[2] = v; o[3] = 1.0f;
+    } else {
+      o[0] = lut[p[0]];
+      o[1] = lut[p[1]];
+      o[2] = lut[p[2]];
+      o[3] = c >= 4 ? (float)p[3] / 255.0f : 1.0f;  // alpha stays linear
+    }
+  }
+}
+
+// img: (h0, w0, 4) f32, linear; out: sum(h_i*w_i) rows x 64 u16 (bf16).
+// kind: 0=color/scalar box, 1=normal (renormalize), 2=metallic-roughness
+// (G averages as r^2). n_levels must satisfy integer area ratios at every
+// step (caller gates; powers of two always do).
+void pack_texture_mips(const float* img, int64_t h0, int64_t w0,
+                       int32_t kind, int32_t wrap_s, int32_t wrap_t,
+                       int32_t n_levels, uint16_t* out) {
+  // build the chain (f32 scratch)
+  std::vector<std::vector<float>> chain(n_levels);
+  std::vector<int64_t> hs(n_levels), ws(n_levels);
+  hs[0] = h0; ws[0] = w0;
+  chain[0].assign(img, img + (size_t)h0 * w0 * 4);
+  for (int32_t L = 1; L < n_levels; ++L) {
+    int64_t pw = ws[L - 1], ph = hs[L - 1];
+    int64_t nw = pw / 2 > 0 ? pw / 2 : 1, nh = ph / 2 > 0 ? ph / 2 : 1;
+    int64_t rx = pw / nw, ry = ph / nh;  // integer by caller gate
+    ws[L] = nw; hs[L] = nh;
+    chain[L].resize((size_t)nh * nw * 4);
+    const std::vector<float>& src = chain[L - 1];
+    std::vector<float>& dst = chain[L];
+    float inv = 1.0f / (float)(rx * ry);
+    for (int64_t y = 0; y < nh; ++y) {
+      for (int64_t x = 0; x < nw; ++x) {
+        double acc[4] = {0, 0, 0, 0};
+        for (int64_t sy = 0; sy < ry; ++sy) {
+          const float* row = src.data() + (((size_t)(y * ry + sy)) * pw
+                                           + (size_t)x * rx) * 4;
+          for (int64_t sx = 0; sx < rx; ++sx) {
+            const float* p = row + (size_t)sx * 4;
+            if (kind == 1) {
+              acc[0] += p[0] * 2.0f - 1.0f;
+              acc[1] += p[1] * 2.0f - 1.0f;
+              acc[2] += p[2] * 2.0f - 1.0f;
+              acc[3] += p[3];
+            } else if (kind == 2) {
+              acc[0] += p[0];
+              acc[1] += (double)p[1] * p[1];  // perceptual roughness
+              acc[2] += p[2];
+              acc[3] += p[3];
+            } else {
+              acc[0] += p[0]; acc[1] += p[1]; acc[2] += p[2]; acc[3] += p[3];
+            }
+          }
+        }
+        float* o = dst.data() + ((size_t)y * nw + x) * 4;
+        if (kind == 1) {
+          float nx = (float)(acc[0] * inv), ny = (float)(acc[1] * inv),
+                nz = (float)(acc[2] * inv);
+          float nn = std::sqrt(nx * nx + ny * ny + nz * nz);
+          if (nn > 1e-6f) { nx /= nn; ny /= nn; nz /= nn; }
+          else { nx = 0.f; ny = 0.f; nz = 1.f; }
+          o[0] = (nx + 1.0f) * 0.5f;
+          o[1] = (ny + 1.0f) * 0.5f;
+          o[2] = (nz + 1.0f) * 0.5f;
+          o[3] = (float)(acc[3] * inv);
+        } else if (kind == 2) {
+          o[0] = (float)(acc[0] * inv);
+          float g2 = (float)(acc[1] * inv);
+          o[1] = std::sqrt(g2 > 0.f ? g2 : 0.f);
+          o[2] = (float)(acc[2] * inv);
+          o[3] = (float)(acc[3] * inv);
+        } else {
+          o[0] = (float)(acc[0] * inv); o[1] = (float)(acc[1] * inv);
+          o[2] = (float)(acc[2] * inv); o[3] = (float)(acc[3] * inv);
+        }
+      }
+    }
+  }
+
+  // pack rows: quad (cols 0..15), parent 3x3 (16..51), zero pad (52..63)
+  uint16_t* orow = out;
+  static const float kZero4[4] = {0.f, 0.f, 0.f, 0.f};
+  for (int32_t L = 0; L < n_levels; ++L) {
+    const float* mip = chain[L].data();
+    int64_t h = hs[L], w = ws[L];
+    bool has_parent = L + 1 < n_levels;
+    const float* par = has_parent ? chain[L + 1].data() : kZero4;
+    int64_t h1 = has_parent ? hs[L + 1] : 1, w1 = has_parent ? ws[L + 1] : 1;
+    for (int64_t y = 0; y < h; ++y) {
+      int64_t yn = wrap_i(y + 1, h, wrap_t);
+      int64_t by = (y - 1) >> 1;
+      for (int64_t x = 0; x < w; ++x, orow += 64) {
+        int64_t xn = wrap_i(x + 1, w, wrap_s);
+        const float* t00 = mip + ((size_t)y * w + x) * 4;
+        const float* t01 = mip + ((size_t)y * w + xn) * 4;
+        const float* t10 = mip + ((size_t)yn * w + x) * 4;
+        const float* t11 = mip + ((size_t)yn * w + xn) * 4;
+        for (int c = 0; c < 4; ++c) orow[c] = f2bf(t00[c]);
+        for (int c = 0; c < 4; ++c) orow[4 + c] = f2bf(t01[c]);
+        for (int c = 0; c < 4; ++c) orow[8 + c] = f2bf(t10[c]);
+        for (int c = 0; c < 4; ++c) orow[12 + c] = f2bf(t11[c]);
+        int64_t bx = (x - 1) >> 1;
+        int col = 16;
+        for (int dy = 0; dy < 3; ++dy) {
+          int64_t py = wrap_i(by + dy, h1, wrap_t);
+          for (int dx = 0; dx < 3; ++dx) {
+            int64_t px = wrap_i(bx + dx, w1, wrap_s);
+            const float* p = par + ((size_t)py * w1 + px) * 4;
+            for (int c = 0; c < 4; ++c) orow[col + c] = f2bf(p[c]);
+            col += 4;
+          }
+        }
+        for (int c = 52; c < 64; ++c) orow[c] = 0;
+      }
+    }
+  }
+}
+
 }  // extern "C"

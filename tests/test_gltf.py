@@ -466,4 +466,8 @@ def test_helmet_loader_time_budget(tmp_path):
     tris = int(np.sum(r.meshes.tri_mesh >= 0))
     assert tris >= 50_000, tris
     print(f"helmet load+populate: {dt:.2f}s for {tris} tris")
-    assert dt < 60.0, f"loader blew the budget: {dt:.1f}s"
+    # r5: native mip-chain packing + u8->RGBA LUT (native/awsm_host.cpp
+    # pack_texture_mips) took this from ~64 s to ~4 s on the 1-core CI
+    # host; the budget leaves headroom for a loaded box but catches any
+    # regression to the numpy packer's order of magnitude
+    assert dt < 12.0, f"loader blew the budget: {dt:.1f}s"
