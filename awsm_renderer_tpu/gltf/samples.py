@@ -810,6 +810,93 @@ def glb_extensions_compare():
     }), ((0.0, 0.0, 4.6), (0.0, 0.0, 0.0))
 
 
+_EXT_PROBE_VARIANTS = {
+    # reference: dedicated per-extension Khronos scenes (frontend
+    # collections.rs:96-123 Extensions set: ClearCoat*, Sheen*,
+    # Transmission/IOR, Iridescence*, Anisotropy*, SpecularTest,
+    # UnlitTest) — one close-up sphere per extension, tight-parity
+    # golden targets (tests/test_parity_golden.py parity-ext-*-512)
+    "clearcoat": {"KHR_materials_clearcoat": {
+        "clearcoatFactor": 1.0, "clearcoatRoughnessFactor": 0.08}},
+    "sheen": {"KHR_materials_sheen": {
+        "sheenColorFactor": [0.9, 0.75, 0.3],
+        "sheenRoughnessFactor": 0.45}},
+    "transmission": {"KHR_materials_transmission": {
+        "transmissionFactor": 1.0},
+        "KHR_materials_volume": {
+            "thicknessFactor": 0.4,
+            "attenuationColor": [0.6, 0.8, 0.9],
+            "attenuationDistance": 2.0},
+        "KHR_materials_ior": {"ior": 1.5}},
+    "specular": {"KHR_materials_specular": {
+        "specularFactor": 0.35,
+        "specularColorFactor": [0.2, 0.55, 1.0]}},
+    # metallic base: thin-film interference modulates f0, so the effect
+    # is strongest on metals (the reference probes it with
+    # IridescenceMetallicSpheres)
+    "iridescence": {"KHR_materials_iridescence": {
+        "iridescenceFactor": 1.0, "iridescenceIor": 1.8,
+        "iridescenceThicknessMinimum": 100.0,
+        "iridescenceThicknessMaximum": 400.0}},
+    "anisotropy": {"KHR_materials_anisotropy": {
+        "anisotropyStrength": 0.9, "anisotropyRotation": 0.6}},
+    "unlit": {"KHR_materials_unlit": {}},
+}
+
+
+def glb_ext_probe(variant: str):
+    """Single-extension close-up: one sphere carrying exactly one KHR
+    material extension (`variant` from _EXT_PROBE_VARIANTS), framed to
+    fill the view — the per-extension analog of the reference's
+    dedicated extension test scenes, as tight-golden material."""
+    ext = _EXT_PROBE_VARIANTS[variant]
+    b = _GlbBuilder()
+    pos_acc, nrm_acc, idx_acc = _sphere_mesh(b)
+    m = {"pbrMetallicRoughness": {
+        "baseColorFactor": [0.72, 0.22, 0.18, 1.0],
+        "metallicFactor": 0.0, "roughnessFactor": 0.35},
+        "name": variant, "extensions": ext}
+    if variant in ("anisotropy", "iridescence"):
+        # specular-dominant extensions read best on metal (anisotropy
+        # additionally needs tangents; the loader generates them from
+        # UVs)
+        m["pbrMetallicRoughness"]["metallicFactor"] = 0.9
+        m["pbrMetallicRoughness"]["roughnessFactor"] = 0.45
+    mats = [m]
+    meshes = [{"primitives": [{
+        "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
+        "indices": idx_acc, "material": 0}]}]
+    nodes = [{"mesh": 0, "scale": [1.6, 1.6, 1.6]}]
+    if variant == "transmission":
+        # a checkered backdrop BEHIND the glass: against a uniform sky a
+        # smooth fully-transmissive sphere is (correctly) near-invisible;
+        # refraction of a patterned background is what the probe must pin
+        # (reference TransmissionTest poses its spheres over test cards)
+        img = b.image_png(_checker_rgba(a=(40, 90, 180), b=(235, 235, 225)))
+        quad = np.array([[-2.4, -1.4, 0], [2.4, -1.4, 0],
+                         [2.4, 1.4, 0], [-2.4, 1.4, 0]], F)
+        uvq = np.array([[0, 1], [3, 1], [3, 0], [0, 0]], F)
+        nq = np.tile(np.array([[0, 0, 1]], F), (4, 1))
+        qidx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+        mats.append({"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.0, "roughnessFactor": 0.9}})
+        meshes.append({"primitives": [{
+            "attributes": {"POSITION": b.acc(quad, minmax=True),
+                           "NORMAL": b.acc(nq),
+                           "TEXCOORD_0": b.acc(uvq)},
+            "indices": b.acc(qidx), "material": 1}]})
+        nodes.append({"mesh": 1, "translation": [0.0, 0.0, -1.6]})
+    doc = {
+        "scene": 0, "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes, "meshes": meshes, "materials": mats,
+        "extensionsUsed": sorted(ext),
+    }
+    if b.images:
+        doc["textures"] = [{"source": 0}]
+    return b.glb(doc), ((0.0, 0.35, 2.4), (0.0, 0.0, 0.0))
+
+
 def glb_sponza_lite():
     """Sponza-class open-world probe through the FULL glTF path: a
     textured floor, a 7x7 colonnade of shared-mesh columns and spheres
@@ -1407,6 +1494,12 @@ SAMPLES = {
     "glb-texture-transform": glb_texture_transform,
     "glb-alpha-modes": glb_alpha_modes,
 }
+
+import functools as _ft
+
+for _v in _EXT_PROBE_VARIANTS:
+    SAMPLES[f"glb-ext-{_v}"] = _ft.partial(glb_ext_probe, _v)
+del _ft, _v
 
 
 def write_sample(name: str, path: str) -> tuple:

@@ -277,6 +277,17 @@ def _screen_gradient(ch, W, H, vertical: bool = False, layers: int = 1):
 
 
 #: resolved-plane names the resolve kernel emits, in output order
+# global channel-isolation debug views ("channel:<name>" debug mode);
+# indices match the per-material bitmask bit order (materials/pbr.rs:54-79)
+DEBUG_CHANNELS = {
+    "basecolor": 0,
+    "metallicroughness": 1,
+    "normals": 2,
+    "occlusion": 3,
+    "emissive": 4,
+    "specular": 5,
+}
+
 RESOLVE_NAMES = (
     "tri_id", "mat_row", "uv0_u", "uv0_v", "uv1_u", "uv1_v",
     "color_r", "color_g", "color_b", "color_a",
@@ -905,12 +916,7 @@ def shade_surface(
         pbr_color = ambient
     elif debug_mode == "punctual":
         pbr_color = direct
-    elif debug_mode == "material":
-        # per-MATERIAL debug bitmask (reference materials/pbr.rs:54-79 +
-        # pbr_material_color.wgsl:30-51): replace the PBR output with the
-        # selected channel; lowest set bit wins, mirroring the reference's
-        # early-return chain (selects applied high→low so bit 0 lands last)
-        dbg = mflag(M.MI_DEBUG_MASK).astype(jnp.int32)
+    elif debug_mode == "material" or debug_mode.startswith("channel:"):
         spec_vis = [spec_color[c] * spec_color_tex[c] * spec_amt
                     for c in range(3)]
         views = (
@@ -921,9 +927,21 @@ def shade_surface(
             emissive,                                         # Emissive
             spec_vis,                                         # Specular
         )
-        for b in range(5, -1, -1):
-            hit = ((dbg >> b) & 1) == 1
-            pbr_color = v_where(hit, views[b], pbr_color)
+        if debug_mode == "material":
+            # per-MATERIAL debug bitmask (reference materials/pbr.rs:54-79
+            # + pbr_material_color.wgsl:30-51): replace the PBR output
+            # with the selected channel; lowest set bit wins, mirroring
+            # the reference's early-return chain (selects applied
+            # high→low so bit 0 lands last)
+            dbg = mflag(M.MI_DEBUG_MASK).astype(jnp.int32)
+            for b in range(5, -1, -1):
+                hit = ((dbg >> b) & 1) == 1
+                pbr_color = v_where(hit, views[b], pbr_color)
+        else:
+            # GLOBAL channel isolation ("channel:<name>"): every surface
+            # shows the named channel regardless of material bitmask —
+            # the frontend sidebar's whole-scene material debug view
+            pbr_color = views[DEBUG_CHANNELS[debug_mode.split(":", 1)[1]]]
 
     # ---- alpha per mode (OPAQUE=1, MASK=cutoff test, BLEND=base.a) ------------
     alpha_mode = mflag(M.MI_ALPHA_MODE)
@@ -1056,6 +1074,7 @@ def shade_deferred_c(
         has_nearest=has_nearest, ext=ext,
         debug_mode=(debug_mode
                     if debug_mode in ("ibl", "punctual", "material")
+                    or debug_mode.startswith("channel:")
                     else "none"),
         setup_rows=setup_rows, want_sky=True, light_tiles=light_tiles,
     )
@@ -1147,6 +1166,7 @@ def shade_units_c(
         has_nearest=has_nearest, ext=ext,
         debug_mode=(debug_mode
                     if debug_mode in ("ibl", "punctual", "material")
+                    or debug_mode.startswith("channel:")
                     else "none"),
         want_sky=True, light_tiles=light_tiles,
     )

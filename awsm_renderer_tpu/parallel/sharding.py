@@ -75,6 +75,7 @@ def render_frame_sharded(
     ext=None,
     has_uv1: bool = True,
     has_color: bool = True,
+    light_tiles: bool = False,
     interpret: bool | None = None,
 ):
     """Render with the framebuffer row-sharded over `mesh` (1-D).
@@ -112,6 +113,7 @@ def render_frame_sharded(
         slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
         hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
         ext=ext, has_uv1=has_uv1, has_color=has_color,
+        light_tiles=light_tiles,
     )
 
     @functools.partial(
@@ -277,6 +279,7 @@ def render_frame_sharded_2d(
     ext=None,
     has_uv1: bool = True,
     has_color: bool = True,
+    light_tiles: bool = False,
     interpret: bool | None = None,
 ):
     """Single-scale frame over a 2-D ("rows", "cols") device mesh:
@@ -317,6 +320,7 @@ def render_frame_sharded_2d(
         slot_mask=slot_mask, solid_env=solid_env, interpret=interpret,
         hooks=None, has_nearest=has_nearest, needs_clip=needs_clip,
         ext=ext, has_uv1=has_uv1, has_color=has_color,
+        light_tiles=light_tiles,
     )
 
     @functools.partial(

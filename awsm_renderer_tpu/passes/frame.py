@@ -716,6 +716,20 @@ def _opaque_band_msaa(
     samp = [_fit_cols(s, -1) for s in samp_raw]
     depth1 = _fit_cols(depth1_raw, 1.0)
 
+    if debug_mode == "edges":
+        # MSAA edge-detect view (reference: material_opaque compute.wgsl
+        # MSAA variant's edge detection, surfaced by debug_to_copy.wgsl):
+        # white where the pixel's 4 coverage samples disagree on the
+        # winner (the per-sample resolve does real work there), dim gray
+        # on interior coverage, black on miss. Skips shading entirely.
+        rep0 = samp[0]
+        edge = ((samp[1] != rep0) | (samp[2] != rep0) | (samp[3] != rep0))
+        v = jnp.where(edge, 1.0,
+                      jnp.where(rep0 >= 0, 0.15, 0.0)) \
+            .reshape(band1_h * rw1).astype(jnp.float32)
+        cov = (rep0 >= 0).reshape(band1_h * rw1).astype(jnp.float32)
+        return [v, v, v, cov], samp, depth1
+
     from ..ops.shade import RESOLVE_NAMES, resolve_planes_fused
 
     rep = samp[0]
@@ -968,7 +982,8 @@ def render_frame(
             row_offset1=0, shift_rows=False, debug_mode=debug_mode,
             tile_cap=opaque_tile_cap, tile_rows=opaque_tile_rows, **common,
         )
-        hdr_ch = _msaa_edge_blend(hdr_ch, samp, rh1, rw1)
+        if debug_mode != "edges":     # keep the edge VIEW crisp
+            hdr_ch = _msaa_edge_blend(hdr_ch, samp, rh1, rw1)
         tri_id = samp[0]
     else:
         hdr_ch, tri_id, depth = _opaque_band(
@@ -1124,13 +1139,13 @@ def render_frame_temporal(
     # ---- 2. reproject + validate (unjittered matrices) -------------------
     off_x, off_y, exp_z = temporal_offsets(
         ds["camera"], depth, width=rw1, height=rh1)
-    rep_r, rep_g, rep_b, valid, blendable = reproject_history(
+    rep_r, rep_g, rep_b, valid, blendable, n_invalid = reproject_history(
         hist, off_x, off_y, exp_z, col, width=rw1, height=rh1,
         interpret=interpret)
 
     # ---- 3. shade the budgeted unit set ----------------------------------
     idx, shaded_unit = select_units(
-        valid, age, width=rw1, height=rh1, shade_cap=shade_cap)
+        n_invalid, age, width=rw1, height=rh1, shade_cap=shade_cap)
     C = idx.shape[0]
     tid_c = jnp.take(_tile_swizzle(col, rh1, rw1, th), idx,
                      axis=0).reshape(C * U)

@@ -950,6 +950,10 @@ class AwsmRendererTpu:
         # a pre-flush host hook is a natural use and takes effect THIS
         # frame (ADVICE r3: the pre-hook snapshot applied it a frame late)
         cfg = self.config
+        if debug_mode == "edges" and not cfg.anti_aliasing.msaa:
+            raise ConfigError(
+                "debug_mode 'edges' visualizes MSAA per-sample coverage "
+                "and requires AntiAliasing(msaa=True)")
         self.camera.next_frame()
         if debug_mode == "none":
             # any material carrying a debug bitmask switches the shade
@@ -1206,8 +1210,12 @@ class AwsmRendererTpu:
     def render(self, debug_mode: str = "none", hooks=None) -> np.ndarray:
         """Render one frame and read it back to host (H, W, 4) f32 sRGB.
 
-        debug_mode: "none" | "normals" | "ibl" | "punctual" (the reference's
-        shader debug template variants, template.rs:46-65).
+        debug_mode: "none" | "normals" | "ibl" | "punctual" |
+        "edges" (MSAA edge-detect view; requires msaa) |
+        "channel:<name>" (global material-channel isolation,
+        ops/shade.py DEBUG_CHANNELS) — the reference's shader debug
+        template variants (template.rs:46-65, materials/pbr.rs:54-79,
+        helpers/debug_to_copy.wgsl).
         The readback is the expensive part on a remote-attached TPU; use
         render_device() for benchmarking / on-device consumers."""
         return np.asarray(self.render_device(debug_mode=debug_mode, hooks=hooks))

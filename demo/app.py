@@ -45,8 +45,23 @@ def parse_args(argv=None):
                    help="MSAA-4x equivalent (2x2 coverage, per-pixel shade)")
     p.add_argument("--no-mips", action="store_true")
     p.add_argument("--grid", action="store_true", help="editor ground grid")
-    p.add_argument("--debug", choices=["none", "normals", "ibl", "punctual"],
-                   default="none", help="shader debug variant")
+    def _debug_mode(v):
+        from awsm_renderer_tpu.ops.shade import DEBUG_CHANNELS
+
+        if v in ("none", "normals", "ibl", "punctual", "edges"):
+            return v
+        if v.startswith("channel:") and v.split(":", 1)[1] in DEBUG_CHANNELS:
+            return v
+        import argparse as _ap
+
+        raise _ap.ArgumentTypeError(
+            f"unknown debug mode {v!r}; expected none|normals|ibl|punctual|"
+            f"edges|channel:<{'|'.join(sorted(DEBUG_CHANNELS))}>")
+
+    p.add_argument("--debug", type=_debug_mode, default="none",
+                   help="shader debug variant: none|normals|ibl|punctual|"
+                        "edges (MSAA edge view, needs --msaa)|channel:<name> "
+                        "(global material-channel isolation)")
     p.add_argument("--report", action="store_true", help="print store reports")
     p.add_argument("--timings", action="store_true")
     p.add_argument("--mp4", help="also write an mp4 at this path (cv2)")

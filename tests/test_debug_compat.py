@@ -151,3 +151,57 @@ def test_warmup_compiles_variants_and_retrace_note():
     import pytest
     with pytest.raises(ConfigError):
         r.warmup([{"not_a_field": 1}])
+
+
+def test_debug_channel_isolation():
+    """Global channel views ("channel:<name>") replace shading with the
+    named material channel for every surface (reference sidebar material
+    debug, materials/pbr.rs:54-79 bitmask — here scene-wide)."""
+    from awsm_renderer_tpu.core.textures import linear_to_srgb
+
+    r = _scene()
+    base = r.render(debug_mode="channel:basecolor")
+    c = base[H // 2, W // 2, :3]
+    np.testing.assert_allclose(c, [1, 1, 1], atol=0.02)  # white base color
+    mr = r.render(debug_mode="channel:metallicroughness")
+    c = mr[H // 2, W // 2, :3]
+    # display encodes sRGB: G = srgb(roughness 0.6), B = srgb(0) = 0
+    assert abs(c[1] - linear_to_srgb(np.float32(0.6))) < 0.05
+    assert c[2] < 0.02
+    nrm = r.render(debug_mode="channel:normals")
+    assert nrm[H // 2, W // 2, 2] > 0.8                  # front face ~ +z
+    em = r.render(debug_mode="channel:emissive")
+    assert em[H // 2, W // 2, :3].max() < 0.02           # no emissive set
+
+
+def test_debug_edges_view():
+    """MSAA edge view: white where a pixel's 4 coverage samples disagree
+    on the winner triangle (silhouettes AND interior mesh edges — the
+    per-sample resolve works exactly there), dim gray on agreeing
+    coverage, black on miss; requires msaa. A box's large flat faces
+    keep the interior sample-stable so the view separates cleanly."""
+    from awsm_renderer_tpu import AntiAliasing
+    from awsm_renderer_tpu.errors import ConfigError
+    from awsm_renderer_tpu.geometry import box
+    import pytest
+
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H,
+        anti_aliasing=AntiAliasing(msaa=True),
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(PbrMaterial())
+    r.add_mesh(box(0.8), mat)
+    r.camera.update(m3.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0]),
+                    m3.perspective(np.pi / 3, W / H, 0.1, 100.0))
+    img = r.render(debug_mode="edges")
+    lum = img[..., 0]
+    assert (lum > 0.9).sum() > 5           # edge pixels lit
+    assert (lum > 0.9).mean() < 0.2        # but only a sparse set
+    # face interior is the dim coverage gray, not white
+    assert 0.05 < lum[H // 2, W // 2] < 0.5
+    # corners are miss = black
+    assert lum[1, 1] < 0.02
+    # without msaa the mode is a config error
+    r2 = _scene()
+    with pytest.raises(ConfigError):
+        r2.render(debug_mode="edges")

@@ -138,3 +138,94 @@ def test_grid_renders_lines():
     # lower half of the screen shows the ground plane: lines vs gaps
     strip = img[H - 8, :, 0]
     assert strip.std() > 0.01, "grid should produce varying intensity"
+
+
+# ---- interactive session driver (reference: frontend scene.rs runtime) ----
+
+from awsm_renderer_tpu.session import InteractiveSession, OrbitCamera
+
+
+def _session_scene():
+    r = AwsmRendererTpu(RendererConfig(
+        width=W, height=H,
+        post_processing=PostProcessing(tonemapping=ToneMapping.NONE)))
+    mat = r.materials.insert(UnlitMaterial(
+        base_color_factor=np.array([1, 0.2, 0.2, 1], F)))
+    key = r.add_mesh(box(0.6), mat)
+    s = InteractiveSession(
+        r, editor=True,
+        camera=OrbitCamera(center=(0, 0, 0), radius=4.0, yaw=0.0,
+                           pitch=0.35))
+    return r, s, key
+
+
+def test_session_drag_end_to_end():
+    """Scripted-pointer session: click selects the mesh and attaches the
+    gizmo, a drag on a translate handle moves the TRANSFORM through the
+    real pick → ray → set_translation pipeline, and the frame re-renders
+    (the reference's pointerdown/move/up flow, scene.rs:108-170)."""
+    r, s, key = _session_scene()
+    img0 = np.asarray(s.step(0.0))
+
+    # click the object: selection + gizmo attach (ObjectHit)
+    s.step(0.0, [("pointer_down", W // 2, H // 2), ("pointer_up",)])
+    tk = r.meshes.get(key).transform_key
+    assert s.selected == key
+    assert s.controller.target == tk
+    assert r._mesh_masks()["hud"].any()      # gizmo handles visible
+
+    # find a translate-handle pixel in the rendered frame
+    s.step(0.0)
+    handle_px = None
+    for y in range(0, H, 2):
+        for x in range(0, W, 2):
+            k = r.pick(x, y)
+            if k in s.controller._parts \
+                    and s.controller._parts[k][0] == GizmoMode.TRANSLATE:
+                handle_px = (x, y, s.controller._parts[k][1])
+                break
+        if handle_px:
+            break
+    assert handle_px is not None, "no translate handle visible"
+    hx, hy, axis = handle_px
+
+    t0 = r.transforms.get_local(tk).translation.copy()
+    img1 = np.asarray(s.step(0.0, [("pointer_down", hx, hy)]))
+    assert s.controller.dragging
+    img2 = np.asarray(s.step(0.0, [("pointer_move", hx + 14, hy + 6)]))
+    s.step(0.0, [("pointer_up",)])
+    assert not s.controller.dragging
+    t1 = r.transforms.get_local(tk).translation
+    assert np.abs(t1 - t0).max() > 1e-3, (t0, t1)   # it moved
+    assert np.abs(img2 - img1).max() > 0.05         # and re-rendered
+
+
+def test_session_orbit_and_wheel():
+    """A drag on empty space orbits the camera; wheel zooms — and both
+    re-render (CameraMoving action, scene.rs:142-170)."""
+    r, s, _key = _session_scene()
+    img0 = np.asarray(s.step(0.0))
+    eye0 = s.camera.eye().copy()
+    img1 = np.asarray(s.step(0.0, [
+        ("pointer_down", 4, 4),          # empty corner: no pick hit
+        ("pointer_move", 34, 10),
+        ("pointer_up",),
+    ]))
+    assert np.abs(s.camera.eye() - eye0).max() > 1e-2
+    assert np.abs(img1 - img0).max() > 0.05
+    r0 = s.camera.radius
+    s.step(0.0, [("wheel", 3.0)])
+    assert s.camera.radius > r0
+
+
+def test_session_runtime_toggles_and_resize():
+    """Sidebar-style runtime toggles route through the public
+    reconfiguration API; resize reconfigures the swapchain size."""
+    r, s, _key = _session_scene()
+    s.step(0.0, [("set", "bloom", True), ("set", "smaa", True)])
+    assert r.config.post_processing.bloom
+    assert r.config.anti_aliasing.smaa
+    s.step(0.0, [("set", "bloom", False)])
+    assert not r.config.post_processing.bloom
+    img = np.asarray(s.step(0.0, [("resize", 256, 32)]))
+    assert img.shape == (32, 256, 4)

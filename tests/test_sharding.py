@@ -230,19 +230,16 @@ def test_sharded_2d_matches_single_device(scene):
     assert len(shards) == nr * nc
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    "AWSM_RUN_2D_FULL" not in __import__("os").environ,
-    reason="XLA CPU compile of the 2-D full-pass interpret frame is "
-           "pathological (>40 min on a small host, r4 measured) and "
-           "busts the --runslow budget; the graded multichip dryrun "
-           "(__graft_entry__.py) executes the same 2-D transparent+HUD+"
-           "bloom combination every round, and 2-D opaque equality + "
-           "1-D full-pass equality cover the numerics. Set "
-           "AWSM_RUN_2D_FULL=1 to run the full equality check.")
 def test_sharded_2d_full_matches_single_device():
     """2-D screen-tile sharding with the FULL single-scale pass set
     (transparent K=2 + HUD + bloom) == single device — the graded 2-D
-    dryrun (__graft_entry__.py) runs exactly this combination."""
+    dryrun (__graft_entry__.py) runs exactly this combination.
+
+    Plain --runslow since r5 (the r4 AWSM_RUN_2D_FULL env gate is gone:
+    the most production-like multichip equality check must run in the
+    default slow lane). COLD the interpret-mode XLA CPU compile is
+    ~40 min on a 1-core host — keep the persistent compile cache warm
+    (AWSM_JAX_CPU_CACHE, conftest.py) so it replays in seconds."""
     from awsm_renderer_tpu.parallel.sharding import render_frame_sharded_2d
 
     n = min(4, len(jax.devices()))
