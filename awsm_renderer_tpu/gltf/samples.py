@@ -897,6 +897,38 @@ def glb_ext_probe(variant: str):
     return b.glb(doc), ((0.0, 0.35, 2.4), (0.0, 0.0, 0.0))
 
 
+def glb_npot_texture():
+    """BoxTexturedNonPowerOfTwo-class: a textured quad whose base-color
+    map is 100x75 — NON-power-of-two on both axes. Pins the mip-chain
+    fallback path (non-integer area ratios route through the cv2/numpy
+    chain, never the native integer-ratio packer) and NPOT descriptor
+    wiring end to end."""
+    b = _GlbBuilder()
+    yy, xx = np.mgrid[0:75, 0:100]
+    c = ((yy // 10 + xx // 10) % 2).astype(bool)
+    img = np.empty((75, 100, 4), np.uint8)
+    img[c] = (230, 60, 40, 255)
+    img[~c] = (40, 80, 220, 255)
+    tex = b.image_png(img)
+    quad = np.array([[-0.8, -0.6, 0], [0.8, -0.6, 0],
+                     [0.8, 0.6, 0], [-0.8, 0.6, 0]], F)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], F)
+    nrm = np.tile(np.array([[0, 0, 1]], F), (4, 1))
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": b.acc(quad, minmax=True),
+                           "NORMAL": b.acc(nrm), "TEXCOORD_0": b.acc(uv)},
+            "indices": b.acc(idx), "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.0, "roughnessFactor": 0.9}}],
+        "textures": [{"source": tex}],
+    }), ((0.0, 0.0, 1.8), (0.0, 0.0, 0.0))
+
+
 def glb_sponza_lite():
     """Sponza-class open-world probe through the FULL glTF path: a
     textured floor, a 7x7 colonnade of shared-mesh columns and spheres
@@ -1493,6 +1525,7 @@ SAMPLES = {
     "glb-morphed": glb_morphed,
     "glb-texture-transform": glb_texture_transform,
     "glb-alpha-modes": glb_alpha_modes,
+    "glb-npot-texture": glb_npot_texture,
 }
 
 import functools as _ft

@@ -283,13 +283,14 @@ def _reproject_kernel(n_tx: int, win_h: int = WIN_H, win_w: int = WIN_W):
     return kernel
 
 
-def select_units(n_invalid, age, *, width: int, height: int,
+def select_units(valid, age, *, width: int, height: int,
                  shade_cap: int):
     """Pick the C units to re-shade this frame.
 
-    n_invalid: (n_units,) i32 — invalid-pixel count per (8, 128) unit,
-    reduced in-kernel by reproject_history (a full-plane bool reduce on
-    the XLA side cost a ~3 ms pred relayout copy).
+    valid: (H*W,) bool — history reuse is allowed at this pixel. (The
+    bool unit-swizzle LOOKS like a ~3 ms pred relayout in the xplane,
+    but that is an overlapped copy-start — replacing it with an int32
+    per-unit reduce measured 25.2 vs 20.0 ms end-to-end. Keep the bool.)
     age: (n_units,) i32 — frames since each unit last shaded.
     Priority: units containing ANY invalid pixel first (disocclusions,
     screen entrants, first frames), then age-due refresh units oldest-
@@ -297,10 +298,12 @@ def select_units(n_invalid, age, *, width: int, height: int,
     else oldest-first (spare budget always refreshes SOMETHING, so a
     static camera still converges its jittered AA). Returns
     (idx (C,) i32 unit ids, shaded_unit (n_units,) bool)."""
+    from ..ops.shade import _tile_swizzle
+
     H, W = height, width
     n_units = (H // 8) * (W // 128)
     C = min(shade_cap, n_units)
-    inval = n_invalid > 0
+    inval = jnp.any(~_tile_swizzle(valid, H, W, 8), axis=-1)
     a = jnp.clip(age, 0, 1 << 20)
     # silhouette units are PERPETUALLY strict-invalid under jitter (the
     # winner id flips); gating urgency on age > 0 stops them from
@@ -432,11 +435,5 @@ def reproject_history(hist, off_x, off_y, exp_z, cur_tid, *, width: int,
     )(scal, hist, off_x.reshape(H, W), off_y.reshape(H, W),
       exp_z.reshape(H, W), cur_tid.reshape(H, W))
     vf = v.reshape(H * W)
-    # per-unit invalid counts for select_units, reduced in INT: a bool
-    # (~valid) unit-swizzle materialized a pred[...](4,1)-tiled relayout
-    # copy worth ~3 ms at 1080p (r5 xplane); integer sum of the valid
-    # bit stays on the native s32 tiling
-    nv = (1024 - jnp.sum(v.reshape(n_ty, 8, n_tx, 128) & 1,
-                         axis=(1, 3))).reshape(n_units)
     return (r.reshape(H * W), g.reshape(H * W), b.reshape(H * W),
-            (vf & 1) > 0, (vf & 2) > 0, nv)
+            (vf & 1) > 0, (vf & 2) > 0)

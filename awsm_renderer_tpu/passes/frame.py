@@ -1037,6 +1037,11 @@ def render_frame(
         "overlay_tile_cap", "dof_rings", "light_tiles",
         "shade_cap", "alpha",
     ),
+    # donate the 42-MB history (+ age) so the steady-state loop updates
+    # ONE buffer in place: without donation every frame allocates a
+    # fresh history and the old ones free lazily through the relay —
+    # measured as an upward ms/frame drift over a ~200-frame run
+    donate_argnames=("hist", "age"),
 )
 def render_frame_temporal(
     ds,
@@ -1139,13 +1144,13 @@ def render_frame_temporal(
     # ---- 2. reproject + validate (unjittered matrices) -------------------
     off_x, off_y, exp_z = temporal_offsets(
         ds["camera"], depth, width=rw1, height=rh1)
-    rep_r, rep_g, rep_b, valid, blendable, n_invalid = reproject_history(
+    rep_r, rep_g, rep_b, valid, blendable = reproject_history(
         hist, off_x, off_y, exp_z, col, width=rw1, height=rh1,
         interpret=interpret)
 
     # ---- 3. shade the budgeted unit set ----------------------------------
     idx, shaded_unit = select_units(
-        n_invalid, age, width=rw1, height=rh1, shade_cap=shade_cap)
+        valid, age, width=rw1, height=rh1, shade_cap=shade_cap)
     C = idx.shape[0]
     tid_c = jnp.take(_tile_swizzle(col, rh1, rw1, th), idx,
                      axis=0).reshape(C * U)

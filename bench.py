@@ -260,17 +260,24 @@ def _time_loop(step, fence, n):
     return time.perf_counter() - t0
 
 
-def _differential(step, fence, label, sets: int = 1):
+def _differential(step, fence, label, sets: int = 1, frames=None):
     """Relay-safe frame time: (T(n frames + fence) - T(1 frame + fence))
     / (n - 1); a single-pixel fetch fences the queue.
 
     sets > 1 repeats the n-frame measurement and returns the MEDIAN
     ms/frame (r4 verdict: the chip-through-relay run-to-run spread is
     ±10%, so single-run round-over-round deltas under ~3 ms are
-    unfalsifiable; the headline now reports median-of-N + spread)."""
+    unfalsifiable; the headline now reports median-of-N + spread).
+
+    frames overrides the auto-sized loop length: the differential
+    divides the FENCE's latency variance (relay fetches jitter by
+    hundreds of ms) over (frames - 1), so fast frames need MORE
+    frames per set, not fewer — 40-frame temporal sets measured a
+    fake 15-26% spread that 120-frame sets collapse (r5)."""
     t1 = min(_time_loop(step, fence, 1), _time_loop(step, fence, 1))
     print(f"# {label}: 1 + fence: {t1*1000:.1f} ms", file=sys.stderr)
-    frames = max(6, min(40, int(10.0 / max(t1, 1e-3)) + 2))
+    if frames is None:
+        frames = max(6, min(40, int(10.0 / max(t1, 1e-3)) + 2))
     dts = []
     for s in range(max(sets, 1)):
         tn = _time_loop(step, fence, frames)
@@ -298,7 +305,19 @@ def _temporal_headline(width, height):
     + invalid-unit reshading genuinely exercised, not a static-history
     freebie). The camera cycles a fixed 32-view orbit arc; one full
     warm lap first so every quantized prep bucket (tile caps, crops,
-    DoF rings) is traced before timing. Returns (median_dt, spread)."""
+    DoF rings) is traced before timing.
+
+    Measurement: BLOCK timing (sets of 100 frames, one fence fetch per
+    block, median-of-sets) — NOT the 40-frame differential. The
+    differential divides the relay fence's latency jitter over too few
+    fast frames, and a per-frame device pick SLICE adds ~4 ms/frame of
+    relay-op overhead that degrades over hundreds of frames (measured:
+    stable 21.5 ms without it, 25-40 ms drifting with it; the msaa loop
+    at 31 ms/frame stays under the relay's op-rate limit, so its
+    protocol is unchanged). Picking here runs at a realistic ~1 Hz
+    pointer rate (every 30th frame) — the reference picks on
+    pointerdown (picker.rs), not per frame. Returns (median_dt,
+    spread)."""
     from awsm_renderer_tpu.utils import math3d as m3
 
     r, _ = build_stress_scene(width, height, temporal=True)
@@ -310,22 +329,38 @@ def _temporal_headline(width, height):
     idx = [0]
 
     def frame():
-        r.camera.update(views[idx[0] % 32], proj)
+        i = idx[0]
         idx[0] += 1
+        r.camera.update(views[i % 32], proj)
         ldr = r.render_device()
-        pick_val = r._last_tri_id[540, 960]
-        return ldr, pick_val
+        pv = r._last_tri_id[540, 960] if i % 30 == 0 else None
+        return ldr, pv
 
-    def fence(out):
-        ldr, pick_val = out
-        _ = int(np.asarray(pick_val))
-        _ = float(np.asarray(ldr[0, 0, 0]))
-
-    # warm: reset trace (frame 0, full cap) + steady trace + a full lap
-    for _ in range(34):
+    for _ in range(34):           # reset + steady traces + a full lap
         out = frame()
-    fence(out)
-    return _differential(frame, fence, "temporal orbit", sets=5)
+    _ = float(np.asarray(out[0][0, 0, 0]))
+
+    n = 100
+    dts = []
+    for s in range(5):
+        t0 = time.perf_counter()
+        pv = None
+        for _ in range(n):
+            ldr, p = frame()
+            pv = p if p is not None else pv
+        _ = int(np.asarray(pv))
+        _ = float(np.asarray(ldr[0, 0, 0]))
+        dt = (time.perf_counter() - t0) / n
+        print(f"# temporal orbit: block of {n} (fence incl.): "
+              f"{dt*1000:.2f} ms/frame", file=sys.stderr)
+        dts.append(dt)
+    med = float(np.median(dts))
+    spread = (max(dts) - min(dts)) / med * 100.0
+    print(f"# temporal orbit: median of {len(dts)} blocks = "
+          f"{med*1000:.2f} ms/frame, spread {spread:.1f}% "
+          f"[{', '.join(f'{d*1000:.2f}' for d in sorted(dts))}]",
+          file=sys.stderr)
+    return med, spread
 
 
 def main():

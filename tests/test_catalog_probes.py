@@ -237,3 +237,30 @@ class TestNonIndexed:
         assert left[0] > left[2] + 0.05, f"left should lean red: {left}"
         assert right[0] + 0.05 < max(right[1], right[2]), (
             f"right should lean green/blue: {right}")
+
+
+class TestNpotTexture:
+    """BoxTexturedNonPowerOfTwo-class (r5): NPOT maps take the cv2/numpy
+    mip fallback (non-integer area ratios disqualify the native
+    integer-ratio packer) and still sample correctly."""
+
+    def test_npot_descriptor_and_mips(self, tmp_path):
+        from awsm_renderer_tpu.core.textures import (
+            TD_HEIGHT, TD_N_MIPS, TD_WIDTH, calculate_mip_levels,
+        )
+
+        r, _ = _load("glb-npot-texture", tmp_path)
+        live = r.textures.descriptors[
+            r.textures.descriptors[:, TD_WIDTH] > 0]
+        assert live.shape[0] == 1
+        d = live[0]
+        assert (d[TD_WIDTH], d[TD_HEIGHT]) == (100, 75)
+        assert d[TD_N_MIPS] == calculate_mip_levels(100, 75)
+
+    def test_npot_renders_checker(self, tmp_path):
+        r, _ = _load("glb-npot-texture", tmp_path)
+        img = r.render()
+        # both checker colors visible (red- and blue-dominant regions)
+        rgb = img[..., :3]
+        assert ((rgb[..., 0] > rgb[..., 2] + 0.2).sum() > 50)
+        assert ((rgb[..., 2] > rgb[..., 0] + 0.2).sum() > 50)

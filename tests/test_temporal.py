@@ -43,7 +43,7 @@ def test_reproject_identity_zero_offsets():
     tids = rng.integers(0, 50, (H, W)).astype(np.int32)
     hist, (r, g, b, depth) = _mk_history(rng, tids)
     zeros = jnp.zeros((H, W), jnp.float32)
-    rr, gg, bb, valid, blend, _nv = reproject_history(
+    rr, gg, bb, valid, blend = reproject_history(
         hist, zeros, zeros, jnp.asarray(depth), jnp.asarray(tids),
         width=W, height=H, interpret=True)
     valid = np.asarray(valid).reshape(H, W)
@@ -71,7 +71,7 @@ def test_reproject_integer_shift():
     xs = np.clip(np.arange(W)[None, :] + dx, 0, W - 1)
     exp_z = depth[ys, xs]
     cur = tids[ys, xs]
-    rr, _gg, _bb, valid, _blend, _nv = reproject_history(
+    rr, _gg, _bb, valid, _blend = reproject_history(
         hist, offx, offy, jnp.asarray(exp_z), jnp.asarray(cur),
         width=W, height=H, interpret=True)
     valid = np.asarray(valid).reshape(H, W)
@@ -92,7 +92,7 @@ def test_reproject_id_mismatch_invalid_but_blendable():
     hist, (_r, _g, _b, depth) = _mk_history(rng, tids)
     zeros = jnp.zeros((H, W), jnp.float32)
     wrong = tids + 1
-    _rr, _gg, _bb, valid, blend, _nv = reproject_history(
+    _rr, _gg, _bb, valid, blend = reproject_history(
         hist, zeros, zeros, jnp.asarray(depth), jnp.asarray(wrong),
         width=W, height=H, interpret=True)
     assert not np.asarray(valid).any()
@@ -103,7 +103,7 @@ def test_reproject_reset_history_all_invalid():
     hist = reset_history(H, W)
     zeros = jnp.zeros((H, W), jnp.float32)
     tids = jnp.zeros((H, W), jnp.int32)
-    _rr, _gg, _bb, valid, blend, _nv = reproject_history(
+    _rr, _gg, _bb, valid, blend = reproject_history(
         hist, zeros, zeros, zeros, tids, width=W, height=H, interpret=True)
     assert not np.asarray(valid).any()
     assert not np.asarray(blend).any()      # -2 sentinel is never live
