@@ -54,7 +54,10 @@ class AntiAliasing:
     # (camera.rs:13 APPLY_JITTER=false, get_halton_jitter:257); here it
     # is the production route past the measured non-temporal shading
     # floor (BASELINE.md). Mutually exclusive with msaa/supersample —
-    # jitter accumulation IS the anti-aliasing.
+    # jitter accumulation IS the anti-aliasing. Best for content-static
+    # scenes under camera motion: any CONTENT flush (animation,
+    # material edits) resets the history, so per-frame-animated scenes
+    # pay a full-budget reshade every frame — prefer msaa there.
     temporal: bool = False
 
 

@@ -7,8 +7,10 @@ filtering, occupancy report). TPU redesign: each atlas page is ONE texture
 in the flat texel buffer (core/textures.py); entries resolve to a
 TextureRef whose KHR-transform row carries the offset/scale (+ a
 wrap-before-transform flag so REPEAT works inside the sub-rect). Packing
-is skyline bottom-left per page (the reference uses binpack2d MaxRects;
-skyline reaches equivalent occupancy on texture workloads).
+is MaxRects with the best-area-fit heuristic per page — the reference's
+packer exactly (mega_texture.rs:422 `insert_list(&items,
+Heuristic::BestAreaFit)` via binpack2d); r5 replaced the earlier skyline
+packer so growth behavior and placements track the reference class.
 """
 
 from __future__ import annotations
@@ -61,81 +63,85 @@ class MegaTextureEntry:
     texture_ref: TextureRef
 
 
-class _Page:
-    """One atlas page with a skyline bottom-left packer.
+def _split_free(fr: Tuple[int, int, int, int],
+                pl: Tuple[int, int, int, int]):
+    """MaxRects split: remove the placed rect from one free rect,
+    yielding up to 4 MAXIMAL remainder rects (full-extent left/right/
+    top/bottom strips — the defining property of the MaxRects scheme:
+    remainders overlap each other but each is as large as possible)."""
+    fx, fy, fw, fh = fr
+    px, py, pw, ph = pl
+    if px >= fx + fw or px + pw <= fx or py >= fy + fh or py + ph <= fy:
+        return [fr]
+    out = []
+    if px > fx:
+        out.append((fx, fy, px - fx, fh))                  # left strip
+    if px + pw < fx + fw:
+        out.append((px + pw, fy, fx + fw - (px + pw), fh))  # right strip
+    if py > fy:
+        out.append((fx, fy, fw, py - fy))                  # bottom strip
+    if py + ph < fy + fh:
+        out.append((fx, py + ph, fw, fy + fh - (py + ph)))  # top strip
+    return out
 
-    The reference packs each atlas layer with binpack2d MaxRects
-    (mega_texture.rs:69-211); skyline bottom-left reaches equivalent
-    occupancy on texture workloads (mixed small rects) in O(n·segments)
-    without the free-rect bookkeeping — and unlike the round-1 shelf
-    packer, later small images backfill gaps left beside tall ones."""
+
+def _contains(a, b) -> bool:
+    """rect a contains rect b."""
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    return ax <= bx and ay <= by and bx + bw <= ax + aw and by + bh <= ay + ah
+
+
+class _Page:
+    """One atlas page with a MaxRects best-area-fit packer — the
+    reference's packing exactly (mega_texture.rs:422: binpack2d
+    `Heuristic::BestAreaFit` per layer). Free space is a list of
+    maximal free rectangles; placement picks the free rect whose
+    leftover AREA is smallest (ties: smaller leftover short side, then
+    bottom-left), then re-splits every intersecting free rect and
+    prunes contained ones."""
 
     def __init__(self, size: int, ttype: TextureType):
         self.size = size
         self.ttype = ttype
-        # skyline: list of (x, y, width) left-to-right, tiling [0, size)
-        self.skyline: List[Tuple[int, int, int]] = [(0, 0, size)]
+        self.free: List[Tuple[int, int, int, int]] = [(0, 0, size, size)]
         self.pixels = np.zeros((size, size, 4), F)
         self.dirty = True
         self.texture_key: Optional[int] = None
         self.used_area = 0
 
-    def _fit_y(self, i: int, w: int) -> Optional[int]:
-        """Resting height of a w-wide rect whose left edge sits at
-        skyline segment i; None if it overhangs the page."""
-        x0 = self.skyline[i][0]
-        if x0 + w > self.size:
-            return None
-        y = 0
-        remaining = w
-        j = i
-        while remaining > 0:
-            sx, sy, sw = self.skyline[j]
-            y = max(y, sy)
-            remaining -= sw - (x0 - sx if j == i else 0)
-            j += 1
-        return y
-
     def try_alloc(self, w: int, h: int) -> Optional[Tuple[int, int]]:
         if w > self.size or h > self.size:
             return None
-        best = None  # (y, x, i) — bottom-left heuristic: min y, then min x
-        for i in range(len(self.skyline)):
-            y = self._fit_y(i, w)
-            if y is None or y + h > self.size:
-                continue
-            x = self.skyline[i][0]
-            if best is None or (y, x) < best[:2]:
-                best = (y, x, i)
+        best = None  # key = (leftover area, leftover short side, y, x)
+        for fx, fy, fw, fh in self.free:
+            if w <= fw and h <= fh:
+                key = (fw * fh - w * h, min(fw - w, fh - h), fy, fx)
+                if best is None or key < best[0]:
+                    best = (key, fx, fy)
         if best is None:
             return None
-        y, x, i = best
-        self._place(x, y + h, w)
+        _, x, y = best
+        self._place(x, y, w, h)
         return x, y
 
-    def _place(self, x: int, top: int, w: int) -> None:
-        """Raise the skyline over [x, x+w) to `top`."""
-        new: List[Tuple[int, int, int]] = []
-        for sx, sy, sw in self.skyline:
-            # portion left of the placed rect
-            if sx < x:
-                new.append((sx, sy, min(sw, x - sx)))
-            # portion right of the placed rect
-            if sx + sw > x + w:
-                rx = max(sx, x + w)
-                new.append((rx, sy, sx + sw - rx))
-        new.append((x, top, w))
-        new.sort()
-        # merge adjacent equal-height segments
-        merged: List[Tuple[int, int, int]] = []
-        for seg in new:
-            if merged and merged[-1][1] == seg[1] \
-                    and merged[-1][0] + merged[-1][2] == seg[0]:
-                px, py, pw = merged[-1]
-                merged[-1] = (px, py, pw + seg[2])
-            else:
-                merged.append(seg)
-        self.skyline = merged
+    def _place(self, x: int, y: int, w: int, h: int) -> None:
+        placed = (x, y, w, h)
+        new: List[Tuple[int, int, int, int]] = []
+        for fr in self.free:
+            new.extend(_split_free(fr, placed))
+        pruned: List[Tuple[int, int, int, int]] = []
+        for i, a in enumerate(new):
+            redundant = False
+            for j, b in enumerate(new):
+                if i == j:
+                    continue
+                if _contains(b, a) and (a != b or j < i):
+                    redundant = True
+                    break
+            if not redundant:
+                pruned.append(a)
+        self.free = pruned
 
 
 class MegaTexture:

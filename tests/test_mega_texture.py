@@ -137,25 +137,32 @@ class TestRendererIntegration:
         assert 0.0 < page["occupancy"] < 0.1
 
 
-def test_skyline_backfills_beside_tall_rect():
-    """Skyline (vs the round-1 shelf packer): a tall rect does not waste
-    the whole band — later small rects settle back down to the floor
-    beside it (bottom-left heuristic, reference MaxRects-equivalent)."""
+def test_maxrects_reuses_space_beside_tall_rect():
+    """MaxRects (the reference's binpack2d BestAreaFit,
+    mega_texture.rs:422): a tall rect does not waste the rest of the
+    page — later small rects land in the remaining maximal free rects
+    (best-AREA-fit picks the tightest leftover, here the thin strip
+    above the tall rect first), all on ONE page, no overlaps."""
     t = Textures()
     mt = MegaTexture(t, page_size=128, padding=0)
     tall = mt.add_image(np.zeros((100, 20, 4), np.uint8))
     small = [mt.add_image(np.zeros((20, 20, 4), np.uint8)) for _ in range(3)]
     mt.finalize()
-    assert tall.y == 0
-    # all three smalls fit on the floor next to the tall one
-    for e in small:
-        assert e.y == 0, (e.x, e.y)
+    assert (tall.x, tall.y) == (0, 0)
     assert len(mt._pages[TextureType.ALBEDO]) == 1
+    rects = [(e.x, e.y, e.width, e.height) for e in mt.entries]
+    for i, (x0, y0, w0, h0) in enumerate(rects):
+        for x1, y1, w1, h1 in rects[i + 1:]:
+            assert (x0 + w0 <= x1 or x1 + w1 <= x0
+                    or y0 + h0 <= y1 or y1 + h1 <= y0), rects
+    # best-area-fit fills the tight strip above the tall rect before
+    # touching the big right region
+    assert any(e.y >= 100 for e in small)
 
 
-def test_skyline_mixed_sizes_one_page():
+def test_maxrects_mixed_sizes_one_page():
     """Mixed-size set that overflows a shelf packer fits one page under
-    skyline: sum of areas ~69% of the page."""
+    MaxRects: sum of areas ~69% of the page."""
     t = Textures()
     mt = MegaTexture(t, page_size=256, padding=0)
     sizes = [(96, 96), (96, 32), (32, 96), (64, 64), (64, 16), (16, 64),
