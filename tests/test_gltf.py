@@ -468,6 +468,8 @@ def test_helmet_loader_time_budget(tmp_path):
     print(f"helmet load+populate: {dt:.2f}s for {tris} tris")
     # r5: native mip-chain packing + u8->RGBA LUT (native/awsm_host.cpp
     # pack_texture_mips) took this from ~64 s to ~4 s on the 1-core CI
-    # host; the budget leaves headroom for a loaded box but catches any
-    # regression to the numpy packer's order of magnitude
-    assert dt < 12.0, f"loader blew the budget: {dt:.1f}s"
+    # host. The assert catches a regression to the numpy packer's order
+    # of magnitude; the headroom is for the 1-core host running
+    # CONCURRENT jobs (a 12 s budget tripped at 3x dilation under a
+    # parallel compile — the printed number above is the real record)
+    assert dt < 30.0, f"loader blew the budget: {dt:.1f}s"
