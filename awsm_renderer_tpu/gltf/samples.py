@@ -417,6 +417,75 @@ def glb_skinned():
     }), ((0.4, 1.2, 3.2), (0.0, 1.0, 0.0))
 
 
+def glb_two_skins():
+    """BrainStem-class structure probe: TWO independent skinned meshes
+    with SEPARATE skeletons in one scene, each driven by its own
+    animation channel (one bends +z, one -z). Pins multi-skin joint-row
+    offsetting (core/skins.py) and per-skin animation routing through a
+    real GLB — the recursive-skeletons and many-influences probes each
+    exercise one skeleton only."""
+    b = _GlbBuilder()
+    n = 5
+    pos, jnts, wts = [], [], []
+    for i in range(n + 1):
+        y = i / n * 2.0
+        w1 = i / n
+        for x in (-0.2, 0.2):
+            pos.append([x, y, 0])
+            jnts.append([0, 1, 0, 0])
+            wts.append([1 - w1, w1, 0, 0])
+    idx = []
+    for i in range(n):
+        v = i * 2
+        idx += [v, v + 1, v + 3, v, v + 3, v + 2]
+    pos_acc = b.acc(np.asarray(pos, F), minmax=True)
+    j_acc = b.acc(np.asarray(jnts, np.uint8))
+    w_acc = b.acc(np.asarray(wts, F))
+    i_acc = b.acc(np.asarray(idx, np.uint16))
+    ibm = np.stack([np.eye(4, dtype=F), np.eye(4, dtype=F)])
+    ibm[1][1, 3] = -1.0
+    ibm_cm = np.ascontiguousarray(ibm.transpose(0, 2, 1)).reshape(2, 16)
+    ibm_acc = b.acc(ibm_cm)
+    t_in = b.acc(np.array([0.0, 1.0], F))
+    ang = np.pi / 4
+    rot_p = b.acc(np.array([[0, 0, 0, 1],
+                            [0, 0, np.sin(ang / 2), np.cos(ang / 2)]], F))
+    rot_n = b.acc(np.array([[0, 0, 0, 1],
+                            [0, 0, -np.sin(ang / 2), np.cos(ang / 2)]], F))
+    mesh = {"primitives": [{
+        "attributes": {"POSITION": pos_acc, "JOINTS_0": j_acc,
+                       "WEIGHTS_0": w_acc},
+        "indices": i_acc, "material": 0}]}
+    return b.glb({
+        "scene": 0, "scenes": [{"nodes": [0, 1, 3, 4]}],
+        "nodes": [
+            {"mesh": 0, "skin": 0, "translation": [-0.8, 0, 0]},
+            {"children": [2]},                       # skeleton A root
+            {"translation": [0, 1, 0]},              # skeleton A tip
+            {"mesh": 0, "skin": 1, "translation": [0.8, 0, 0]},
+            {"children": [5]},                       # skeleton B root
+            {"translation": [0, 1, 0]},              # skeleton B tip
+        ],
+        "skins": [
+            {"joints": [1, 2], "inverseBindMatrices": ibm_acc},
+            {"joints": [4, 5], "inverseBindMatrices": ibm_acc},
+        ],
+        "meshes": [mesh],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.3, 0.6, 0.9, 1.0],
+            "roughnessFactor": 0.6}}],
+        "animations": [{
+            "samplers": [
+                {"input": t_in, "interpolation": "LINEAR", "output": rot_p},
+                {"input": t_in, "interpolation": "LINEAR", "output": rot_n},
+            ],
+            "channels": [
+                {"sampler": 0, "target": {"node": 2, "path": "rotation"}},
+                {"sampler": 1, "target": {"node": 5, "path": "rotation"}},
+            ]}],
+    }), ((0.0, 1.2, 3.6), (0.0, 1.0, 0.0))
+
+
 def glb_morphed():
     """MorphPrimitivesTest-class: a quad with two POSITION morph targets
     and non-zero initial mesh weights, plus a weights animation."""
@@ -1526,6 +1595,7 @@ SAMPLES = {
     "glb-texture-transform": glb_texture_transform,
     "glb-alpha-modes": glb_alpha_modes,
     "glb-npot-texture": glb_npot_texture,
+    "glb-two-skins": glb_two_skins,
 }
 
 import functools as _ft

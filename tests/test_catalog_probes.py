@@ -264,3 +264,35 @@ class TestNpotTexture:
         rgb = img[..., :3]
         assert ((rgb[..., 0] > rgb[..., 2] + 0.2).sum() > 50)
         assert ((rgb[..., 2] > rgb[..., 0] + 0.2).sum() > 50)
+
+
+class TestTwoSkins:
+    """BrainStem-class (r5): two independent skeletons, each skinning its
+    own mesh, driven by opposite-direction channels of ONE animation —
+    multi-skin joint-row offsets + per-skin routing."""
+
+    def test_skins_bend_opposite_ways(self, tmp_path):
+        r, lookups = _load("glb-two-skins", tmp_path)
+        r.update_all(0.99)          # near the full ±45° bend
+        # the bend channels rotate the TIP joints, so the proof lives in
+        # the JOINT MATRICES: skin A's tip joint carries +45° about z,
+        # skin B's tip -45° — opposite sin terms at each skin's OWN
+        # joint rows (the buddy pool block-rounds bases: 0 and 16 here,
+        # not dense — resolve through joint_rows())
+        jm = np.asarray(r.skins.joint_matrices).reshape(-1, 4, 4)
+        rows_a = r.skins.joint_rows(1)
+        rows_b = r.skins.joint_rows(2)
+        assert rows_a[0] != rows_b[0]
+        sin_a = float(jm[rows_a[1]][1, 0])
+        sin_b = float(jm[rows_b[1]][1, 0])
+        assert sin_a > 0.5 and sin_b < -0.5, (sin_a, sin_b)
+        img = r.render()
+        assert np.isfinite(img).all()
+        # both strips visible (left and right halves covered)
+        cov = (np.abs(img[..., :3] - img[2, 2, :3]).max(axis=-1) > 0.05)
+        assert cov[:, : W // 2].any() and cov[:, W // 2:].any()
+
+    def test_two_skins_store_rows_distinct(self, tmp_path):
+        r, _ = _load("glb-two-skins", tmp_path)
+        # two skins -> two joint-row ranges in the joint matrix store
+        assert r.skins.joint_matrices.shape[0] >= 4
